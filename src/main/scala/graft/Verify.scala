@@ -11,13 +11,30 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // Timestamps go out as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false):
+      // with a UTC session this is a wall-clock no-op but makes the files
+      // physically identical to DuckDB's µs-naive TIMESTAMP, so the
+      // driver's hash compare sees the same values either way it reads.
+      try {
+        val df = fn(spark, sfDir)
+        import org.apache.spark.sql.types.{DateType, TimestampType}
+        import org.apache.spark.sql.functions.col
+        val cols = df.schema.fields.map { f =>
+          f.dataType match {
+            case TimestampType | DateType => col(f.name).cast("timestamp_ntz").as(f.name)
+            case _ => col(f.name)
+          }
+        }
+        df.select(cols.toIndexedSeq: _*).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

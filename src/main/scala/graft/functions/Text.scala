@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, shingling.
+  * All pure Column expressions (codegen-friendly; no UDFs), designed so the
+  * same logic is expressible in ANSI SQL for the DuckDB oracle.
+  */
+object Text {
+
+  /** Normalize: lowercase, collapse whitespace runs, trim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace token array / count. Empty or null text -> 0 tokens. */
+  def tokens(c: Column): Column =
+    when(length(normalize(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(normalize(c), " "))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Ratio of non-alphanumeric, non-space chars to total chars. */
+  def punctRatio(c: Column): Column =
+    when(length(c) > 0,
+      length(regexp_replace(c, "[A-Za-z0-9 ]", "")).cast("double") / length(c))
+      .otherwise(0.0)
+
+  /** Mean token length — a cheap fluency proxy. */
+  def meanTokenLen(c: Column): Column =
+    when(tokenCount(c) > 0,
+      length(regexp_replace(normalize(c), " ", "")).cast("double") / tokenCount(c))
+
+  /** Stopword ratio against a fixed list (quality-scoring feature). */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(c)
+    val stops = filter(toks, t => t.isin(stopwords.map(lit): _*))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks)).otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: length saturation × (1 - punct
+    * excess) × stopword presence. Heuristic, deterministic, SQL-mirrorable. */
+  def qualityScore(c: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5.0)
+    val stopScore = least(stopwordRatio(c, stopwords) * 5.0, lit(1.0))
+    round(lenScore * punctScore * stopScore, 6)
+  }
+
+  /** Language ID by marker-token counting: for each candidate language,
+    * count occurrences of its marker tokens; argmax wins, ties broken by
+    * the order of `markers` (n-gram-frequency heuristic in miniature).
+    * Returns the language code, or "und" when no marker hits.
+    */
+  def langId(c: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(c)
+    // scores laid out as array<struct<score,idx>>; array_max picks
+    // (max score, then lowest idx via negated index)
+    val scored = markers.zipWithIndex.map { case ((lang, words), i) =>
+      val score = size(filter(toks, t => t.isin(words.map(lit): _*)))
+      struct(score.as("score"), lit(-i).as("negidx"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Document fingerprint: md5 of the normalized text — identical across
+    * engines (md5 is standardized), the exact-dedup key. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Word n-gram shingles as an array column (dedup/similarity input).
+    * Spark-first: transform over a sequence of start offsets — no explode
+    * until the caller needs rows.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** A 64-bit stable hash from the first 15 hex digits of md5 — engine-
+    * portable (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`). Used for
+    * minhash; NOT a crypto hash. */
+  def md5Hash64(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), c)), 1, 15), 16, 10)
+      .cast("long")
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * blocked n-gram Jaccard, MinHash-LSH, SimHash. Designed scale-first:
+  * every stage is a groupBy/join on a bounded key — no all-pairs
+  * cross product ever materializes at full scale.
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint (hash-groupBy). Keeps the lowest
+    * `idCol` per fingerprint group; emits group size for audit. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact near-duplicate pairs by word-n-gram Jaccard within a blocking
+    * key (e.g. source): explode shingles, self-join on (block, shingle),
+    * count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * The blocking key bounds the candidate space; at 100 TB the block is
+    * whatever cheap partition key is available (domain, crawl, bucket of a
+    * cheap hash) and this same plan holds. Returns pairs with id1 < id2 and
+    * jaccard >= threshold.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+        explode(array_distinct(Text.wordShingles(col(textCol), n))).as("shingle"))
+    val sizes = sh.groupBy("block", "id").agg(count(lit(1)).as("setsize"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.block") === col("b.block") &&
+        col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.block").as("block"), col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("block"), col("id").as("id1"), col("setsize").as("size1")), Seq("block", "id1"))
+      .join(sizes.select(col("block"), col("id").as("id2"), col("setsize").as("size2")), Seq("block", "id2"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size1") + col("size2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: for `numHashes` seeded hash functions, the min hash
+    * over the doc's distinct shingles. Pure expressions: transform over the
+    * shingle array per seed — no explode, no shuffle.
+    */
+  def withMinHashSignature(
+      df: DataFrame, textCol: String, n: Int, numHashes: Int,
+      out: String = "minhash"): DataFrame = {
+    val shingles = array_distinct(Text.wordShingles(col(textCol), n))
+    val sig = array((0 until numHashes).map { seed =>
+      array_min(transform(shingles, s => Text.md5Hash64(s, seed)))
+    }: _*)
+    df.withColumn(out, sig)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (`numBands` bands of
+    * rows), bucket-join on (band, band-hash), verify candidates with the
+    * full signature similarity estimate. Standard banding: two docs
+    * collide in >= 1 band w.h.p. iff their Jaccard exceeds
+    * (1/b)^(1/r). Returns pairs with estimated Jaccard (fraction of
+    * matching signature positions) >= threshold.
+    */
+  def minHashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, numBands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into bands")
+    val rows = numHashes / numBands
+    val signed = withMinHashSignature(df, textCol, n, numHashes)
+      .select(col(idCol).as("id"), col("minhash"))
+      .where(size(col("minhash")) > 0)
+    // one row per (doc, band); bucket key = hash of the band slice
+    val banded = signed.select(col("id"), col("minhash"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .withColumn("bucket", hash(col("band"),
+        concat_ws(",", slice(col("minhash"), col("band") * rows + 1, lit(rows)))))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.minhash").as("m1"), col("b.minhash").as("m2"))
+      .dropDuplicates("id1", "id2")
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("m1"), col("m2"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+  }
+
+  /** SimHash-64: per token, md5-derived 64-bit hash; sum +1/-1 per bit
+    * position weighted by token frequency; sign -> bit. Expressed with
+    * explode + groupBy over (doc, bit contributions) — fully distributed.
+    * Near-dups = pairs within `maxHamming` on a banded join of the
+    * 4x16-bit chunks (pigeonhole: hamming<=3 implies an exact match in
+    * >=1 of 4 chunks).
+    */
+  def withSimHash(df: DataFrame, idCol: String, textCol: String,
+                  out: String = "simhash"): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("tok"))
+    val bits = toks
+      .withColumn("h", Text.md5Hash64(col("tok"), 0))
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("contrib",
+        when(expr("shiftright(h, bit)").bitwiseAND(1) === 1, 1).otherwise(-1))
+      .groupBy("id", "bit")
+      .agg(sum("contrib").as("s"))
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as(out))
+    df.join(bits, df(idCol) === bits("id"), "left").drop("id")
+  }
+
+  /** SimHash near-dup pairs via 16-bit chunk banding + hamming verify. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val hashed = withSimHash(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val chunked = hashed.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("key", expr("shiftright(simhash, chunk * 16)").bitwiseAND(0xFFFFL))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    val cand = a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .dropDuplicates("id1", "id2")
+    cand.withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Embedding cosine near-duplicate pairs, LSH-bucketed by random
+    * hyperplane signs (deterministic planes from md5 of dimension index).
+    * See Similarity.cosine for the exact-verify expression.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val sketch = Similarity.hyperplaneSketch(col(vecCol), planes)
+    val s = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", sketch)
+    val a = s.as("a"); val b = s.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .where(col("cos") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond plain equi-joins (SURVEY.md §2.4).
+  */
+object Joins {
+
+  /** J4 — interval join: fact rows match dimension rows valid for the
+    * fact's date (`start <= t < end`), as in the reference's per-date
+    * routeEquiv filtering (SFMuniDataHelper.py:587). With equi keys plus
+    * the range predicate Catalyst plans a hash join with the range as a
+    * post-filter; with a small dim side, broadcast it.
+    */
+  def intervalJoin(
+      fact: DataFrame, dim: DataFrame, equiKeys: Seq[String],
+      factTime: Column, dimStart: Column, dimEnd: Column,
+      joinType: String = "left", broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    val equi = equiKeys.map(k => fact(k) === dim(k)).reduceOption(_ && _)
+    val range = factTime >= dimStart && factTime < dimEnd
+    fact.join(d, equi.map(_ && range).getOrElse(range), joinType)
+  }
+
+  /** As-of join (backward): for each left row, the latest right row with
+    * rightTs <= leftTs within the same key. The reference does this
+    * per-date in driver loops; a 100 TB engine cannot. This is the
+    * union-window technique: tag both sides, union, one window pass
+    * carries the most recent right payload forward onto left rows —
+    * a single shuffle on the key, NO join, no row explosion, skew-safe
+    * relative to the naive join+argmax.
+    *
+    * `right` must be unique per (keys, rightTs) — pre-aggregate if not
+    * (ties would otherwise be partition-order dependent).
+    *
+    * Returns left columns plus the right payload columns (null when no
+    * earlier right row exists).
+    */
+  def asOfJoinBackward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val ts = "__asof_ts"
+    val side = "__asof_side" // 0 = right, 1 = left; right sorts first at equal ts (inclusive match)
+    val l = left
+      .withColumn(ts, col(leftTs))
+      .withColumn(side, lit(1))
+      .select((leftCols.map(col) ++ payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++ Seq(col(ts), col(side))): _*)
+    val r = right
+      .withColumn(ts, col(rightTs))
+      .withColumn(side, lit(0))
+      .select((leftCols.map(c =>
+        if (keys.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col) ++ Seq(col(ts), col(side))): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts), col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(l.unionByName(r)) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col(side) === 1).drop(ts, side)
+  }
+
+  /** Left-anti "missing dimension member" check
+    * (SFMuniDataHelper.py:593-596 reports AVL routes absent from the
+    * route-equiv file). */
+  def missingKeys(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
+    fact.select(key).distinct().join(dim, Seq(key), "left_anti")
+}

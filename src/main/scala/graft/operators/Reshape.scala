@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pivot / unpivot / crosstab (SURVEY.md §2.7 O5/O6, §2.5 A17).
+  */
+object Reshape {
+
+  /** O5 — pivot with an explicit value list. Always pass `colValues`:
+    * without it Spark runs an extra distinct job AND the output column
+    * set becomes data-dependent — both wrong for a production pipeline.
+    */
+  def pivot(df: DataFrame, rowKeys: Seq[String], pivotCol: String,
+            colValues: Seq[String], agg: Column): DataFrame =
+    df.groupBy(rowKeys.map(col): _*).pivot(pivotCol, colValues).agg(agg)
+
+  /** A17 — cleanCrosstab (Utils.py:23-46): pivot plus a "Total" row and
+    * column, zeros for empty cells. Realized as a single-pass rollup over
+    * both axes: rollup(row, col) emits (row,col), (row,·) and (·,·)
+    * subtotals; the row-axis "Total" needs the (·,col) margin, so we
+    * aggregate from grouping sets via cube and keep the three margin
+    * kinds the reference emits. One shuffle, no unions.
+    */
+  def crosstabWithTotals(df: DataFrame, rowKey: String, colKey: String,
+                         value: Column, colValues: Seq[String],
+                         totalLabel: String = "Total"): DataFrame = {
+    val cubed = df.cube(col(rowKey), col(colKey)).agg(value.as("__v"))
+      .withColumn(rowKey, when(grouping(col(rowKey)) === 1, totalLabel).otherwise(col(rowKey)))
+      .withColumn(colKey, when(grouping(col(colKey)) === 1, totalLabel).otherwise(col(colKey)))
+    cubed.groupBy(rowKey).pivot(colKey, colValues :+ totalLabel)
+      .agg(first(col("__v")))
+      .na.fill(0.0)
+  }
+
+  /** O6 — melt wide measure columns to long (stack/unpivot;
+    * DemandHelper.py:1541-1550 CPI wide-months -> long). */
+  def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
+           varName: String = "variable", valueName: String = "value"): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valueName)
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / sequential operators (SURVEY.md §2.6). The reference implements
+  * all of these as sorted iterrows loops — the slowest pandas pattern; here
+  * each is a single Catalyst window spec, partitioned by the natural entity
+  * key so it parallelizes across executors with no driver involvement.
+  */
+object Windows {
+
+  /** W1 — headway: minutes since the previous event within a partition,
+    * ordered by time (GTFSHelper.py:87-104). First row per partition: null.
+    * `tieBreak` makes ordering total so the result is deterministic under
+    * shuffles.
+    */
+  def headwayMinutes(
+      df: DataFrame, partition: Seq[String], ts: String, tieBreak: Seq[String],
+      out: String = "headway_min"): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*)
+      .orderBy((ts +: tieBreak).map(col): _*)
+    df.withColumn(out,
+      (unix_timestamp(col(ts)) - unix_timestamp(lag(col(ts), 1).over(w))) / 60.0)
+  }
+
+  /** W2 — observed runtime: max(0, arrival - previous departure) in minutes
+    * along a sequence (SFMuniDataExpander.py:35-53). First row: 0. */
+  def runtimeMinutes(
+      df: DataFrame, partition: Seq[String], seq: Seq[String],
+      arrival: String, departure: String, out: String = "runtime_min"): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(seq.map(col): _*)
+    val prevDep = lag(col(departure), 1).over(w)
+    df.withColumn(out,
+      when(prevDep.isNull, 0.0)
+        .otherwise(greatest(lit(0.0),
+          (unix_timestamp(col(arrival)) - unix_timestamp(prevDep)) / 60.0)))
+  }
+
+  /** W4 — sessionization: a new session starts when the gap since the
+    * previous event within the partition is >= `gapMinutes` (the Clipper
+    * 90-minute transfer rule, ClipperHelper.py:209-246). Emits a 1-based
+    * `sessionCol` id per partition plus an `isNewCol` flag.
+    *
+    * Classic two-window pattern: lag to detect the boundary, running sum of
+    * boundaries to number the session. One shuffle on the partition keys.
+    */
+  def sessionize(
+      df: DataFrame, partition: Seq[String], ts: String, tieBreak: Seq[String],
+      gapMinutes: Double, sessionCol: String = "session_id",
+      isNewCol: String = "session_start"): DataFrame = {
+    val ord = (ts +: tieBreak).map(col)
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(ord: _*)
+    val gap = (unix_timestamp(col(ts)) - unix_timestamp(lag(col(ts), 1).over(w))) / 60.0
+    val isNew = when(gap.isNull || gap >= gapMinutes, 1).otherwise(0)
+    df.withColumn(isNewCol, isNew)
+      .withColumn(sessionCol,
+        sum(col(isNewCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** W6 — running sum along a sequence (cumulative load,
+    * TransitReporter.py:994-1008). */
+  def runningSum(
+      df: DataFrame, partition: Seq[String], order: Seq[String],
+      expr: Column, out: String): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, sum(expr).over(w))
+  }
+
+  /** W8 — expansion weighting: scale `weight` so that the weighted total of
+    * `target` matches its raw group total
+    * (SFMuniDataExpander.py:122-166,600-619):
+    * `w' = w * sum(target) over G / sum(w * target) over G`.
+    * A single partition-only window — one shuffle, no joins.
+    */
+  def scaleWeightsToTotals(
+      df: DataFrame, group: Seq[String], weight: String, target: String,
+      out: String = "weight_scaled"): DataFrame = {
+    val g = Window.partitionBy(group.map(col): _*)
+    val factor = sum(col(target)).over(g) / sum(col(weight) * col(target)).over(g)
+    df.withColumn(out, col(weight) * factor)
+  }
+
+  /** W9 — chained carry-forward imputation: where the row is unobserved,
+    * take the most recent observed value within the key, however far back
+    * (the fixed point of the reference's month-by-month chained imputation,
+    * SFMuniDataAggregator.py:371-464 — imputed values feed later months, so
+    * carry-forward over an unbounded-preceding window reproduces the chain).
+    * Adds `<c>_imp` columns and an `imputedCol` flag.
+    */
+  def imputeCarryForward(
+      df: DataFrame, partition: Seq[String], order: Seq[String],
+      observed: Column, valueCols: Seq[String],
+      imputedCol: String = "imputed"): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val masked = valueCols.foldLeft(df) { (d, c) =>
+      d.withColumn(s"__obs_$c", when(observed, col(c)))
+    }
+    val filled = valueCols.foldLeft(masked) { (d, c) =>
+      d.withColumn(s"${c}_imp", last(col(s"__obs_$c"), ignoreNulls = true).over(w))
+    }
+    filled
+      .withColumn(imputedCol, (!observed && col(s"${valueCols.head}_imp").isNotNull).cast("int"))
+      .drop(valueCols.map(c => s"__obs_$c"): _*)
+  }
+}
