@@ -265,9 +265,404 @@ object Queries {
         round(avg(w * (st / swt)), 6) AS avg_weight
       FROM g GROUP BY 1, 2"""))
 
+  // -------------------------------------------------------- §2.9 time series
+  /** W9 + T4 — month spine + carry-forward imputation of missing months. */
+  val q11Impute = Q(
+    "q11_impute",
+    (s, d) => {
+      val monthly = orders(s, d)
+        .groupBy((col("o_custkey") % 10).as("grp"),
+          date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val full = TimeSeries.resampleMonthly(monthly, Seq("grp"), "month")
+      Windows.imputeCarryForward(full, Seq("grp"), Seq("month"),
+          observed = col("revenue").isNotNull, valueCols = Seq("revenue"))
+        .select(col("grp"), col("month"),
+          col("revenue_imp").as("revenue_filled"), col("imputed"))
+    },
+    Some("""WITH monthly AS (
+        SELECT o_custkey % 10 AS grp,
+               date_trunc('month', o_orderdate) AS month,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2),
+      spine AS (
+        SELECT g.grp, m.month
+        FROM (SELECT DISTINCT grp FROM monthly) g
+        CROSS JOIN (SELECT unnest(generate_series(
+          (SELECT min(date_trunc('month', o_orderdate)) FROM orders),
+          (SELECT max(date_trunc('month', o_orderdate)) FROM orders),
+          INTERVAL 1 MONTH)) AS month) m),
+      joined AS (
+        SELECT s.grp, s.month, mo.revenue
+        FROM spine s LEFT JOIN monthly mo USING (grp, month))
+      SELECT grp, month,
+        last_value(revenue IGNORE NULLS) OVER (PARTITION BY grp ORDER BY month
+          ROWS UNBOUNDED PRECEDING) AS revenue_filled,
+        CAST(CASE WHEN revenue IS NULL AND last_value(revenue IGNORE NULLS)
+          OVER (PARTITION BY grp ORDER BY month ROWS UNBOUNDED PRECEDING)
+          IS NOT NULL THEN 1 ELSE 0 END AS INT) AS imputed
+      FROM joined"""))
+
+  /** T1/T5 — linear interpolation over a month series with deterministic
+    * knockout gaps (every 3rd month masked). */
+  val q12Interp = Q(
+    "q12_interp",
+    (s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("raw"))
+        .withColumn("value", when(month(col("month")) % 3 === 1, lit(null)).otherwise(col("raw")))
+        .withColumn("idx", year(col("month")) * 12 + month(col("month")))
+      TimeSeries.interpolateLinear(monthly, Seq.empty, "idx", "value", "value_interp")
+        .select(col("month"), round(col("value_interp"), 2).as("value_interp"))
+    },
+    Some("""WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+          round(sum(o_totalprice), 2) AS raw
+        FROM orders GROUP BY 1),
+      masked AS (
+        SELECT month,
+          CASE WHEN month(month) % 3 = 1 THEN NULL ELSE raw END AS value,
+          year(month) * 12 + month(month) AS idx
+        FROM monthly),
+      w AS (
+        SELECT month, value, CAST(idx AS DOUBLE) AS t,
+          last_value(value IGNORE NULLS) OVER past AS pv,
+          last_value(CASE WHEN value IS NOT NULL THEN CAST(idx AS DOUBLE) END IGNORE NULLS) OVER past AS pt,
+          first_value(value IGNORE NULLS) OVER fut AS nv,
+          first_value(CASE WHEN value IS NOT NULL THEN CAST(idx AS DOUBLE) END IGNORE NULLS) OVER fut AS nt
+        FROM masked
+        WINDOW past AS (ORDER BY idx ROWS UNBOUNDED PRECEDING),
+               fut AS (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT month, round(COALESCE(value,
+        CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+             THEN pv + (nv - pv) * (t - pt) / (nt - pt) END,
+        pv, nv), 2) AS value_interp
+      FROM w"""))
+
+  /** T3 — step-function forward fill over the month spine with
+    * deterministic gaps. */
+  val q13Ffill = Q(
+    "q13_ffill",
+    (s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(round(max("o_totalprice"), 2).as("raw"))
+        .withColumn("value",
+          when((month(col("month")) + length(col("o_orderpriority"))) % 4 === 0, lit(null))
+            .otherwise(col("raw")))
+        .drop("raw")
+      TimeSeries.ffill(monthly, Seq("o_orderpriority"), "month", Seq("value"))
+        .select(col("o_orderpriority"), col("month"), col("value").as("value_filled"))
+    },
+    Some("""WITH monthly AS (
+        SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+          CASE WHEN (month(date_trunc('month', o_orderdate)) + length(o_orderpriority)) % 4 = 0
+               THEN NULL ELSE round(max(o_totalprice), 2) END AS value
+        FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate))
+      SELECT o_orderpriority, month,
+        last_value(value IGNORE NULLS) OVER (PARTITION BY o_orderpriority
+          ORDER BY month ROWS UNBOUNDED PRECEDING) AS value_filled
+      FROM monthly"""))
+
+  // ----------------------------------------------------------- §2.7 reshape
+  /** O5 — pivot with explicit value list. */
+  val q14Pivot = Q(
+    "q14_pivot",
+    (s, d) =>
+      Reshape.pivot(lineitem(s, d), Seq("l_returnflag"), "l_linestatus",
+          Seq("F", "O"), round(sum("l_quantity"), 2))
+        .na.fill(0.0, Seq("F", "O")),
+    Some("""SELECT l_returnflag,
+      COALESCE(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2), 0) AS "F",
+      COALESCE(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2), 0) AS "O"
+      FROM lineitem GROUP BY 1"""))
+
+  /** O6 — melt wide measures to long. */
+  val q15Melt = Q(
+    "q15_melt",
+    (s, d) => {
+      val wide = lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+      Reshape.melt(wide, Seq("l_returnflag"), Seq("sum_qty", "sum_price"),
+        "measure", "value")
+    },
+    Some("""WITH wide AS (
+        SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide"""))
+
+  /** A17 — cleanCrosstab: pivot plus Total row and column (Utils.py:23-46),
+    * via one cube pass. */
+  val q16CrosstabTotals = Q(
+    "q16_crosstab_totals",
+    (s, d) =>
+      Reshape.crosstabWithTotals(lineitem(s, d), "l_returnflag", "l_linestatus",
+        count(lit(1)).cast("double"), Seq("F", "O")),
+    Some("""WITH base AS (SELECT l_returnflag, l_linestatus FROM lineitem)
+      SELECT l_returnflag,
+        CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F",
+        CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O",
+        CAST(count(*) AS DOUBLE) AS "Total"
+      FROM base GROUP BY 1
+      UNION ALL
+      SELECT 'Total',
+        CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS DOUBLE),
+        CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS DOUBLE),
+        CAST(count(*) AS DOUBLE)
+      FROM base"""))
+
+  /** W10/O1 — deterministic top-k: rank on the rounded measure with a key
+    * tie-break (unrounded float ranks are engine-dependent). */
+  val q17Topk = Q(
+    "q17_topk",
+    (s, d) => {
+      val byCust = orders(s, d).groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
+      byCust.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+    },
+    Some("""SELECT o_custkey, revenue, rank FROM (
+        SELECT o_custkey, revenue,
+          row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rank
+        FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY 1))
+      WHERE rank <= 10"""))
+
+  // ------------------------------------------------------ §2.8 scalar exprs
+  /** E1 — service-day logic (3 am rule) on events. */
+  val q18ServiceDay = Q(
+    "q18_service_day",
+    (s, d) =>
+      events(s, d)
+        .withColumn("service_date",
+          Exprs.serviceDate(col("ts")).cast("timestamp"))
+        .groupBy("service_date", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value")),
+    Some("""SELECT CAST(CASE WHEN hour(ts) < 3 THEN CAST(ts AS DATE) - INTERVAL 1 DAY
+               ELSE CAST(ts AS DATE) END AS TIMESTAMP) AS service_date,
+        event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2"""))
+
+  /** E10 — fiscal-year recode (Jul–Jun, labeled by ending year). */
+  val q19Fiscal = Q(
+    "q19_fiscal",
+    (s, d) =>
+      orders(s, d)
+        .withColumn("fiscal_year", Exprs.fiscalYear(col("o_orderdate")).cast("long"))
+        .groupBy("fiscal_year")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n")),
+    Some("""SELECT CAST(CASE WHEN month(o_orderdate) <= 6 THEN year(o_orderdate)
+               ELSE year(o_orderdate) + 1 END AS BIGINT) AS fiscal_year,
+        round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+      FROM orders GROUP BY 1"""))
+
+  /** E11 — CPI deflation: join a deterministic CPI series keyed by month,
+    * multiply by base/CPI. */
+  val q20CpiDeflate = Q(
+    "q20_cpi_deflate",
+    (s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(sum("o_totalprice").as("revenue"))
+      val withCpi = monthly.withColumn("cpi",
+        lit(100.0) + lit(0.25) *
+          (year(col("month")) * 12 + month(col("month")) - lit(1995 * 12 + 1)))
+      withCpi.select(col("month"),
+        round(col("revenue"), 2).as("revenue"),
+        round(col("cpi"), 4).as("cpi"),
+        round(col("revenue") * (lit(100.0) / col("cpi")), 2).as("revenue_2010usd"))
+    },
+    Some("""WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               sum(o_totalprice) AS revenue
+        FROM orders GROUP BY 1),
+      c AS (SELECT month, revenue,
+        100.0 + 0.25 * (year(month) * 12 + month(month) - 23941) AS cpi
+        FROM monthly)
+      SELECT month, round(revenue, 2) AS revenue, round(cpi, 4) AS cpi,
+        round(revenue * (100.0 / cpi), 2) AS revenue_2010usd
+      FROM c"""))
+
+  // --------------------------------------- training-data pipeline: text ops
+  /** Exact dedup by md5 content fingerprint. */
+  val q21DedupExact = Q(
+    "q21_dedup_exact",
+    (s, d) =>
+      Dedup.exact(documents(s, d), "text", "doc_id"),
+    Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        min(doc_id) AS keep_id, count(*) AS dup_count
+      FROM documents GROUP BY 1"""))
+
+  /** Language-ID by marker-token counting (n-gram heuristic in miniature). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "art" -> Seq("the", "a"),
+    "db"  -> Seq("table", "scan", "row", "key"),
+    "st"  -> Seq("stream", "batch", "window"))
+
+  val q22LangId = Q(
+    "q22_langid",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("lang_pred", Text.langId(col("text"), langMarkers))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars")),
+    Some("""WITH toks AS (
+        SELECT doc_id, n_chars,
+          string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      scored AS (
+        SELECT doc_id, n_chars,
+          len(list_filter(t, x -> x IN ('the', 'a'))) AS s0,
+          len(list_filter(t, x -> x IN ('table', 'scan', 'row', 'key'))) AS s1,
+          len(list_filter(t, x -> x IN ('stream', 'batch', 'window'))) AS s2
+        FROM toks),
+      labeled AS (
+        SELECT doc_id, n_chars,
+          CASE WHEN s0 = 0 AND s1 = 0 AND s2 = 0 THEN 'und'
+               WHEN s0 >= s1 AND s0 >= s2 THEN 'art'
+               WHEN s1 >= s2 THEN 'db'
+               ELSE 'st' END AS lang_pred
+        FROM scored)
+      SELECT lang_pred, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+      FROM labeled GROUP BY 1"""))
+
+  /** Quality scoring: token count, punctuation ratio, stopword ratio,
+    * composite score. */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "in")
+
+  val q23Quality = Q(
+    "q23_quality",
+    (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(Text.stopwordRatio(col("text"), stopwords), 6).as("stop_ratio"),
+        Text.qualityScore(col("text"), stopwords).as("quality")),
+    Some("""WITH t AS (
+        SELECT doc_id, text,
+          string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+          CASE WHEN length(text) > 0
+            THEN CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+            ELSE 0.0 END AS punct_ratio,
+          CASE WHEN len(toks) > 0
+            THEN CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'in'))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS stop_ratio
+        FROM t)
+      SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
+        round(stop_ratio, 6) AS stop_ratio,
+        round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+          * greatest(0.0, 1.0 - punct_ratio * 5.0)
+          * least(stop_ratio * 5.0, 1.0), 6) AS quality
+      FROM m"""))
+
+  /** Token counting rolled up by source. */
+  val q24Tokens = Q(
+    "q24_tokens",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
+        .groupBy("source")
+        .agg(sum("n_tokens").as("total_tokens"),
+          round(avg("n_tokens"), 4).as("avg_tokens"),
+          count(lit(1)).as("n_docs")),
+    Some("""SELECT source,
+        CAST(sum(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS total_tokens,
+        round(avg(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))), 4) AS avg_tokens,
+        count(*) AS n_docs
+      FROM documents GROUP BY 1"""))
+
+  /** Exact n-gram Jaccard near-dup pairs, blocked by normalized prefix
+    * (planted near-dups share prefixes; suffixes differ). */
+  val q25Jaccard = Q(
+    "q25_jaccard_pairs",
+    (s, d) => {
+      val docs = documents(s, d)
+        .withColumn("block", substring(Text.normalize(col("text")), 1, 16))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", "block", n = 3, threshold = 0.5)
+        .select(col("id1").as("doc1"), col("id2").as("doc2"), col("jaccard"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS block,
+          string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, block,
+          list_distinct(CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [] END) AS shingles
+        FROM t)
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5"""))
+
+  // ------------------------------------- training-data pipeline: similarity
+  /** Brute-force cosine top-k (exact ANN baseline). */
+  val q26Knn = Q(
+    "q26_knn_bruteforce",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", k = 5)
+    },
+    Some("""SELECT p.vec_id AS probe_id, n.rank, n.neighbor_id, n.cos
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) p,
+      LATERAL (
+        SELECT c.vec_id AS neighbor_id,
+          row_number() OVER (ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+            (SELECT embedding FROM embeddings e WHERE e.vec_id = p.vec_id)::DOUBLE[]) DESC, c.vec_id) AS rank,
+          round(list_cosine_similarity(c.embedding::DOUBLE[],
+            (SELECT embedding FROM embeddings e WHERE e.vec_id = p.vec_id)::DOUBLE[]), 6) AS cos
+        FROM embeddings c WHERE c.vec_id <> p.vec_id
+        ORDER BY rank LIMIT 5) n"""))
+
+  /** MinHash-LSH near-dup candidates (scale path; verified in ScalaTest
+    * against exact Jaccard — banding is not ANSI-SQL-expressible). */
+  val q27MinhashLsh = Q(
+    "q27_minhash_lsh",
+    (s, d) =>
+      Dedup.minHashLshPairs(documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 32, numBands = 8, threshold = 0.5),
+    None)
+
+  /** SimHash near-dup candidates (chunk-banded hamming join). */
+  val q28Simhash = Q(
+    "q28_simhash",
+    (s, d) =>
+      Dedup.simHashPairs(documents(s, d), "doc_id", "text", maxHamming = 6),
+    None)
+
+  /** LSH-bucketed approximate top-k (the 100 TB ANN path). */
+  val q29AnnLsh = Q(
+    "q29_ann_lsh",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", k = 5, planes = 4)
+    },
+    None)
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
     q05AsofJoin, q06Headway, q07Sessionize, q08Runtime, q09Cumload,
-    q10Weighting)
+    q10Weighting, q11Impute, q12Interp, q13Ffill, q14Pivot, q15Melt,
+    q16CrosstabTotals, q17Topk, q18ServiceDay, q19Fiscal, q20CpiDeflate,
+    q21DedupExact, q22LangId, q23Quality, q24Tokens, q25Jaccard, q26Knn,
+    q27MinhashLsh, q28Simhash, q29AnnLsh)
 }

@@ -25,9 +25,13 @@ object Reshape {
   def crosstabWithTotals(df: DataFrame, rowKey: String, colKey: String,
                          value: Column, colValues: Seq[String],
                          totalLabel: String = "Total"): DataFrame = {
-    val cubed = df.cube(col(rowKey), col(colKey)).agg(value.as("__v"))
-      .withColumn(rowKey, when(grouping(col(rowKey)) === 1, totalLabel).otherwise(col(rowKey)))
-      .withColumn(colKey, when(grouping(col(colKey)) === 1, totalLabel).otherwise(col(colKey)))
+    // grouping() is only resolvable inside the cube's aggregate list
+    val cubed = df.cube(col(rowKey), col(colKey))
+      .agg(value.as("__v"),
+        grouping(col(rowKey)).as("__gr"), grouping(col(colKey)).as("__gc"))
+      .withColumn(rowKey, when(col("__gr") === 1, totalLabel).otherwise(col(rowKey)))
+      .withColumn(colKey, when(col("__gc") === 1, totalLabel).otherwise(col(colKey)))
+      .drop("__gr", "__gc")
     cubed.groupBy(rowKey).pivot(colKey, colValues :+ totalLabel)
       .agg(first(col("__v")))
       .na.fill(0.0)

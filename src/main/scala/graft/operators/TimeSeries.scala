@@ -18,8 +18,8 @@ object TimeSeries {
     */
   def monthSpine(df: DataFrame, keys: Seq[String], monthCol: String): DataFrame = {
     val bounds = df.select(
-      min(trunc(col(monthCol), "MM")).as("lo"),
-      max(trunc(col(monthCol), "MM")).as("hi"))
+      min(date_trunc("MONTH", col(monthCol))).as("lo"),
+      max(date_trunc("MONTH", col(monthCol))).as("hi"))
     val spine = bounds.select(
       explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MONTH"))).as(monthCol))
     if (keys.isEmpty) spine

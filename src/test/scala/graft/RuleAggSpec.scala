@@ -1,0 +1,58 @@
+package graft
+
+import graft.agg.{AggMethod, AggRule, RuleAgg}
+import org.apache.spark.sql.functions._
+
+class RuleAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    // (key, x, w, ord)
+    ("a", 10.0, 1.0, 1L),
+    ("a", 20.0, 3.0, 2L),
+    ("a", 30.0, 1.0, 3L),
+    ("b", 5.0, 2.0, 1L),
+    ("b", 0.0, 2.0, 2L)
+  ).toDF("k", "x", "w", "ord")
+
+  test("sum/mean/min/max/count") {
+    val out = RuleAgg.aggregate(df, Seq("k"), Seq(
+      AggRule("s", "x", AggMethod.Sum),
+      AggRule("m", "x", AggMethod.Mean),
+      AggRule("lo", "x", AggMethod.Min),
+      AggRule("hi", "x", AggMethod.Max),
+      AggRule("n", "x", AggMethod.Count),
+      AggRule("nz", "x", AggMethod.CountNonZero),
+      AggRule("nd", "x", AggMethod.CountDistinct)))
+      .orderBy("k").collect()
+    assert(out(0).getDouble(1) == 60.0 && out(0).getDouble(2) == 20.0)
+    assert(out(1).getDouble(3) == 0.0 && out(1).getDouble(4) == 5.0)
+    assert(out(0).getLong(5) == 3 && out(1).getLong(6) == 1 && out(1).getLong(7) == 2)
+  }
+
+  test("wgtAvg = sum(w*x)/sum(w); wgtSum = sum(w*x)") {
+    val out = RuleAgg.aggregate(df, Seq("k"), Seq(
+      AggRule("wa", "x", AggMethod.WgtAvg),
+      AggRule("ws", "x", AggMethod.WgtSum)),
+      weight = Some("w")).orderBy("k").collect()
+    // a: (10*1 + 20*3 + 30*1)/5 = 100/5 = 20
+    assert(out(0).getDouble(1) == 20.0 && out(0).getDouble(2) == 100.0)
+  }
+
+  test("first/last deterministic under duplicate order keys") {
+    val dup = Seq(("a", 1.0, 0L), ("a", 2.0, 0L), ("a", 3.0, 9L)).toDF("k", "x", "ord")
+    val out = RuleAgg.aggregate(dup, Seq("k"), Seq(
+      AggRule("f", "x", AggMethod.First),
+      AggRule("l", "x", AggMethod.Last)),
+      order = Some("ord")).collect()(0)
+    // ties on ord fall through to the value: first = min(x) among ord=0
+    assert(out.getDouble(1) == 1.0 && out.getDouble(2) == 3.0)
+  }
+
+  test("maxLevel filters rules") {
+    val out = RuleAgg.aggregate(df, Seq("k"), Seq(
+      AggRule("s", "x", AggMethod.Sum, maxLevel = 2),
+      AggRule("m", "x", AggMethod.Mean, maxLevel = 5)), level = 3)
+    assert(out.columns.toSeq == Seq("k", "m"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class TextDedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/tokenCount handle empty and multi-space text") {
+    val df = Seq("", "  ", "one  two\tthree").toDF("t")
+    val out = df.select(Text.tokenCount(col("t"))).as[Int].collect()
+    assert(out.toSeq == Seq(0, 0, 3))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("A  B c", "a b C")).toDF("x", "y")
+    val r = df.select((Text.fingerprint(col("x")) === Text.fingerprint(col("y"))).as("eq"))
+      .as[Boolean].collect()
+    assert(r(0))
+  }
+
+  test("langId: argmax with order tie-break, und when no hits") {
+    val markers = Seq("m1" -> Seq("aa"), "m2" -> Seq("bb"))
+    val df = Seq("aa bb aa", "bb", "zz", "aa bb").toDF("t")
+    val out = df.select(Text.langId(col("t"), markers)).as[String].collect()
+    assert(out.toSeq == Seq("m1", "m2", "und", "m1")) // tie -> first marker
+  }
+
+  test("wordShingles produce n-grams; short text yields empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val out = df.select(Text.wordShingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d") && out(1).isEmpty)
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").orderBy("keep_id").collect()
+    assert(out.length == 2 && out(0).getLong(1) == 1L && out(0).getLong(2) == 2L)
+  }
+
+  test("minhash LSH finds the near-dup pair and estimates high jaccard") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, base + " extra"), (3L, (100 to 140).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(df, "doc_id", "text",
+      n = 3, numHashes = 32, numBands = 8, threshold = 0.3).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) > 0.5)
+  }
+
+  test("simhash: identical texts collide at hamming 0; disjoint texts don't pair") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L
+      && pairs(0).getInt(2) == 0)
+  }
+
+  test("bruteForceTopK: hand-computed cosine ordering") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),   // probe
+      (1L, Array(1.0f, 0.1f)),   // cos ~ .995
+      (2L, Array(0.0f, 1.0f)),   // cos 0
+      (3L, Array(-1.0f, 0.0f))   // cos -1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.where(col("vec_id") === 0),
+        "vec_id", "embedding", "vec_id", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("lshTopK achieves decent recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(7)
+    // 10 clusters of 20 vectors each, 16 dims
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 10; i <- 0 until 20) yield
+      (c * 100L + i, centers(c).map(v => v + rnd.nextGaussian().toFloat * 0.05f))
+    val df = rows.toDF("vec_id", "embedding")
+    val probes = df.where(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(df, probes, "vec_id", "embedding", "vec_id", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(df, probes, "vec_id", "embedding", "vec_id", 5, planes = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+}

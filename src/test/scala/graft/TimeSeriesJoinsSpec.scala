@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Joins, TimeSeries}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TimeSeriesJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("interpolateLinear: interior linear, ends flat") {
+    val df = Seq(
+      ("k", 0, None: Option[Double]), ("k", 1, Some(10.0)), ("k", 2, None),
+      ("k", 3, None), ("k", 4, Some(40.0)), ("k", 5, None)
+    ).toDF("k", "i", "v")
+    val out = TimeSeries.interpolateLinear(df, Seq("k"), "i", "v", "vi")
+      .orderBy("i").select("vi").as[Double].collect()
+    assert(out.toSeq == Seq(10.0, 10.0, 20.0, 30.0, 40.0, 40.0))
+  }
+
+  test("ffill carries last non-null forward only") {
+    val df = Seq(("k", 1, Some(1.0)), ("k", 2, None), ("k", 3, Some(3.0)), ("k", 4, None))
+      .toDF("k", "i", "v")
+    val out = TimeSeries.ffill(df, Seq("k"), "i", Seq("v"))
+      .orderBy("i").select("v").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(1.0), Some(1.0), Some(3.0), Some(3.0)))
+  }
+
+  test("monthSpine covers min..max inclusive") {
+    val df = Seq(ts("2024-01-15 00:00:00"), ts("2024-04-02 00:00:00")).toDF("m")
+    assert(TimeSeries.monthSpine(df, Seq.empty, "m").count() == 4)
+  }
+
+  test("reconstructFromAnchor rebuilds both directions from the anchor") {
+    // net[i] added at month i; anchor: month 3 has absolute 100
+    val df = Seq(("k", 1, 5.0), ("k", 2, 7.0), ("k", 3, 11.0), ("k", 4, 2.0))
+      .toDF("k", "m", "net")
+    val out = TimeSeries.reconstructFromAnchor(df, Seq("k"), "m", "net",
+        anchorAt = col("m") === 3, anchorValue = lit(100.0), out = "stock")
+      .orderBy("m").select("stock").as[Double].collect()
+    // cum = 5,12,23,25; anchor_cum=23 -> stock = 100 + cum - 23
+    assert(out.toSeq == Seq(82.0, 89.0, 100.0, 102.0))
+  }
+
+  test("asOfJoinBackward: inclusive at equal ts, null when no earlier row") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 09:00:00"), "e0"),
+      (2L, ts("2024-01-01 10:00:00"), "e2")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0), // equal ts -> matches e1
+      (1L, ts("2024-01-01 08:00:00"), 80.0),
+      (3L, ts("2024-01-01 01:00:00"), 1.0)
+    ).toDF("k", "rt", "payload")
+    val out = Joins.asOfJoinBackward(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .orderBy("tag").select("payload").collect()
+    assert(out(0).getDouble(0) == 80.0)  // e0 at 09:00 -> 08:00 row
+    assert(out(1).getDouble(0) == 100.0) // e1 at 10:00 -> inclusive equal ts
+    assert(out(2).isNullAt(0))           // k=2 has no right rows
+  }
+
+  test("intervalJoin: start inclusive, end exclusive") {
+    val fact = Seq((1L, ts("2024-01-10 00:00:00")), (2L, ts("2024-01-20 00:00:00")))
+      .toDF("id", "t")
+    val dim = Seq((ts("2024-01-10 00:00:00"), ts("2024-01-20 00:00:00"), "window1"))
+      .toDF("s", "e", "label")
+    val out = Joins.intervalJoin(fact, dim, Seq.empty, col("t"), col("s"), col("e"))
+      .orderBy("id").select("label").collect()
+    assert(out(0).getString(0) == "window1" && out(1).isNullAt(0))
+  }
+}
