@@ -508,11 +508,19 @@ object Queries {
 
   val q22LangId = Q(
     "q22_langid",
-    (s, d) =>
-      documents(s, d)
-        .withColumn("lang_pred", Text.langId(col("text"), langMarkers))
+    (s, d) => {
+      val docs = documents(s, d)
+      val scores = Text.tokenSetCounts(docs, "doc_id", "text",
+        langMarkers.zipWithIndex.map { case ((_, words), i) => (s"s$i", words) })
+      val lang = when(col("s0") === 0 && col("s1") === 0 && col("s2") === 0, "und")
+        .when(col("s0") >= col("s1") && col("s0") >= col("s2"), langMarkers(0)._1)
+        .when(col("s1") >= col("s2"), langMarkers(1)._1)
+        .otherwise(langMarkers(2)._1)
+      scores.join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .withColumn("lang_pred", lang)
         .groupBy("lang_pred")
-        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars")),
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
+    },
     Some("""WITH toks AS (
         SELECT doc_id, n_chars,
           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
@@ -539,13 +547,24 @@ object Queries {
 
   val q23Quality = Q(
     "q23_quality",
-    (s, d) =>
-      documents(s, d).select(
-        col("doc_id"),
-        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
-        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(Text.stopwordRatio(col("text"), stopwords), 6).as("stop_ratio"),
-        Text.qualityScore(col("text"), stopwords).as("quality")),
+    (s, d) => {
+      val docs = documents(s, d)
+      val counts = Text.tokenSetCounts(docs, "doc_id", "text",
+        Seq(("n_stop", stopwords)))
+      val base = docs.select(col("doc_id").as("id"), col("text"))
+        .withColumn("punct", Text.punctRatio(col("text")))
+      counts.join(base, Seq("id"))
+        .withColumn("stop_r",
+          when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens"))
+            .otherwise(0.0))
+        .select(col("id").as("doc_id"),
+          col("n_tokens"),
+          round(col("punct"), 6).as("punct_ratio"),
+          round(col("stop_r"), 6).as("stop_ratio"),
+          round(least(length(col("text")).cast("double") / 500.0, lit(1.0))
+            * greatest(lit(0.0), lit(1.0) - col("punct") * 5.0)
+            * least(col("stop_r") * 5.0, lit(1.0)), 6).as("quality"))
+    },
     Some("""WITH t AS (
         SELECT doc_id, text,
           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
@@ -657,6 +676,291 @@ object Queries {
     },
     None)
 
+  // ------------------------------------------------- §2.6 W5 + §2.7 + §2.1
+  /** W5 — taxi-style trip segmentation: a new trip starts on a long gap OR
+    * a status-change event (2 of the reference's 5 break predicates,
+    * TaxiDataHelper.py:203-309); trip id = running count of breaks. */
+  val q30TripSegmentation = Q(
+    "q30_trip_segmentation",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double")
+      val isBreak = when(gap.isNull || gap >= 3600.0 || col("event_type") === "signup", 1)
+        .otherwise(0)
+      events(s, d)
+        .withColumn("trip_id",
+          sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "trip_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("start_ts"), max("ts").as("end_ts"),
+          round(sum("value"), 4).as("sum_value"))
+    },
+    Some("""WITH g AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) >= 3600
+                 OR event_type = 'signup'
+               THEN 1 ELSE 0 END AS is_break
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      t AS (
+        SELECT user_id, ts, value,
+          CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trip_id
+        FROM g)
+      SELECT user_id, trip_id, count(*) AS n_events,
+        min(ts) AS start_ts, max(ts) AS end_ts,
+        round(sum(value), 4) AS sum_value
+      FROM t GROUP BY 1, 2"""))
+
+  /** A15 — groupby-transform broadcast back: per-row share of its group
+    * total (ClipperHelper.py:250-252's transform(sum) pattern). */
+  val q31TransformWindow = Q(
+    "q31_transform_window",
+    (s, d) => {
+      val g = Window.partitionBy(col("user_id"), col("event_type"))
+      events(s, d)
+        .withColumn("n_type_events", count(lit(1)).over(g))
+        .withColumn("value_share", round(col("value") / sum("value").over(g), 6))
+        .select("event_id", "user_id", "event_type", "n_type_events", "value_share")
+    },
+    Some("""SELECT event_id, user_id, event_type,
+        count(*) OVER (PARTITION BY user_id, event_type) AS n_type_events,
+        round(value / sum(value) OVER (PARTITION BY user_id, event_type), 6) AS value_share
+      FROM events"""))
+
+  /** Left-anti join — missing-dimension-member audit
+    * (SFMuniDataHelper.py:593-596). */
+  val q32LeftAnti = Q(
+    "q32_leftanti",
+    (s, d) =>
+      Joins.missingKeys(
+        customer(s, d).select(col("c_custkey")),
+        orders(s, d).select(col("o_custkey").as("c_custkey")), "c_custkey"),
+    Some("""SELECT DISTINCT c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  /** O2 — unionByName of two monthly measure series into one long table. */
+  val q33UnionSeries = Q(
+    "q33_union_series",
+    (s, d) => {
+      val a = orders(s, d)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("value"))
+        .withColumn("measure", lit("orders_rev"))
+      val b = lineitem(s, d)
+        .groupBy(date_trunc("MONTH", col("l_shipdate")).as("month"))
+        .agg(round(sum(rev), 2).as("value"))
+        .withColumn("measure", lit("lineitem_rev"))
+      a.unionByName(b)
+    },
+    Some("""SELECT date_trunc('month', o_orderdate) AS month,
+        round(sum(o_totalprice), 2) AS value, 'orders_rev' AS measure
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT date_trunc('month', l_shipdate) AS month,
+        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS value,
+        'lineitem_rev' AS measure
+      FROM lineitem GROUP BY 1"""))
+
+  /** A10 — exact interpolated percentiles (taxi link p95,
+    * TaxiDataHelper.py:50-54). At 100 TB use approx_percentile. */
+  val q34Percentile = Q(
+    "q34_percentile",
+    (s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        count(*) AS n
+      FROM lineitem GROUP BY 1"""))
+
+  /** S1 — fixed-width source round-trip: lineitem formatted to a
+    * fixed-width text file, read back through the colspec reader, then
+    * aggregated; the oracle reads the original parquet — equality proves
+    * the parse. */
+  val q35FixedWidth = Q(
+    "q35_fixedwidth",
+    (s, d) => {
+      import graft.sources.FixedWidth
+      import graft.sources.FixedWidth.ColSpec
+      import org.apache.spark.sql.types._
+      val specs = Seq(
+        ColSpec("l_orderkey", 1, 12, LongType),
+        ColSpec("l_linenumber", 13, 4, IntegerType),
+        ColSpec("l_returnflag", 17, 2, StringType),
+        ColSpec("l_quantity", 19, 10, DoubleType),
+        ColSpec("l_extendedprice", 29, 14, DoubleType))
+      val tag = d.replaceAll(".*/", "")
+      val path = s"/root/repo/tmp/fwf_$tag"
+      lineitem(s, d)
+        .select(FixedWidth.formatLine(specs).as("value"))
+        .write.mode("overwrite").text(path)
+      FixedWidth.read(s, path, specs)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem GROUP BY 1"""))
+
+  // ------------------------------------------ §2.10 graph/spatial + multimodal
+  /** G1 — exact grid-blocked nearest neighbor: nearest customer point for
+    * every supplier point (grid join + brute fallback keeps it exact). */
+  val q36GridNn = Q(
+    "q36_grid_nn",
+    (s, d) => {
+      val probes = supplier(s, d).select(col("s_suppkey").as("pid"),
+        col("s_acctbal").as("x"), (col("s_nationkey") * 500.0).as("y"))
+      val points = customer(s, d).select(col("c_custkey").as("qid"),
+        col("c_acctbal").as("x"), (col("c_nationkey") * 500.0).as("y"))
+      Spatial.nearest(probes, "pid", points, "qid", "x", "y", cellSize = 500.0)
+        .select(col("probe_id"), col("point_id"), round(col("dist"), 4).as("dist"))
+    },
+    Some("""SELECT s.s_suppkey AS probe_id, n.point_id, n.dist
+      FROM supplier s, LATERAL (
+        SELECT c_custkey AS point_id,
+          round(sqrt(power(c_acctbal - s.s_acctbal, 2)
+            + power(c_nationkey * 500.0 - s.s_nationkey * 500.0, 2)), 4) AS dist
+        FROM customer
+        ORDER BY sqrt(power(c_acctbal - s.s_acctbal, 2)
+            + power(c_nationkey * 500.0 - s.s_nationkey * 500.0, 2)), c_custkey
+        LIMIT 1) n"""))
+
+  /** G2 — all-pairs hop counts on a nation chain graph via iterative
+    * frontier joins (the distributed shortest-path regime; the dense
+    * driver-side skim lives in graph.Graph.floydWarshall). */
+  val q37BfsHops = Q(
+    "q37_bfs_hops",
+    (s, d) => {
+      val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+      val edges = nation(s, d)
+        .withColumn("dst", lead(col("n_nationkey"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .select(col("n_nationkey").as("src"), col("dst"))
+      graft.graph.Graph.bfsHops(edges, maxHops = 10)
+        .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"),
+          col("hops"))
+    },
+    Some("""WITH RECURSIVE e AS (
+        SELECT n_nationkey AS src,
+          lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        FROM nation),
+      e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+      walk AS (
+        SELECT src, dst, 1 AS hops FROM e2
+        UNION ALL
+        SELECT w.src, e2.dst, w.hops + 1 FROM walk w JOIN e2 ON w.dst = e2.src
+        WHERE w.hops < 10)
+      SELECT src, dst, CAST(min(hops) AS BIGINT) AS hops
+      FROM walk GROUP BY 1, 2"""))
+
+  /** Multimodal metadata over an opaque binary column (decode stubbed;
+    * schema/bytes plumbing real). */
+  val q38BinaryMeta = Q(
+    "q38_binary_meta",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("bytes", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          length(col("bytes")).cast("long").as("n_bytes"),
+          substring(upper(hex(col("bytes"))), 1, 16).as("head_hex")),
+    Some("""SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        substring(upper(hex(encode(text))), 1, 16) AS head_hex
+      FROM documents"""))
+
+  /** Multimodal batched feature extraction through the stubbed decoder
+    * (mapPartitions Dataset plumbing; validated by unit test). */
+  val q39MultimodalFeatures = Q(
+    "q39_multimodal_features",
+    (s, d) => {
+      val blobs = graft.multimodal.Binary.documentBlobs(documents(s, d), "doc_id", "text")
+      graft.multimodal.Binary.extractFeatures(blobs)
+        .toDF()
+        .select(col("id"), col("n_bytes"), col("first_byte"), col("checksum"))
+    },
+    None)
+
+  /** G4 — Viterbi smoothing per entity via mapGroups: 2-state HMM over the
+    * event value series (low/high regime decoding). */
+  val q40Viterbi = Q(
+    "q40_viterbi",
+    (s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts").cast("double").as("t"),
+          col("event_id"), col("value"))
+        .as[(Long, Double, Long, Double)]
+      ev.groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val obs = it.toArray.sortBy(r => (r._2, r._3)).map(_._4)
+          val mus = Array(25.0, 75.0)
+          val path = graft.graph.Viterbi.decode(obs.length, 2,
+            emit = (t, st) => math.abs(obs(t) - mus(st)),
+            trans = (a, b) => if (a == b) 0.0 else 10.0)
+          val switches = path.indices.drop(1).count(i => path(i) != path(i - 1))
+          (uid, path.count(_ == 0).toLong, path.count(_ == 1).toLong, switches.toLong)
+        }
+        .toDF("user_id", "n_low", "n_high", "n_switches")
+    },
+    None)
+
+  /** E12 — LCC geodesy: project lon/lat to planar feet, planar distance to
+    * a reference point, averaged per nation. */
+  val q41LccDistance = Q(
+    "q41_lcc_distance",
+    (s, d) => {
+      val c = customer(s, d)
+        .withColumn("lon", lit(-122.0) + col("c_acctbal") / 10000.0)
+        .withColumn("lat", lit(37.0) + col("c_nationkey") / 100.0)
+      val (x, y) = Exprs.lccXY(col("lon"), col("lat"))
+      val (x0, y0) = lccRefPoint
+      c.withColumn("dist_ft", Exprs.planarDist(x, y, lit(x0), lit(y0)))
+        .groupBy("c_nationkey")
+        .agg(round(avg("dist_ft"), 1).as("avg_dist_ft"), count(lit(1)).as("n"))
+    },
+    Some {
+      val d2r = math.Pi / 180.0
+      val (n, rf, rho0) = Exprs.lccConstants(37.066667, 38.433333, 36.5)
+      val (x0, y0) = lccRefPoint
+      s"""WITH pts AS (
+        SELECT c_nationkey,
+          (-122.0 + c_acctbal / 10000.0) * $d2r AS lon,
+          (37.0 + c_nationkey / 100.0) * $d2r AS lat
+        FROM customer),
+      proj AS (
+        SELECT c_nationkey,
+          ($rf / power(tan(pi() / 4 + lat / 2), $n))
+            * sin($n * (lon - ${-120.5 * d2r})) + 6561666.667 AS x,
+          $rho0 - ($rf / power(tan(pi() / 4 + lat / 2), $n))
+            * cos($n * (lon - ${-120.5 * d2r})) + 1640416.667 AS y
+        FROM pts)
+      SELECT c_nationkey,
+        round(avg(sqrt(power(x - $x0, 2) + power(y - $y0, 2))), 1) AS avg_dist_ft,
+        count(*) AS n
+      FROM proj GROUP BY 1"""
+    })
+
+  /** Reference point for q41: downtown SF projected with the same
+    * constants (computed once in Scala, inlined into both engines). */
+  lazy val lccRefPoint: (Double, Double) = {
+    val d2r = math.Pi / 180.0
+    val (n, rf, rho0) = Exprs.lccConstants(37.066667, 38.433333, 36.5)
+    val lat = 37.77 * d2r; val lon = -122.4 * d2r
+    val rho = rf / math.pow(math.tan(math.Pi / 4 + lat / 2), n)
+    val theta = n * (lon - (-120.5 * d2r))
+    (rho * math.sin(theta) + 6561666.667,
+      rho0 - rho * math.cos(theta) + 1640416.667)
+  }
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -664,5 +968,8 @@ object Queries {
     q10Weighting, q11Impute, q12Interp, q13Ffill, q14Pivot, q15Melt,
     q16CrosstabTotals, q17Topk, q18ServiceDay, q19Fiscal, q20CpiDeflate,
     q21DedupExact, q22LangId, q23Quality, q24Tokens, q25Jaccard, q26Knn,
-    q27MinhashLsh, q28Simhash, q29AnnLsh)
+    q27MinhashLsh, q28Simhash, q29AnnLsh, q30TripSegmentation,
+    q31TransformWindow, q32LeftAnti, q33UnionSeries, q34Percentile,
+    q35FixedWidth, q36GridNn, q37BfsHops, q38BinaryMeta,
+    q39MultimodalFeatures, q40Viterbi, q41LccDistance)
 }

@@ -72,12 +72,11 @@ object Exprs {
     * Column math so it stays codegen'd; good enough for planar distance
     * at city scale.
     */
-  def lccXY(lonDeg: Column, latDeg: Column,
-            lat1Deg: Double = 37.066667, lat2Deg: Double = 38.433333,
-            lat0Deg: Double = 36.5, lon0Deg: Double = -120.5,
-            falseEastingFt: Double = 6561666.667, falseNorthingFt: Double = 1640416.667)
-      : (Column, Column) = {
-    // spherical LCC (sufficient for distance deltas); radius in feet
+  /** Projection constants (cone constant n, R·F, rho0) for the spherical
+    * LCC — exposed so callers (and SQL oracles) can inline the exact same
+    * doubles. */
+  def lccConstants(lat1Deg: Double, lat2Deg: Double, lat0Deg: Double)
+      : (Double, Double, Double) = {
     val R = 20902231.0 // mean Earth radius ~6371 km in ft
     val d2r = math.Pi / 180.0
     val p1 = lat1Deg * d2r; val p2 = lat2Deg * d2r; val p0 = lat0Deg * d2r
@@ -85,11 +84,21 @@ object Exprs {
       if (math.abs(p1 - p2) < 1e-12) math.sin(p1)
       else math.log(math.cos(p1) / math.cos(p2)) /
         math.log(math.tan(math.Pi / 4 + p2 / 2) / math.tan(math.Pi / 4 + p1 / 2))
-    val f = math.cos(p1) * math.pow(math.tan(math.Pi / 4 + p1 / 2), n) / n
-    val rho0 = R * f / math.pow(math.tan(math.Pi / 4 + p0 / 2), n)
+    val rf = R * math.cos(p1) * math.pow(math.tan(math.Pi / 4 + p1 / 2), n) / n
+    val rho0 = rf / math.pow(math.tan(math.Pi / 4 + p0 / 2), n)
+    (n, rf, rho0)
+  }
+
+  def lccXY(lonDeg: Column, latDeg: Column,
+            lat1Deg: Double = 37.066667, lat2Deg: Double = 38.433333,
+            lat0Deg: Double = 36.5, lon0Deg: Double = -120.5,
+            falseEastingFt: Double = 6561666.667, falseNorthingFt: Double = 1640416.667)
+      : (Column, Column) = {
+    val d2r = math.Pi / 180.0
+    val (n, rf, rho0) = lccConstants(lat1Deg, lat2Deg, lat0Deg)
     val lat = latDeg * lit(d2r)
     val lon = lonDeg * lit(d2r)
-    val rho = lit(R * f) / pow(tan(lit(math.Pi / 4) + lat / 2), lit(n))
+    val rho = lit(rf) / pow(tan(lit(math.Pi / 4) + lat / 2), lit(n))
     val theta = lit(n) * (lon - lit(lon0Deg * d2r))
     val x = rho * sin(theta) + lit(falseEastingFt)
     val y = lit(rho0) - rho * cos(theta) + lit(falseNorthingFt)

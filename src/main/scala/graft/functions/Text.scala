@@ -70,15 +70,43 @@ object Text {
   def fingerprint(c: Column): Column = md5(normalize(c))
 
   /** Word n-gram shingles as an array column (dedup/similarity input).
-    * Spark-first: transform over a sequence of start offsets — no explode
-    * until the caller needs rows.
+    *
+    * Built with zip_with over shifted slices of the token array rather
+    * than `transform(sequence(...), i => slice(toks, ...))`: a lambda
+    * body that references an outer expression re-evaluates it PER ELEMENT
+    * (the tokenizer regex would run once per shingle — measured as the
+    * whole query's bottleneck). Here each shifted slice is evaluated once
+    * per row and the lambdas only concatenate elements.
     */
   def wordShingles(c: Column, n: Int): Column = {
+    require(n >= 1)
     val toks = tokens(c)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val grams = (2 to n).foldLeft(toks) { (acc, k) =>
+      // zip pads the shorter side with null; concat propagates the null,
+      // so tail entries become null and are sliced off below
+      zip_with(acc, slice(toks, lit(k), greatest(size(toks) - (k - 1), lit(0))),
+        (x, y) => concat(x, lit(" "), y))
+    }
+    when(size(toks) >= n, slice(grams, lit(1), greatest(size(toks) - (n - 1), lit(0))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** One-pass token statistics via explode + conditional aggregation:
+    * (id, n_tokens, one count column per named token set). For queries
+    * scoring several token sets at once this beats repeated
+    * `filter(tokens(c), ...)` expressions, which re-evaluate the whole
+    * tokenizer per set (measured 3-8x on the bench).
+    */
+  def tokenSetCounts(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      sets: Seq[(String, Seq[String])]): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode_outer(tokens(col(textCol))).as("tok"))
+    val aggs = count(when(col("tok").isNotNull, 1)).as("n_tokens") +:
+      sets.map { case (name, words) =>
+        count(when(col("tok").isin(words: _*), 1)).as(name)
+      }
+    toks.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** A 64-bit stable hash from the first 15 hex digits of md5 — engine-

@@ -31,21 +31,23 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-        explode(array_distinct(Text.wordShingles(col(textCol), n))).as("shingle"))
-    val sizes = sh.groupBy("block", "id").agg(count(lit(1)).as("setsize"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b,
-        col("a.block") === col("b.block") &&
-        col("a.shingle") === col("b.shingle") &&
-        col("a.id") < col("b.id"))
-      .groupBy(col("a.block").as("block"), col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("block"), col("id").as("id1"), col("setsize").as("size1")), Seq("block", "id1"))
-      .join(sizes.select(col("block"), col("id").as("id2"), col("setsize").as("size2")), Seq("block", "id2"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("size1") + col("size2") - col("inter")))
+    // Build each doc's shingle SET once, behind an exchange (repartition on
+    // block) so the self-join reuses it instead of re-evaluating the
+    // tokenize+shingle expression tree per side. Pairs join on the block
+    // key only — with bounded blocks this is the candidate generator — and
+    // the intersection is computed set-at-a-time with array_intersect
+    // (no per-shingle row explosion).
+    val sets = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+        array_distinct(Text.wordShingles(col(textCol), n)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .repartition(col("block"))
+    val a = sets.as("a"); val b = sets.as("b")
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        inter.cast("double").as("inter"),
+        size(col("a.sh")).as("size1"), size(col("b.sh")).as("size2"))
+      .withColumn("jaccard", col("inter") / (col("size1") + col("size2") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** G1 — spatial nearest neighbor. The reference uses an rtree bbox probe
+  * (HwyNetwork.py:297-388) over a city-scale link set. Spark-first design:
+  * grid-hash blocking with an exactness guarantee —
+  *
+  *  phase 1: probes join candidate points in their 3x3 neighborhood of
+  *           grid cells (equi-join on cell id — shuffles only matching
+  *           cells, no cross product);
+  *  phase 2: a probe whose best 3x3 candidate is farther than one cell
+  *           width (or absent) cannot trust phase 1 — any point outside
+  *           the 3x3 ring is > cellSize away, so ONLY probes with
+  *           best <= cellSize are final; the rest fall back to a
+  *           broadcast brute-force pass.
+  *
+  * With cellSize chosen near the typical NN distance, phase 2 handles a
+  * tiny remainder — the plan stays exact but avoids the quadratic join.
+  */
+object Spatial {
+
+  private def dist2(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    pow(x1 - x2, 2) + pow(y1 - y2, 2)
+
+  /** Exact nearest point for every probe.
+    *
+    * @param probes (probeId, x, y)
+    * @param points (pointId, x, y)
+    * @return (probe_id, point_id, dist) — deterministic via (dist, id)
+    *         tie-break; null point_id only if `points` is empty.
+    */
+  def nearest(
+      probes: DataFrame, probeId: String,
+      points: DataFrame, pointId: String,
+      x: String, y: String, cellSize: Double): DataFrame = {
+    val p = probes.select(col(probeId).as("probe_id"),
+      col(x).as("px"), col(y).as("py"),
+      floor(col(x) / cellSize).as("cx"), floor(col(y) / cellSize).as("cy"))
+    val q = points.select(col(pointId).as("point_id"),
+      col(x).as("qx"), col(y).as("qy"),
+      floor(col(x) / cellSize).as("qcx"), floor(col(y) / cellSize).as("qcy"))
+
+    val offsets = Seq(-1, 0, 1)
+    val ring = p.withColumn("off",
+        explode(array(offsets.flatMap(dx => offsets.map(dy =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)))
+      .select(col("probe_id"), col("px"), col("py"),
+        (col("cx") + col("off.dx")).as("jcx"), (col("cy") + col("off.dy")).as("jcy"))
+
+    val d = sqrt(dist2(col("px"), col("py"), col("qx"), col("qy")))
+    val cand = ring.join(q, col("jcx") === col("qcx") && col("jcy") === col("qcy"))
+      .select(col("probe_id"), col("px"), col("py"), col("point_id"), d.as("dist"))
+    val best1 = cand.groupBy("probe_id")
+      .agg(min(struct(col("dist"), col("point_id"))).as("b"))
+      .select(col("probe_id"), col("b.point_id").as("point_id"), col("b.dist").as("dist"))
+
+    val resolved = best1.where(col("dist") <= cellSize)
+    val unresolvedIds = p.select("probe_id", "px", "py")
+      .join(resolved.select("probe_id"), Seq("probe_id"), "left_anti")
+
+    val brute = unresolvedIds.crossJoin(q.select(col("point_id"), col("qx"), col("qy")))
+      .select(col("probe_id"), col("point_id"),
+        sqrt(dist2(col("px"), col("py"), col("qx"), col("qy"))).as("dist"))
+      .groupBy("probe_id")
+      .agg(min(struct(col("dist"), col("point_id"))).as("b"))
+      .select(col("probe_id"), col("b.point_id").as("point_id"), col("b.dist").as("dist"))
+
+    resolved.unionByName(brute)
+  }
+}

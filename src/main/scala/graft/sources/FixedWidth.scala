@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S1 — fixed-width file source (SURVEY.md §2.1).
+  *
+  * The reference reads 90-column fixed-width AVL/APC files with pandas
+  * `read_fwf` in 100k-row chunks (sfdata_wrangler/SFMuniDataHelper.py:422-430,
+  * colspecs :71-170). Spark-first: `spark.read.text` + substring projections
+  * from a colspec table — fully parallel (text splits by HDFS block), no
+  * chunk loop, and the projection is codegen'd. Mid-file header rows are
+  * killed by na-value nulling + dropna on a key column, exactly like the
+  * reference's `na_values=['ID']` + `dropna(subset=['SEQ'])` (:443).
+  */
+object FixedWidth {
+
+  /** One column: 1-based start position, length, target type. */
+  final case class ColSpec(name: String, start: Int, len: Int, typ: DataType)
+
+  def read(
+      spark: SparkSession, path: String, specs: Seq[ColSpec],
+      naValues: Seq[String] = Seq.empty): DataFrame = {
+    val raw = spark.read.text(path)
+    val cols = specs.map { c =>
+      val s = trim(substring(col("value"), c.start, c.len))
+      val cleaned =
+        if (naValues.isEmpty) s
+        else when(s.isin(naValues.map(lit): _*), lit(null)).otherwise(s)
+      val empty = when(length(cleaned) === 0, lit(null)).otherwise(cleaned)
+      empty.cast(c.typ).as(c.name)
+    }
+    raw.select(cols: _*)
+  }
+
+  /** Fixed-width writer (for fixtures / round-tripping): left-justified
+    * string fields, right-justified numerics, single text column. */
+  def formatLine(specs: Seq[ColSpec]): org.apache.spark.sql.Column =
+    concat(specs.map { c =>
+      val v = coalesce(col(c.name).cast("string"), lit(""))
+      c.typ match {
+        case StringType => rpad(v, c.len, " ")
+        case _          => lpad(v, c.len, " ")
+      }
+    }: _*)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.graph.{Graph, Viterbi}
+import graft.multimodal.Binary
+import graft.operators.Spatial
+import org.apache.spark.sql.functions._
+
+class GraphSpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("viterbi matches brute-force enumeration on a small instance") {
+    val obs = Array(10.0, 20.0, 80.0, 70.0, 15.0)
+    val mus = Array(25.0, 75.0)
+    def emit(t: Int, s: Int) = math.abs(obs(t) - mus(s))
+    def trans(a: Int, b: Int) = if (a == b) 0.0 else 10.0
+    val got = Viterbi.decode(obs.length, 2, emit, trans).toSeq
+    // brute force over all 2^5 paths
+    val best = (0 until 32).map { mask =>
+      val path = (0 until 5).map(i => (mask >> i) & 1)
+      val cost = path.zipWithIndex.map { case (s, t) => emit(t, s) }.sum +
+        path.sliding(2).collect { case Seq(a, b) => trans(a, b) }.sum
+      (cost, path)
+    }.minBy(_._1)
+    assert(got == best._2, s"got $got expected ${best._2}")
+  }
+
+  test("viterbi: switching penalty suppresses single-point blips") {
+    val obs = Array(20.0, 20.0, 60.0, 20.0, 20.0) // 60 is closer to high...
+    def emit(t: Int, s: Int) = math.abs(obs(t) - Array(25.0, 75.0)(s))
+    // ...but a 40-cost switch penalty keeps the path in the low state
+    val path = Viterbi.decode(obs.length, 2, emit, (a, b) => if (a == b) 0 else 40.0)
+    assert(path.toSeq == Seq(0, 0, 0, 0, 0))
+  }
+
+  test("floydWarshall computes shortest costs") {
+    val (dist, _) = Graph.floydWarshall(4,
+      Seq((0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 1.0)))
+    assert(dist(0)(2) == 2.0 && dist(0)(3) == 3.0 && dist(3)(0) > 1e18)
+  }
+
+  test("bfsHops finds transitive hop counts") {
+    val edges = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
+    val out = Graph.bfsHops(edges, 10)
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1, 2)) == 1 && out((1, 3)) == 2 && out((1, 4)) == 3 && out.size == 6)
+  }
+
+  test("spatial nearest is exact: matches brute force incl. far probes") {
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 200).map(i =>
+      (i.toLong, rnd.nextDouble() * 1000, rnd.nextDouble() * 1000)).toDF("id", "x", "y")
+    // probes include one far outside the point cloud (forces the brute path)
+    val probes = ((1 to 30).map(i =>
+      (i.toLong, rnd.nextDouble() * 1000, rnd.nextDouble() * 1000)) :+
+      (99L, 9000.0, 9000.0)).toDF("pid", "x", "y")
+    val got = Spatial.nearest(probes, "pid", points, "id", "x", "y", cellSize = 100.0)
+      .select("probe_id", "point_id").as[(Long, Long)].collect().toMap
+    val pts = points.as[(Long, Double, Double)].collect()
+    val prb = probes.as[(Long, Double, Double)].collect()
+    prb.foreach { case (pid, px, py) =>
+      val expected = pts.map { case (id, qx, qy) =>
+        (math.sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy)), id)
+      }.min._2
+      assert(got(pid) == expected, s"probe $pid")
+    }
+  }
+
+  test("binary feature extraction: deterministic stub checksum") {
+    val blobs = Seq((1L, "AB")).toDF("doc_id", "text")
+    val out = Binary.extractFeatures(Binary.documentBlobs(blobs, "doc_id", "text"))
+      .collect()(0)
+    assert(out.n_bytes == 2 && out.first_byte == 65 && out.checksum == (65 + 66) % 997)
+    assert(out.feature(0) == 65 / 255.0f && out.feature(1) == 66 / 255.0f)
+  }
+}
