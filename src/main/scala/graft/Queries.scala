@@ -961,6 +961,294 @@ object Queries {
       rho0 - rho * math.cos(theta) + 1640416.667)
   }
 
+  // ----------------------------------- §2.5 A2-A7 cascade + §2.8 E5 measures
+  /** A2->A5->A6 — the reference's weighted aggregation cascade: one rule
+    * table drives three levels (detail -> group -> system), maxLevel drops
+    * columns as the hierarchy coarsens, each level re-weighted by the
+    * count of the level below (SFMuniDataAggregator.py:187-804). */
+  val q42AggCascade = Q(
+    "q42_agg_cascade",
+    (s, d) => {
+      val base = lineitem(s, d).join(orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("month", date_trunc("MONTH", col("o_orderdate")))
+      // level 1: month x priority x returnflag
+      val l1 = RuleAgg.aggregate(base,
+        Seq("month", "o_orderpriority", "l_returnflag"),
+        Seq(AggRule("n_items", "l_orderkey", AggMethod.Count),
+          AggRule("sum_qty", "l_quantity", AggMethod.Sum),
+          AggRule("wavg_price", "l_extendedprice", AggMethod.WgtAvg)),
+        weight = Some("l_quantity"))
+      // level 2: drop returnflag; re-weight by n_items (maxLevel drops sum_qty)
+      val l2Rules = Seq(
+        AggRule("n_items", "n_items", AggMethod.Sum),
+        AggRule("sum_qty", "sum_qty", AggMethod.Sum, maxLevel = 2),
+        AggRule("wavg_price", "wavg_price", AggMethod.WgtAvg))
+      val l2 = RuleAgg.aggregate(l1, Seq("month", "o_orderpriority"),
+        l2Rules, level = 2, weight = Some("n_items"))
+      // level 3: system per month (sum_qty dropped by maxLevel)
+      val l3 = RuleAgg.aggregate(l2, Seq("month"),
+        l2Rules, level = 3, weight = Some("n_items"))
+      l3.select(col("month"), col("n_items"),
+        round(col("wavg_price"), 4).as("wavg_price"))
+    },
+    Some("""WITH base AS (
+        SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+          l_returnflag, l_quantity, l_extendedprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      l1 AS (
+        SELECT month, o_orderpriority, l_returnflag,
+          count(*) AS n_items, sum(l_quantity) AS sum_qty,
+          sum(l_extendedprice * l_quantity) / sum(l_quantity) AS wavg_price
+        FROM base GROUP BY 1, 2, 3),
+      l2 AS (
+        SELECT month, o_orderpriority,
+          CAST(sum(n_items) AS BIGINT) AS n_items,
+          sum(wavg_price * n_items) / sum(n_items) AS wavg_price
+        FROM l1 GROUP BY 1, 2),
+      l3 AS (
+        SELECT month, CAST(sum(n_items) AS BIGINT) AS n_items,
+          sum(wavg_price * n_items) / sum(n_items) AS wavg_price
+        FROM l2 GROUP BY 1)
+      SELECT month, n_items, round(wavg_price, 4) AS wavg_price FROM l3"""))
+
+  /** E5 — the reference's performance-measure semantics: schedule
+    * deviation, on-time flag, and weighted delay, all masked to observed
+    * rows (SFMuniDataExpander.py:538-590). "Scheduled" = order date,
+    * "actual" = ship date, "observed" = finalized lines. */
+  val q43PerfMeasures = Q(
+    "q43_perf_measures",
+    (s, d) => {
+      val j = lineitem(s, d).join(orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("dev_days",
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("double"))
+        .withColumn("observed", (col("l_linestatus") === "F").cast("int"))
+        .withColumn("ontime30",
+          when(col("observed") === 0, lit(null))
+            .otherwise((col("dev_days") <= 30).cast("int")))
+        .withColumn("pass_delay",
+          when(col("observed") === 0, lit(null))
+            .otherwise(col("l_quantity") * greatest(col("dev_days") - 30, lit(0.0))))
+      j.groupBy(col("l_returnflag"), date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(round(avg("ontime30"), 6).as("ontime_pct"),
+          round(sum("pass_delay"), 2).as("pass_delay"),
+          sum("observed").as("n_observed"),
+          count(lit(1)).as("n_total"))
+    },
+    Some("""WITH j AS (
+        SELECT l_returnflag, date_trunc('month', o_orderdate) AS month,
+          CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) AS dev_days,
+          CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS observed,
+          l_quantity
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      m AS (
+        SELECT l_returnflag, month, observed,
+          CASE WHEN observed = 0 THEN NULL
+               WHEN dev_days <= 30 THEN 1 ELSE 0 END AS ontime30,
+          CASE WHEN observed = 0 THEN NULL
+               ELSE l_quantity * greatest(dev_days - 30, 0.0) END AS pass_delay
+        FROM j)
+      SELECT l_returnflag, month,
+        round(avg(ontime30), 6) AS ontime_pct,
+        round(sum(pass_delay), 2) AS pass_delay,
+        CAST(sum(observed) AS BIGINT) AS n_observed,
+        count(*) AS n_total
+      FROM m GROUP BY 1, 2"""))
+
+  /** Embedding cosine near-duplicate pairs (exact, on a deterministic
+    * subset; the LSH-bucketed variant is Dedup.embeddingNearDupPairs). */
+  val q44EmbeddingNeardup = Q(
+    "q44_embedding_neardup",
+    (s, d) => {
+      val sub = embeddings(s, d).where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+      val a = sub.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+        col("nrm").as("n1"))
+      val b = sub.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+        col("nrm").as("n2"))
+      a.join(b, col("id1") < col("id2"))
+        .withColumn("cos",
+          when(col("n1") * col("n2") > 0,
+            Similarity.dot(col("e1"), col("e2")) / (col("n1") * col("n2"))))
+        .where(col("cos") >= 0.3)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+    },
+    Some("""WITH sub AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3"""))
+
+  /** W7 — per-sequence derived-state chain (GTFSHelper.py:375-527): start/
+    * end-of-line flags, inter-stop gap, cumulative distance along the
+    * sequence — four window functions over one (partition, order) spec,
+    * so Catalyst computes them in a single Window operator. */
+  val q45SequenceChain = Q(
+    "q45_sequence_chain",
+    (s, d) => {
+      val ord = Seq("l_linenumber", "l_shipdate", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice").map(col)
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(ord: _*)
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val li = lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_orderkey"))))
+        .withColumn("sol", (col("rn") === 1).cast("int"))
+        .withColumn("eol", (col("rn") === col("n")).cast("int"))
+        .withColumn("gap_days",
+          coalesce(datediff(col("l_shipdate"), lag(col("l_shipdate"), 1).over(w)), lit(0))
+            .cast("double"))
+        .withColumn("cum_qty", sum("l_quantity").over(wcum))
+      li.groupBy("l_returnflag")
+        .agg(sum("sol").as("n_sol"), sum("eol").as("n_eol"),
+          round(avg("gap_days"), 4).as("avg_gap_days"),
+          round(max("cum_qty"), 2).as("max_cum_qty"))
+    },
+    Some("""WITH seq AS (
+        SELECT l_returnflag, l_orderkey, l_quantity, l_shipdate,
+          row_number() OVER w AS rn,
+          count(*) OVER (PARTITION BY l_orderkey) AS n,
+          lag(l_shipdate) OVER w AS prev_ship,
+          sum(l_quantity) OVER (PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_shipdate, l_partkey, l_suppkey,
+                     l_quantity, l_extendedprice
+            ROWS UNBOUNDED PRECEDING) AS cum_qty
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+          ORDER BY l_linenumber, l_shipdate, l_partkey, l_suppkey,
+                   l_quantity, l_extendedprice))
+      SELECT l_returnflag,
+        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sol,
+        CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT) AS n_eol,
+        round(avg(CAST(COALESCE(date_diff('day', prev_ship, l_shipdate), 0) AS DOUBLE)), 4) AS avg_gap_days,
+        round(max(cum_qty), 2) AS max_cum_qty
+      FROM seq GROUP BY 1"""))
+
+  // ------------------------------------------------ §2.1 source variants
+  /** S8 — directory-glob ingestion with year recovered from the file path
+    * (DemandHelper.py:736-790 globs ACS_<year>_*.csv). The fixture is the
+    * orders table partitioned into year=<y> CSV directories; the reader
+    * globs them WITHOUT partition discovery and parses the year out of
+    * input_file_name(). */
+  val q46GlobIngest = Q(
+    "q46_glob_ingest",
+    (s, d) => {
+      val tag = d.replaceAll(".*/", "")
+      val path = s"/root/repo/tmp/glob_$tag"
+      orders(s, d)
+        .withColumn("year", year(col("o_orderdate")))
+        .select("o_orderkey", "o_totalprice", "year")
+        .write.mode("overwrite").option("header", "true")
+        .partitionBy("year").csv(path)
+      s.read.option("header", "true").csv(s"$path/year=*")
+        .withColumn("year",
+          regexp_extract(input_file_name(), "year=(\\d+)", 1).cast("long"))
+        .groupBy("year")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("double")), 2).as("revenue"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS year, count(*) AS n,
+        round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1"""))
+
+  /** S2 — TAB-variant reader: timestamp decomposed into integer date/time
+    * part columns in a TSV, recombined on read (SFMuniDataHelper.py:
+    * 414-420,454-473 recombines HR/MIN/SEC and MO/DAY/YR to ints). */
+  val q47TabVariant = Q(
+    "q47_tab_variant",
+    (s, d) => {
+      val tag = d.replaceAll(".*/", "")
+      val path = s"/root/repo/tmp/tab_$tag"
+      events(s, d).select(
+          col("event_id"),
+          year(col("ts")).as("yr"), month(col("ts")).as("mo"),
+          dayofmonth(col("ts")).as("dy"), hour(col("ts")).as("hr"),
+          minute(col("ts")).as("mi"), second(col("ts")).as("se"),
+          col("value"))
+        .write.mode("overwrite").option("header", "true").option("sep", "\t")
+        .csv(path)
+      s.read.option("header", "true").option("sep", "\t")
+        .option("inferSchema", "true").csv(path)
+        .withColumn("ts", make_timestamp(
+          col("yr"), col("mo"), col("dy"), col("hr"), col("mi"),
+          col("se").cast("decimal(8,6)")))
+        .groupBy(to_date(col("ts")).cast("timestamp").as("day"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    },
+    Some("""SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, count(*) AS n,
+        round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1"""))
+
+  /** S5 + W1 + E1 — GTFS feed: zip members read as schema'd CSVs, the
+    * object-model walk re-expressed as joins, service-day times >= 24:00
+    * parsed to seconds, headways per (route, dir, stop). The oracle is the
+    * same deterministic fixture computed independently in plain Scala and
+    * inlined as a VALUES table. */
+  val q48Gtfs = Q(
+    "q48_gtfs",
+    (s, d) => {
+      import graft.sources.Gtfs
+      val base = s"/root/repo/tmp/gtfs"
+      Gtfs.writeZip(s"$base/feed.zip", gtfsFixture)
+      Gtfs.extractZip(s"$base/feed.zip", s"$base/feed")
+      Gtfs.tripStopSchedule(Gtfs.readFeed(s, s"$base/feed"))
+        .select(col("route_short_name"), col("stop_id"), col("trip_id"),
+          col("dep_s"), col("headway_min"))
+    },
+    Some {
+      val rows = gtfsExpected.map { case (rsn, stop, trip, depS, hw) =>
+        val h = hw.map(_.toString).getOrElse("CAST(NULL AS DOUBLE)")
+        s"('$rsn', '$stop', '$trip', $depS, $h)"
+      }.mkString(",\n        ")
+      s"""SELECT * FROM (VALUES
+        $rows)
+        t(route_short_name, stop_id, trip_id, dep_s, headway_min)"""
+    })
+
+  /** GTFS fixture: 2 routes, 5 trips x 3 stops; trips t4/t5 run past
+    * midnight (24:xx departure times exercise the E1 wraparound parse). */
+  private lazy val gtfsTrips: Seq[(String, String, Int)] = Seq(
+    // (trip_id, route_id, start seconds since service midnight)
+    ("t1", "R1", 8 * 3600), ("t2", "R1", 8 * 3600 + 12 * 60),
+    ("t3", "R1", 8 * 3600 + 30 * 60),
+    ("t4", "R2", 23 * 3600 + 55 * 60), ("t5", "R2", 24 * 3600 + 40 * 60))
+
+  private def secToGtfs(sec: Int): String =
+    f"${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d"
+
+  private lazy val gtfsFixture: Seq[(String, String)] = {
+    val routes = "route_id,route_short_name,route_type\nR1,10,3\nR2,N,3\n"
+    val trips = "trip_id,route_id,service_id,direction_id\n" +
+      gtfsTrips.map { case (t, r, _) => s"$t,$r,WKDY,0" }.mkString("\n") + "\n"
+    val stopTimes = "trip_id,stop_id,stop_sequence,arrival_time,departure_time\n" +
+      (for ((t, _, start) <- gtfsTrips; k <- 1 to 3) yield {
+        val dep = start + (k - 1) * 4 * 60
+        s"$t,S$k,$k,${secToGtfs(dep)},${secToGtfs(dep)}"
+      }).mkString("\n") + "\n"
+    val calendar = "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date\nWKDY,1,1,1,1,1,0,0,20240101,20241231\n"
+    Seq("routes.txt" -> routes, "trips.txt" -> trips,
+      "stop_times.txt" -> stopTimes, "calendar.txt" -> calendar)
+  }
+
+  /** Expected q48 rows computed independently of Spark:
+    * (route_short_name, stop_id, trip_id, dep_s, headway_min). */
+  private lazy val gtfsExpected: Seq[(String, String, String, Int, Option[Double])] = {
+    val rsn = Map("R1" -> "10", "R2" -> "N")
+    val rows = for ((t, r, start) <- gtfsTrips; k <- 1 to 3)
+      yield (r, s"S$k", t, start + (k - 1) * 4 * 60)
+    rows.groupBy(x => (x._1, x._2)).toSeq.flatMap { case (_, grp) =>
+      val sorted = grp.sortBy(x => (x._4, x._3))
+      sorted.zipWithIndex.map { case ((r, stop, trip, dep), i) =>
+        val hw = if (i == 0) None
+          else Some((dep - sorted(i - 1)._4) / 60.0)
+        (rsn(r), stop, trip, dep, hw)
+      }
+    }
+  }
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -971,5 +1259,7 @@ object Queries {
     q27MinhashLsh, q28Simhash, q29AnnLsh, q30TripSegmentation,
     q31TransformWindow, q32LeftAnti, q33UnionSeries, q34Percentile,
     q35FixedWidth, q36GridNn, q37BfsHops, q38BinaryMeta,
-    q39MultimodalFeatures, q40Viterbi, q41LccDistance)
+    q39MultimodalFeatures, q40Viterbi, q41LccDistance, q42AggCascade,
+    q43PerfMeasures, q44EmbeddingNeardup, q45SequenceChain, q46GlobIngest,
+    q47TabVariant, q48Gtfs)
 }

@@ -33,10 +33,16 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       probeIdCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"))
+    // norms are per-vector, not per-pair: compute them BEFORE the join
+    // (cosine() inline would re-reduce both arrays for every candidate)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
+      norm(col(vecCol)).as("__pn"))
     val scored = c.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("__cv"), col("__pv")))
+      .withColumn("cos",
+        when(col("__cn") * col("__pn") > 0,
+          dot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -73,13 +79,17 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       probeIdCol: String, k: Int, planes: Int = 6): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
       .withColumn("bucket", hyperplaneSketch(col("__cv"), planes))
-    val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"))
+    val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
+        norm(col(vecCol)).as("__pn"))
       .withColumn("bucket", hyperplaneSketch(col("__pv"), planes))
     val scored = c.join(broadcast(p), Seq("bucket"))
       .where(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("__cv"), col("__pv")))
+      .withColumn("cos",
+        when(col("__cn") * col("__pn") > 0,
+          dot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** §2.12 — Structured Streaming extension surface. The reference is pure
+  * batch, but its AVL/APC and GPS inputs are timestamped event streams;
+  * SURVEY.md §2.12 plans the batch sessionization ops to be
+  * watermark-compatible. This module exposes them over readStream:
+  *
+  *  - `sessionAggregate`: the Clipper W4 sessionization as a
+  *    `session_window` aggregation (event-time, watermark-bounded state);
+  *  - `windowedCounts`: tumbling-window event rollups.
+  *
+  * Both run identically over a batch DataFrame (Spark evaluates
+  * session_window in batch too) — the parity test in StreamingSpec drives
+  * the same frames through readStream + memory sink.
+  */
+object StreamOps {
+
+  /** Session aggregation: one row per (key, session window) with event
+    * count and value sum. `gap` e.g. "90 minutes". For a streaming input
+    * add `.withWatermark(tsCol, horizon)` upstream.
+    */
+  def sessionAggregate(
+      events: DataFrame, tsCol: String, keyCol: String, gap: String): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("session"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+  /** Tumbling-window counts by event type. */
+  def windowedCounts(
+      events: DataFrame, tsCol: String, width: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+}

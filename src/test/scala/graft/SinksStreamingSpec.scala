@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Windows
+import graft.sources.Sinks
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class SinksStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dynamic partition overwrite replaces only incoming partitions") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val v1 = Seq((1, "2024-01", 10.0), (2, "2024-02", 20.0), (3, "2024-03", 30.0))
+      .toDF("id", "month", "v")
+    Sinks.writePartitioned(v1, dir, Seq("month"))
+    // rewrite ONLY february with new content
+    val v2 = Seq((9, "2024-02", 99.0)).toDF("id", "month", "v")
+    Sinks.writePartitioned(v2, dir, Seq("month"))
+    val out = spark.read.parquet(dir).select("id", "month", "v")
+      .as[(Int, String, Double)].collect().toSet
+    assert(out == Set((1, "2024-01", 10.0), (9, "2024-02", 99.0), (3, "2024-03", 30.0)))
+  }
+
+  test("streaming session_window matches batch sessionization session counts") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2.0), // same session
+      (1L, ts("2024-01-01 13:00:00"), 3.0), // new session (150 min gap)
+      (2L, ts("2024-01-01 09:00:00"), 4.0),
+      (2L, ts("2024-01-02 09:00:00"), 5.0)) // new session next day
+    val batchDf = rows.toDF("user_id", "ts", "value")
+
+    // batch count via the W4 operator
+    val batch = Windows.sessionize(
+        batchDf.withColumn("event_id", col("value")),
+        Seq("user_id"), "ts", Seq("event_id"), gapMinutes = 90.0)
+      .groupBy("user_id").agg(countDistinct("session_id").as("n"))
+      .as[(Long, Long)].collect().toMap
+
+    // streaming: parquet source -> session_window -> memory sink
+    val dir = Files.createTempDirectory("graft_stream").toString
+    batchDf.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream
+      .schema(batchDf.schema)
+      .parquet(dir)
+      .withWatermark("ts", "10 minutes")
+    val q = StreamOps.sessionAggregate(streamIn, "ts", "user_id", "90 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_out")
+      .start()
+    q.processAllAvailable()
+    val streamed = spark.sql(
+        "SELECT user_id, count(*) FROM sessions_out GROUP BY 1")
+      .as[(Long, Long)].collect().toMap
+    q.stop()
+    assert(streamed == batch)
+    // and the per-session aggregates are right
+    val detail = spark.sql("SELECT user_id, n_events, sum_value FROM sessions_out")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(detail == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0), (2L, 1L, 5.0)))
+  }
+}
