@@ -1249,6 +1249,26 @@ object Queries {
     }
   }
 
+  /** §3 — the reference's flagship pipeline end-to-end on the deterministic
+    * transit fixture: fixed-width AVL → clean (filters, service-day, dedup,
+    * route-equiv interval join) → expand (J1, W2 runtime, E5 measures) →
+    * A1 trips → W8 weighting → weighted cascade to system/day. Oracle =
+    * hand-computed goldens (see TransitPipelineSpec for the derivations).
+    */
+  val q49TransitPipeline = Q(
+    "q49_transit_pipeline",
+    (s, d) => {
+      val out = graft.pipelines.TransitFixture
+        .run(s, "/root/repo/tmp/transit")("system_day")
+      out.select(col("DATE").cast("timestamp").as("date"),
+        col("TRIPS"), col("ON"),
+        round(col("ONTIME5"), 6).as("ONTIME5"), col("PASSMILES"))
+    },
+    Some("""SELECT * FROM (VALUES
+        (TIMESTAMP '2024-01-15 00:00:00', 3.0, 17.0, 0.777778, 12.5),
+        (TIMESTAMP '2024-02-15 00:00:00', 1.0, 4.0, 1.0, 2.0))
+      t(date, TRIPS, "ON", ONTIME5, PASSMILES)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -1261,5 +1281,5 @@ object Queries {
     q35FixedWidth, q36GridNn, q37BfsHops, q38BinaryMeta,
     q39MultimodalFeatures, q40Viterbi, q41LccDistance, q42AggCascade,
     q43PerfMeasures, q44EmbeddingNeardup, q45SequenceChain, q46GlobIngest,
-    q47TabVariant, q48Gtfs)
+    q47TabVariant, q48Gtfs, q49TransitPipeline)
 }

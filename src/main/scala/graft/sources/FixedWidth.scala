@@ -29,7 +29,10 @@ object FixedWidth {
         if (naValues.isEmpty) s
         else when(s.isin(naValues.map(lit): _*), lit(null)).otherwise(s)
       val empty = when(length(cleaned) === 0, lit(null)).otherwise(cleaned)
-      empty.cast(c.typ).as(c.name)
+      // try_cast: unparseable fields (mid-file header text, na remnants)
+      // must become null, not ANSI cast errors — that null-ness is what
+      // the downstream dropna key filter keys on (F1)
+      empty.try_cast(c.typ).as(c.name)
     }
     raw.select(cols: _*)
   }
