@@ -1269,6 +1269,142 @@ object Queries {
         (TIMESTAMP '2024-02-15 00:00:00', 1.0, 4.0, 1.0, 2.0))
       t(date, TRIPS, "ON", ONTIME5, PASSMILES)"""))
 
+  /** Clipper linked-trip flow (ClipperHelper.py:177-258): W4 transfer
+    * sessionization (gap < 90 min = transfer), From_* attribute carry via
+    * lag, E8 DOW-based expansion weights, linked weight w/(1+transfers).
+    * DOW computed as (epoch_days+4)%7 — identical arithmetic in both
+    * engines (engine dayofweek() conventions differ). */
+  val q50LinkedTrips = Q(
+    "q50_linked_trips",
+    (s, d) => {
+      val sess = Windows.sessionize(events(s, d), Seq("user_id"), "ts",
+        Seq("event_id"), gapMinutes = 90.0, sessionCol = "linked_trip_id")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val g = Window.partitionBy(col("user_id"), col("linked_trip_id"))
+      val dow = (datediff(Exprs.serviceDate(col("ts")), lit("1970-01-01").cast("date")) + 4) % 7
+      sess
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .withColumn("dow", dow)
+        .withColumn("base_weight",
+          when(col("dow").isin(0, 6), 2.0 / 3).otherwise(2.0 / 15))
+        .withColumn("n_legs", count(lit(1)).over(g))
+        .withColumn("linked_weight", col("base_weight") / col("n_legs"))
+        .groupBy("user_id", "linked_trip_id")
+        .agg(max("n_legs").as("n_legs"),
+          (max("n_legs") - 1).cast("long").as("transfers"),
+          // struct-min, not min_by/arg_min: DuckDB's arg_min SKIPS null
+          // values, Spark's min_by keeps them — struct-min keeps the
+          // null-at-first-leg semantics identical in both engines
+          min(struct(col("ts"), col("event_type"))).getField("event_type").as("first_type"),
+          min(struct(col("ts"), col("from_type"))).getField("from_type").as("from_type_at_start"),
+          round(max("linked_weight"), 6).as("linked_weight"))
+    },
+    Some("""WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+          lag(event_type) OVER w AS from_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR (epoch(ts) - epoch(lag(ts) OVER w)) / 60.0 >= 90
+               THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s2 AS (
+        SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS linked_trip_id,
+          (date_diff('day', DATE '1970-01-01',
+             CASE WHEN hour(ts) < 3 THEN CAST(ts AS DATE) - INTERVAL 1 DAY
+                  ELSE CAST(ts AS DATE) END) + 4) % 7 AS dow
+        FROM s),
+      s3 AS (
+        SELECT *, CASE WHEN dow IN (0, 6) THEN 2.0/3 ELSE 2.0/15 END AS base_weight,
+          count(*) OVER (PARTITION BY user_id, linked_trip_id) AS n_legs
+        FROM s2)
+      SELECT user_id, linked_trip_id,
+        CAST(max(n_legs) AS BIGINT) AS n_legs,
+        CAST(max(n_legs) - 1 AS BIGINT) AS transfers,
+        (min(struct_pack(k := ts, v := event_type))).v AS first_type,
+        (min(struct_pack(k := ts, v := from_type))).v AS from_type_at_start,
+        round(max(base_weight / n_legs), 6) AS linked_weight
+      FROM s3 GROUP BY 1, 2"""))
+
+  /** §3.3 — report assembly: the multi-series MONTH-keyed join
+    * (TransitReporter.py:69-175's shape): five independently-derived
+    * monthly series full-outer-joined on MONTH with derived ratios. */
+  val q51ReportAssembly = Q(
+    "q51_report_assembly",
+    (s, d) => {
+      val m = (c: Column) => date_trunc("MONTH", c).as("month")
+      val oRev = orders(s, d).groupBy(m(col("o_orderdate")))
+        .agg(sum("o_totalprice").as("orders_rev"), count(lit(1)).as("n_orders"))
+      val liRev = lineitem(s, d).groupBy(m(col("l_shipdate")))
+        .agg(sum(rev).as("lineitem_rev"))
+      val ev = events(s, d).groupBy(m(col("ts")))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("event_value"))
+      val assembled = oRev
+        .join(liRev, Seq("month"), "full_outer")
+        .join(ev, Seq("month"), "full_outer")
+      assembled.select(col("month"),
+        round(col("orders_rev"), 2).as("orders_rev"),
+        round(col("lineitem_rev"), 2).as("lineitem_rev"),
+        col("n_orders"), col("n_events"),
+        round(col("orders_rev") / col("n_orders"), 4).as("rev_per_order"),
+        round(col("lineitem_rev") / col("orders_rev"), 6).as("li_share"))
+    },
+    Some("""WITH o AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+          sum(o_totalprice) AS orders_rev, count(*) AS n_orders
+        FROM orders GROUP BY 1),
+      li AS (
+        SELECT date_trunc('month', l_shipdate) AS month,
+          sum(l_extendedprice * (1.0 - l_discount)) AS lineitem_rev
+        FROM lineitem GROUP BY 1),
+      ev AS (
+        SELECT date_trunc('month', ts) AS month,
+          count(*) AS n_events, sum(value) AS event_value
+        FROM events GROUP BY 1)
+      SELECT COALESCE(o.month, li.month, ev.month) AS month,
+        round(orders_rev, 2) AS orders_rev,
+        round(lineitem_rev, 2) AS lineitem_rev,
+        n_orders, n_events,
+        round(orders_rev / n_orders, 4) AS rev_per_order,
+        round(lineitem_rev / orders_rev, 6) AS li_share
+      FROM o FULL OUTER JOIN li ON o.month = li.month
+      FULL OUTER JOIN ev ON COALESCE(o.month, li.month) = ev.month"""))
+
+  /** E9 — time-of-day bucketing on an HHMM int. */
+  val q52TodBucket = Q(
+    "q52_tod_bucket",
+    (s, d) =>
+      events(s, d)
+        .withColumn("hhmm", hour(col("ts")) * 100 + minute(col("ts")))
+        .withColumn("tod", Exprs.todBucket(col("hhmm")))
+        .groupBy("tod")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value")),
+    Some("""WITH h AS (
+        SELECT value, hour(ts) * 100 + minute(ts) AS hhmm FROM events),
+      b AS (
+        SELECT value, CASE
+          WHEN hhmm < 300 THEN 'EVENING'
+          WHEN hhmm < 600 THEN 'EARLY MORNING'
+          WHEN hhmm < 900 THEN 'AM PEAK'
+          WHEN hhmm < 1400 THEN 'MIDDAY'
+          WHEN hhmm < 1600 THEN 'SCHOOL'
+          WHEN hhmm < 1900 THEN 'PM PEAK'
+          ELSE 'EVENING' END AS tod
+        FROM h)
+      SELECT tod, count(*) AS n, round(avg(value), 4) AS avg_value
+      FROM b GROUP BY 1"""))
+
+  /** Sketch aggregates — the 100 TB path for countDistinct/percentile
+    * (HLL + KLL-style): no SQL oracle (sketch internals differ across
+    * engines); accuracy vs exact is asserted in SketchSpec. */
+  val q53Sketches = Q(
+    "q53_sketches",
+    (s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.95)").as("approx_p95"),
+          count(lit(1)).as("n")),
+    None)
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -1281,5 +1417,6 @@ object Queries {
     q35FixedWidth, q36GridNn, q37BfsHops, q38BinaryMeta,
     q39MultimodalFeatures, q40Viterbi, q41LccDistance, q42AggCascade,
     q43PerfMeasures, q44EmbeddingNeardup, q45SequenceChain, q46GlobIngest,
-    q47TabVariant, q48Gtfs, q49TransitPipeline)
+    q47TabVariant, q48Gtfs, q49TransitPipeline, q50LinkedTrips,
+    q51ReportAssembly, q52TodBucket, q53Sketches)
 }

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{TimeSeries, Windows}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5 item 3) using raw ScalaCheck
+  * generators with fixed seeds (the scalatest bridge artifact is not in
+  * the offline cache). Spark jobs per case are expensive — each property
+  * runs a handful of generated cases, enough to sweep sign/zero/duplicate
+  * edge cases the unit fixtures miss.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](g: Gen[A], n: Int = 5)(f: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      g.apply(Gen.Parameters.default.withSize(12), Seed(42L + i))
+        .foreach(f)
+    }
+
+  private val posRows = Gen.nonEmptyListOf(for {
+    g <- Gen.oneOf("a", "b")
+    w <- Gen.choose(0.1, 10.0)
+    t <- Gen.choose(0.1, 100.0)
+  } yield (g, w, t))
+
+  test("W8 invariant: sum(w'*t) == sum(t) per group for any positive weights") {
+    forAll(posRows) { rows =>
+      val df = rows.toDF("g", "w", "t")
+      val out = Windows.scaleWeightsToTotals(df, Seq("g"), "w", "t")
+        .groupBy("g").agg(sum(col("weight_scaled") * col("t")).as("wt"), sum("t").as("rt"))
+        .as[(String, Double, Double)].collect()
+      out.foreach { case (_, wt, rt) => assert(math.abs(wt - rt) < 1e-6 * math.max(1, rt)) }
+    }
+  }
+
+  test("W6: final running sum equals the group total") {
+    forAll(posRows) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, _, t), i) => (g, i, t) }.toDF("g", "i", "t")
+      val out = Windows.runningSum(df, Seq("g"), Seq("i"), col("t"), "cum")
+        .groupBy("g").agg(max("cum").as("last"), sum("t").as("tot"))
+        .as[(String, Double, Double)].collect()
+      out.foreach { case (_, l, t) => assert(math.abs(l - t) < 1e-9 * math.max(1, t)) }
+    }
+  }
+
+  test("headway is nonnegative and null exactly once per partition") {
+    val tsGen = Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))
+    forAll(tsGen) { offsets =>
+      val df = offsets.distinct.zipWithIndex.map { case (o, i) =>
+        ("k", new java.sql.Timestamp(1700000000000L + o * 1000), i.toLong)
+      }.toDF("k", "t", "id")
+      val out = Windows.headwayMinutes(df, Seq("k"), "t", Seq("id"))
+        .select("headway_min").collect()
+      assert(out.count(_.isNullAt(0)) == 1)
+      assert(out.filter(!_.isNullAt(0)).forall(_.getDouble(0) >= 0))
+    }
+  }
+
+  test("dedup is idempotent") {
+    forAll(posRows) { rows =>
+      val df = rows.toDF("g", "w", "t")
+      val once = df.dropDuplicates(Seq("g", "w", "t"))
+      assert(once.count() == once.dropDuplicates(Seq("g", "w", "t")).count())
+    }
+  }
+
+  test("interpolation is exact at anchors and bounded by them between") {
+    val anchors = Gen.nonEmptyListOf(for {
+      i <- Gen.choose(0, 20); v <- Gen.choose(-50.0, 50.0)
+    } yield (i, v)).map(_.toMap.toSeq)
+    forAll(anchors) { as =>
+      val known = as.toMap
+      val df = (0 to 21).map(i => ("k", i, known.get(i))).toDF("k", "i", "v")
+      val out = TimeSeries.interpolateLinear(df, Seq("k"), "i", "v", "vi")
+        .select("i", "vi").as[(Int, Option[Double])].collect().toMap
+      known.foreach { case (i, v) => assert(math.abs(out(i).get - v) < 1e-9) }
+      val (lo, hi) = (known.values.min, known.values.max)
+      out.values.flatten.foreach(v => assert(v >= lo - 1e-9 && v <= hi + 1e-9))
+    }
+  }
+}
