@@ -1405,6 +1405,98 @@ object Queries {
           count(lit(1)).as("n")),
     None)
 
+  /** T6 — anchored cumulative reconstruction: monthly net changes plus one
+    * absolute anchor rebuild the level series forward AND backward
+    * (DemandHelper.py:923-933's two iterative loops, as two window exprs). */
+  val q54Reconstruct = Q(
+    "q54_reconstruct",
+    (s, d) => {
+      val net = orders(s, d)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).cast("double").as("net"))
+      TimeSeries.reconstructFromAnchor(net, Seq.empty, "month", "net",
+          anchorAt = col("month") === lit("1998-01-01").cast("timestamp"),
+          anchorValue = lit(1000.0), out = "stock")
+        .select(col("month"), round(col("stock"), 2).as("stock"))
+    },
+    Some("""WITH net AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+          CAST(count(*) AS DOUBLE) AS net
+        FROM orders GROUP BY 1),
+      c AS (
+        SELECT month, sum(net) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS cum
+        FROM net)
+      SELECT month, round(1000.0 + cum -
+        (SELECT cum FROM c WHERE month = TIMESTAMP '1998-01-01'), 2) AS stock
+      FROM c"""))
+
+  /** W3 — trip-id disambiguation: append the group's min sequence number
+    * to the trip key (SFMuniDataExpander.py:55-63). */
+  val q55TripIdDisambig = Q(
+    "q55_tripid_disambig",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+      lineitem(s, d)
+        .withColumn("trip_key",
+          concat(col("l_orderkey"), lit("_"), min("l_linenumber").over(w)))
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("trip_key")).as("n_trips"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""WITH t AS (
+        SELECT l_returnflag,
+          l_orderkey || '_' || min(l_linenumber) OVER (PARTITION BY l_orderkey) AS trip_key
+        FROM lineitem)
+      SELECT l_returnflag, CAST(count(DISTINCT trip_key) AS BIGINT) AS n_trips,
+        count(*) AS n_rows
+      FROM t GROUP BY 1"""))
+
+  /** G5 — proportional allocation within a trip: each trip's wall-clock
+    * duration is allocated to its legs proportional to leg weight
+    * (HwyNetwork.py:569-610 allocates observed travel time to path links
+    * by free-flow share) — relational form: two windows, no mapGroups. */
+  val q56Allocation = Q(
+    "q56_allocation",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double")
+      val isBreak = when(gap.isNull || gap >= 3600.0, 1).otherwise(0)
+      val g = Window.partitionBy(col("user_id"), col("trip_id"))
+      events(s, d)
+        .withColumn("trip_id",
+          sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("dur_s",
+          max(col("ts").cast("double")).over(g) - min(col("ts").cast("double")).over(g))
+        .withColumn("alloc_s", col("dur_s") * col("value") / sum("value").over(g))
+        .groupBy("user_id", "trip_id")
+        .agg(count(lit(1)).as("n_legs"),
+          round(sum("alloc_s"), 4).as("alloc_total_s"),
+          round(max("dur_s"), 4).as("dur_s"),
+          round(max("alloc_s"), 4).as("max_leg_alloc_s"))
+    },
+    Some("""WITH b AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) >= 3600
+               THEN 1 ELSE 0 END AS is_break
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      t AS (
+        SELECT user_id, ts, value,
+          CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trip_id
+        FROM b),
+      a AS (
+        SELECT user_id, trip_id, value,
+          max(epoch(ts)) OVER g - min(epoch(ts)) OVER g AS dur_s,
+          (max(epoch(ts)) OVER g - min(epoch(ts)) OVER g)
+            * value / sum(value) OVER g AS alloc_s
+        FROM t WINDOW g AS (PARTITION BY user_id, trip_id))
+      SELECT user_id, trip_id, count(*) AS n_legs,
+        round(sum(alloc_s), 4) AS alloc_total_s,
+        round(max(dur_s), 4) AS dur_s,
+        round(max(alloc_s), 4) AS max_leg_alloc_s
+      FROM a GROUP BY 1, 2"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -1418,5 +1510,6 @@ object Queries {
     q39MultimodalFeatures, q40Viterbi, q41LccDistance, q42AggCascade,
     q43PerfMeasures, q44EmbeddingNeardup, q45SequenceChain, q46GlobIngest,
     q47TabVariant, q48Gtfs, q49TransitPipeline, q50LinkedTrips,
-    q51ReportAssembly, q52TodBucket, q53Sketches)
+    q51ReportAssembly, q52TodBucket, q53Sketches, q54Reconstruct,
+    q55TripIdDisambig, q56Allocation)
 }
