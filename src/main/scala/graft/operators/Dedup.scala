@@ -130,17 +130,21 @@ object Dedup {
     */
   def withSimHash(df: DataFrame, idCol: String, textCol: String,
                   out: String = "simhash"): DataFrame = {
+    // one row per token, 64 conditional sums per document — NOT a 64-way
+    // bit explode (64x the rows and a 320k-group shuffle; measured ~5x
+    // slower). Map-side partial aggregation collapses each doc's tokens
+    // before the shuffle.
     val toks = df.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("tok"))
-    val bits = toks
       .withColumn("h", Text.md5Hash64(col("tok"), 0))
-      .select(col("id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("contrib",
-        when(expr("shiftright(h, bit)").bitwiseAND(1) === 1, 1).otherwise(-1))
-      .groupBy("id", "bit")
-      .agg(sum("contrib").as("s"))
-      .groupBy("id")
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as(out))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    val bits = toks.groupBy("id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sig.as(out))
     df.join(bits, df(idCol) === bits("id"), "left").drop("id")
   }
 

@@ -1,0 +1,47 @@
+package graft
+
+/** Plan-quality canaries: catch scale regressions at test time, before any
+  * bench run. A CartesianProduct sneaking into a catalog query, or the
+  * central join losing its broadcast, is a 100 TB incident — fail fast.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose plans legitimately contain a nested-loop join: bounded
+    * inequality self-joins (pair generation on a filtered subset) and the
+    * grid-NN brute fallback over the unresolved remainder. */
+  private val nestedLoopAllowed = Set(
+    "q26_knn_bruteforce", "q29_ann_lsh", "q36_grid_nn", "q44_embedding_neardup",
+    // monthSpine: distinct-keys x month-sequence dimension construction —
+    // the broadcast side is the exploded month range (always tiny)
+    "q11_impute")
+
+  test("no catalog query plans a CartesianProduct; nested-loop joins only where bounded") {
+    Queries.all.foreach { q =>
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+      if (!nestedLoopAllowed(q.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("central 3-way join broadcasts its dimension and prunes scan columns") {
+    val plan = Queries.q03Join3way.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // lineitem scan must read only the 3 needed columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      "lineitem scan is not pruned to the projected columns")
+  }
+
+  test("probe filters are pushed to the parquet scan") {
+    val plan = Queries.q26Knn.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)") ||
+      plan.contains("LessThan(vec_id,10)"),
+      s"vec_id<10 not pushed down")
+  }
+}
