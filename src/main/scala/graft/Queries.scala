@@ -1497,6 +1497,64 @@ object Queries {
         round(max(alloc_s), 4) AS max_leg_alloc_s
       FROM a GROUP BY 1, 2"""))
 
+  /** §7.2 item 7 — the demand-driver assembly pipeline end-to-end
+    * (annual anchors → monthly interpolation → weighted regional rollup →
+    * step-fill + CPI deflation). The oracle rebuilds the formula-generated
+    * fixture independently in SQL. */
+  val q57DemandAssembly = Q(
+    "q57_demand_assembly",
+    (s, _) => graft.pipelines.Demand.assemble(s),
+    Some("""WITH months AS (
+        SELECT k, TIMESTAMP '2010-07-01' + to_months(CAST(k AS INT)) AS month,
+          100.0 + 0.25 * k AS CPI,
+          CASE WHEN k % 5 = 2 THEN NULL ELSE 3.0 + 0.01 * k END AS FUEL
+        FROM range(0, 49) t(k)),
+      counties AS (SELECT 'F' || c AS FIPS FROM range(0, 3) t(c)),
+      anchors AS (
+        SELECT 'F' || c AS FIPS,
+          CAST(('' || y || '-07-01') AS TIMESTAMP) AS month,
+          1000.0 * (c + 1) + 60.0 * (y - 2010) * (c + 1) AS POP,
+          50000.0 + 1000.0 * c + 500.0 * (y - 2010) AS MEDHHINC
+        FROM range(0, 3) t(c), range(2010, 2015) u(y)),
+      spine AS (
+        SELECT co.FIPS, m.month, year(m.month) * 12 + month(m.month) AS idx
+        FROM months m CROSS JOIN counties co),
+      j AS (
+        SELECT s.FIPS, s.month, s.idx, a.POP, a.MEDHHINC
+        FROM spine s LEFT JOIN anchors a ON s.FIPS = a.FIPS AND s.month = a.month),
+      w AS (
+        SELECT FIPS, month, CAST(idx AS DOUBLE) AS t, POP, MEDHHINC,
+          last_value(POP IGNORE NULLS) OVER past AS ppv,
+          last_value(CASE WHEN POP IS NOT NULL THEN CAST(idx AS DOUBLE) END IGNORE NULLS) OVER past AS ppt,
+          first_value(POP IGNORE NULLS) OVER fut AS pnv,
+          first_value(CASE WHEN POP IS NOT NULL THEN CAST(idx AS DOUBLE) END IGNORE NULLS) OVER fut AS pnt,
+          last_value(MEDHHINC IGNORE NULLS) OVER past AS ipv,
+          last_value(CASE WHEN MEDHHINC IS NOT NULL THEN CAST(idx AS DOUBLE) END IGNORE NULLS) OVER past AS ipt,
+          first_value(MEDHHINC IGNORE NULLS) OVER fut AS inv,
+          first_value(CASE WHEN MEDHHINC IS NOT NULL THEN CAST(idx AS DOUBLE) END IGNORE NULLS) OVER fut AS int_
+        FROM j
+        WINDOW past AS (PARTITION BY FIPS ORDER BY idx ROWS UNBOUNDED PRECEDING),
+               fut AS (PARTITION BY FIPS ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      interp AS (
+        SELECT FIPS, month,
+          COALESCE(POP, CASE WHEN ppv IS NOT NULL AND pnv IS NOT NULL
+            THEN ppv + (pnv - ppv) * (t - ppt) / (pnt - ppt) END, ppv, pnv) AS POP_M,
+          COALESCE(MEDHHINC, CASE WHEN ipv IS NOT NULL AND inv IS NOT NULL
+            THEN ipv + (inv - ipv) * (t - ipt) / (int_ - ipt) END, ipv, inv) AS INC_M
+        FROM w),
+      regional AS (
+        SELECT month, sum(POP_M) AS POP,
+          sum(POP_M * INC_M) / sum(POP_M) AS MEDHHINC
+        FROM interp GROUP BY 1),
+      fuelf AS (
+        SELECT month, CPI,
+          last_value(FUEL IGNORE NULLS) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS FUEL
+        FROM months)
+      SELECT r.month, round(r.POP, 4) AS POP,
+        round(r.MEDHHINC * (100.0 / f.CPI), 4) AS MEDHHINC_2010USD,
+        round(f.FUEL * (100.0 / f.CPI), 6) AS FUEL_2010USD
+      FROM regional r LEFT JOIN fuelf f ON r.month = f.month"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -1511,5 +1569,5 @@ object Queries {
     q43PerfMeasures, q44EmbeddingNeardup, q45SequenceChain, q46GlobIngest,
     q47TabVariant, q48Gtfs, q49TransitPipeline, q50LinkedTrips,
     q51ReportAssembly, q52TodBucket, q53Sketches, q54Reconstruct,
-    q55TripIdDisambig, q56Allocation)
+    q55TripIdDisambig, q56Allocation, q57DemandAssembly)
 }

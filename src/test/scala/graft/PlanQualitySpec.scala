@@ -13,9 +13,9 @@ class PlanQualitySpec extends SparkSpec {
     * grid-NN brute fallback over the unresolved remainder. */
   private val nestedLoopAllowed = Set(
     "q26_knn_bruteforce", "q29_ann_lsh", "q36_grid_nn", "q44_embedding_neardup",
-    // monthSpine: distinct-keys x month-sequence dimension construction —
-    // the broadcast side is the exploded month range (always tiny)
-    "q11_impute")
+    // month-spine construction: distinct-keys x month-sequence dimension
+    // build — the broadcast side is the exploded month range (always tiny)
+    "q11_impute", "q57_demand_assembly")
 
   test("no catalog query plans a CartesianProduct; nested-loop joins only where bounded") {
     Queries.all.foreach { q =>
