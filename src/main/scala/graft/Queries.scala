@@ -1555,6 +1555,63 @@ object Queries {
         round(f.FUEL * (100.0 / f.CPI), 6) AS FUEL_2010USD
       FROM regional r LEFT JOIN fuelf f ON r.month = f.month"""))
 
+  /** G2/G3 — the reference's skim pattern: dense all-pairs costs
+    * precomputed ONCE on the driver (the graph is a config artifact, like
+    * HwyNetwork.py:227-294), shipped as a broadcast-joinable table, probed
+    * per fact row. Edge cost = 1 + dst%3 on the nation chain; probe = cost
+    * from each nation's region root to the nation. Oracle recomputes the
+    * paths with a recursive CTE. */
+  val q58SkimProbe = Q(
+    "q58_skim_probe",
+    (s, d) => {
+      import s.implicits._
+      val nat = nation(s, d)
+      val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+      val edges = nat.withColumn("dst", lead(col("n_nationkey"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .select(col("n_nationkey").cast("int").as("src"), col("dst").cast("int").as("dst"))
+        .as[(Int, Int)].collect()  // tiny config graph -> driver, per the reference
+        .map { case (u, v) => (u, v, 1.0 + v % 3) }
+      val n = 32
+      val (dist, _) = graft.graph.Graph.floydWarshall(n, edges.toSeq)
+      val skim = (for {
+        i <- 0 until n; j <- 0 until n
+        if i != j && dist(i)(j) < Double.MaxValue / 8
+      } yield (i, j, dist(i)(j))).toDF("src", "dst", "cost")
+      val roots = nat.groupBy("n_regionkey").agg(min("n_nationkey").as("root"))
+      nat.join(roots, "n_regionkey")
+        .join(broadcast(skim),
+          col("root") === col("src") && col("n_nationkey") === col("dst"), "left")
+        .select(col("n_nationkey").cast("long").as("nation"),
+          col("root").cast("long").as("root"),
+          round(coalesce(col("cost"), lit(0.0)), 4).as("cost_from_root"))
+    },
+    Some("""WITH RECURSIVE e AS (
+        SELECT n_nationkey AS src,
+          lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        FROM nation),
+      e2 AS (SELECT src, dst, 1.0 + dst % 3 AS w FROM e WHERE dst IS NOT NULL),
+      roots AS (SELECT n_regionkey, min(n_nationkey) AS root FROM nation GROUP BY 1),
+      walk AS (
+        SELECT src AS root, dst AS node, w AS cost FROM e2
+        UNION ALL
+        SELECT wk.root, e2.dst, wk.cost + e2.w FROM walk wk JOIN e2 ON wk.node = e2.src),
+      best AS (SELECT root, node, min(cost) AS cost FROM walk GROUP BY 1, 2)
+      SELECT CAST(n.n_nationkey AS BIGINT) AS nation,
+        CAST(r.root AS BIGINT) AS root,
+        round(COALESCE(b.cost, 0.0), 4) AS cost_from_root
+      FROM nation n JOIN roots r ON n.n_regionkey = r.n_regionkey
+      LEFT JOIN best b ON b.root = r.root AND b.node = n.n_nationkey"""))
+
+  /** O7 — set intersection (absent in the reference; native here). */
+  val q59SetOps = Q(
+    "q59_set_ops",
+    (s, d) =>
+      customer(s, d).select(col("c_custkey").as("key"))
+        .intersect(supplier(s, d).select(col("s_suppkey").as("key"))),
+    Some("""SELECT c_custkey AS key FROM customer
+      INTERSECT SELECT s_suppkey FROM supplier"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -1569,5 +1626,6 @@ object Queries {
     q43PerfMeasures, q44EmbeddingNeardup, q45SequenceChain, q46GlobIngest,
     q47TabVariant, q48Gtfs, q49TransitPipeline, q50LinkedTrips,
     q51ReportAssembly, q52TodBucket, q53Sketches, q54Reconstruct,
-    q55TripIdDisambig, q56Allocation, q57DemandAssembly)
+    q55TripIdDisambig, q56Allocation, q57DemandAssembly, q58SkimProbe,
+    q59SetOps)
 }

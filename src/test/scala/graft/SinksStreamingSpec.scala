@@ -25,6 +25,26 @@ class SinksStreamingSpec extends SparkSpec {
     assert(out == Set((1, "2024-01", 10.0), (9, "2024-02", 99.0), (3, "2024-03", 30.0)))
   }
 
+  test("streaming tumbling-window counts match batch truncation counts") {
+    val rows = Seq(
+      (ts("2024-01-01 10:01:00"), "a", 1.0), (ts("2024-01-01 10:04:00"), "a", 1.0),
+      (ts("2024-01-01 10:07:00"), "a", 1.0), (ts("2024-01-01 10:01:30"), "b", 1.0))
+    val df = rows.toDF("ts", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_tumble").toString
+    df.write.mode("overwrite").parquet(dir)
+    val q = StreamOps.windowedCounts(
+        spark.readStream.schema(df.schema).parquet(dir).withWatermark("ts", "1 minute"),
+        "ts", "5 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("tumble_out").start()
+    q.processAllAvailable()
+    val got = spark.sql("SELECT w.start, event_type, n FROM tumble_out")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    q.stop()
+    assert(got == Set(
+      (ts("2024-01-01 10:00:00"), "a", 2L), (ts("2024-01-01 10:05:00"), "a", 1L),
+      (ts("2024-01-01 10:00:00"), "b", 1L)))
+  }
+
   test("streaming session_window matches batch sessionization session counts") {
     val rows = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
