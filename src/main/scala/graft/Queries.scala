@@ -162,13 +162,10 @@ object Queries {
   /** W1 — headway: minutes since previous event per user. */
   val q06Headway = Q(
     "q06_headway",
-    (s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      events(s, d)
-        .withColumn("headway_min",
-          round((col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double")) / 60.0, 4))
-        .select("event_id", "user_id", "headway_min")
-    },
+    (s, d) =>
+      Windows.headwayMinutes(events(s, d), Seq("user_id"), "ts", Seq("event_id"))
+        .withColumn("headway_min", round(col("headway_min"), 4))
+        .select("event_id", "user_id", "headway_min"),
     Some("""SELECT event_id, user_id,
       round((epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 60.0, 4) AS headway_min
       FROM events"""))
@@ -567,7 +564,11 @@ object Queries {
     },
     Some("""WITH t AS (
         SELECT doc_id, text,
-          string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          -- string_split_regex('', ' ') is [''], not [] — guard empty text
+          CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+          END AS toks
         FROM documents),
       m AS (
         SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -595,11 +596,16 @@ object Queries {
         .agg(sum("n_tokens").as("total_tokens"),
           round(avg("n_tokens"), 4).as("avg_tokens"),
           count(lit(1)).as("n_docs")),
-    Some("""SELECT source,
-        CAST(sum(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS total_tokens,
-        round(avg(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))), 4) AS avg_tokens,
-        count(*) AS n_docs
-      FROM documents GROUP BY 1"""))
+    Some("""WITH t AS (
+        SELECT source,
+          -- string_split_regex('', ' ') is [''], not [] — guard empty text
+          CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
+               ELSE len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+          END AS n_tokens
+        FROM documents)
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        round(avg(n_tokens), 4) AS avg_tokens, count(*) AS n_docs
+      FROM t GROUP BY 1"""))
 
   /** Exact n-gram Jaccard near-dup pairs, blocked by normalized prefix
     * (planted near-dups share prefixes; suffixes differ). */
@@ -682,19 +688,14 @@ object Queries {
     * TaxiDataHelper.py:203-309); trip id = running count of breaks. */
   val q30TripSegmentation = Q(
     "q30_trip_segmentation",
-    (s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val gap = col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double")
-      val isBreak = when(gap.isNull || gap >= 3600.0 || col("event_type") === "signup", 1)
-        .otherwise(0)
-      events(s, d)
-        .withColumn("trip_id",
-          sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    (s, d) =>
+      Windows.sessionize(events(s, d), Seq("user_id"), "ts", Seq("event_id"),
+          gapMinutes = 60.0, sessionCol = "trip_id",
+          breakWhen = Some(col("event_type") === "signup"))
         .groupBy("user_id", "trip_id")
         .agg(count(lit(1)).as("n_events"),
           min("ts").as("start_ts"), max("ts").as("end_ts"),
-          round(sum("value"), 4).as("sum_value"))
-    },
+          round(sum("value"), 4).as("sum_value")),
     Some("""WITH g AS (
         SELECT user_id, ts, event_id, value,
           CASE WHEN lag(ts) OVER w IS NULL
@@ -1458,13 +1459,9 @@ object Queries {
   val q56Allocation = Q(
     "q56_allocation",
     (s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val gap = col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double")
-      val isBreak = when(gap.isNull || gap >= 3600.0, 1).otherwise(0)
       val g = Window.partitionBy(col("user_id"), col("trip_id"))
-      events(s, d)
-        .withColumn("trip_id",
-          sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      Windows.sessionize(events(s, d), Seq("user_id"), "ts", Seq("event_id"),
+          gapMinutes = 60.0, sessionCol = "trip_id")
         .withColumn("dur_s",
           max(col("ts").cast("double")).over(g) - min(col("ts").cast("double")).over(g))
         .withColumn("alloc_s", col("dur_s") * col("value") / sum("value").over(g))

@@ -65,11 +65,16 @@ object Graph {
       val newPairs = expanded.join(known, Seq("src", "dst"), "left_anti")
         .groupBy("src", "dst").agg(min("hops").as("hops"))
         .cache()
-      if (newPairs.isEmpty) done = true
+      if (newPairs.isEmpty) { newPairs.unpersist(); done = true }
       else {
+        val prevKnown = known
+        val prevFrontier = frontier
         known = known.unionByName(newPairs)
           .groupBy("src", "dst").agg(min("hops").as("hops"))
           .cache()
+        known.count() // materialize before releasing the lineage inputs
+        prevKnown.unpersist()
+        if (prevFrontier ne prevKnown) prevFrontier.unpersist()
         frontier = newPairs
       }
       i += 1

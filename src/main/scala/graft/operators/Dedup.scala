@@ -142,10 +142,13 @@ object Dedup {
     val sig = (0 until 64).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
+    // helper key gets a reserved name: joining on "id" then drop("id")
+    // would also drop the caller's column when idCol == "id"
     val bits = toks.groupBy("id")
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), sig.as(out))
-    df.join(bits, df(idCol) === bits("id"), "left").drop("id")
+      .select(col("id").as("__simhash_id"), sig.as(out))
+    df.join(bits, df(idCol) === col("__simhash_id"), "left")
+      .drop("__simhash_id")
   }
 
   /** SimHash near-dup pairs via 16-bit chunk banding + hamming verify. */

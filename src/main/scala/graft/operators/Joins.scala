@@ -44,24 +44,35 @@ object Joins {
     val leftCols = left.columns.toSeq
     val ts = "__asof_ts"
     val side = "__asof_side" // 0 = right, 1 = left; right sorts first at equal ts (inclusive match)
+    val pay = "__asof_payload"
+    // payloads carry as ONE struct, not per-column: independent
+    // last(ignoreNulls) per column would mix values from different right
+    // rows whenever a payload cell is null (fabricating rows that never
+    // existed); the struct itself is non-null for every right row, so the
+    // carry is atomic
+    val pType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
     val l = left
       .withColumn(ts, col(leftTs))
       .withColumn(side, lit(1))
-      .select((leftCols.map(col) ++ payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++ Seq(col(ts), col(side))): _*)
+      .withColumn(pay, lit(null).cast(pType))
+      .select((leftCols.map(col) ++ Seq(col(pay), col(ts), col(side))): _*)
     val r = right
       .withColumn(ts, col(rightTs))
       .withColumn(side, lit(0))
+      .withColumn(pay, struct(payloadCols.map(col): _*))
       .select((leftCols.map(c =>
         if (keys.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col) ++ Seq(col(ts), col(side))): _*)
+        Seq(col(pay), col(ts), col(side))): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts), col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(l.unionByName(r)) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.where(col(side) === 1).drop(ts, side)
+    val carried = l.unionByName(r)
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+    carried.where(col(side) === 1)
+      .select((leftCols.map(col) ++
+        payloadCols.map(c => col(pay).getField(c).as(c))): _*)
   }
 
   /** Left-anti "missing dimension member" check

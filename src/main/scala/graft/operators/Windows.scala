@@ -21,8 +21,10 @@ object Windows {
       out: String = "headway_min"): DataFrame = {
     val w = Window.partitionBy(partition.map(col): _*)
       .orderBy((ts +: tieBreak).map(col): _*)
+    // cast-to-double keeps fractional seconds; unix_timestamp floors to
+    // whole seconds and shifts gaps that sit within 1s of a threshold
     df.withColumn(out,
-      (unix_timestamp(col(ts)) - unix_timestamp(lag(col(ts), 1).over(w))) / 60.0)
+      (col(ts).cast("timestamp").cast("double") - lag(col(ts), 1).over(w).cast("timestamp").cast("double")) / 60.0)
   }
 
   /** W2 — observed runtime: max(0, arrival - previous departure) in minutes
@@ -35,7 +37,7 @@ object Windows {
     df.withColumn(out,
       when(prevDep.isNull, 0.0)
         .otherwise(greatest(lit(0.0),
-          (unix_timestamp(col(arrival)) - unix_timestamp(prevDep)) / 60.0)))
+          (col(arrival).cast("timestamp").cast("double") - prevDep.cast("timestamp").cast("double")) / 60.0)))
   }
 
   /** W4 — sessionization: a new session starts when the gap since the
@@ -49,11 +51,15 @@ object Windows {
   def sessionize(
       df: DataFrame, partition: Seq[String], ts: String, tieBreak: Seq[String],
       gapMinutes: Double, sessionCol: String = "session_id",
-      isNewCol: String = "session_start"): DataFrame = {
+      isNewCol: String = "session_start",
+      breakWhen: Option[Column] = None): DataFrame = {
     val ord = (ts +: tieBreak).map(col)
     val w = Window.partitionBy(partition.map(col): _*).orderBy(ord: _*)
-    val gap = (unix_timestamp(col(ts)) - unix_timestamp(lag(col(ts), 1).over(w))) / 60.0
-    val isNew = when(gap.isNull || gap >= gapMinutes, 1).otherwise(0)
+    // fractional-seconds gap (see headwayMinutes note)
+    val gap = (col(ts).cast("timestamp").cast("double") - lag(col(ts), 1).over(w).cast("timestamp").cast("double")) / 60.0
+    val break_ = gap.isNull || gap >= gapMinutes ||
+      breakWhen.getOrElse(lit(false))
+    val isNew = when(break_, 1).otherwise(0)
     df.withColumn(isNewCol, isNew)
       .withColumn(sessionCol,
         sum(col(isNewCol)).over(

@@ -42,9 +42,14 @@ object FixedWidth {
   def formatLine(specs: Seq[ColSpec]): org.apache.spark.sql.Column =
     concat(specs.map { c =>
       val v = coalesce(col(c.name).cast("string"), lit(""))
-      c.typ match {
+      val padded = c.typ match {
         case StringType => rpad(v, c.len, " ")
         case _          => lpad(v, c.len, " ")
       }
+      // lpad/rpad silently TRUNCATE overlong values — that would corrupt
+      // data on the round-trip; fail loudly at the write site instead
+      when(length(v) > c.len,
+        raise_error(concat(lit(s"fixed-width overflow in ${c.name} (${c.len}): "), v)))
+        .otherwise(padded)
     }: _*)
 }
