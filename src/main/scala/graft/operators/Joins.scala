@@ -80,4 +80,22 @@ object Joins {
     * route-equiv file). */
   def missingKeys(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
     fact.select(key).distinct().join(dim, Seq(key), "left_anti")
+
+  /** Skew-safe equi-join: salt the fact side with a DETERMINISTIC bucket
+    * derived from hashing `saltFrom` columns (rand() would break retries
+    * and oracle parity), replicate the dimension side across all salt
+    * values, and join on (key, salt). Use when one key carries a large
+    * share of the fact rows and AQE skew handling isn't available (e.g.
+    * the join feeds a window on the same key). The dim side grows by
+    * `buckets`x — keep it broadcast-sized.
+    */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltFrom: Seq[Column], buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(hash(saltFrom: _*), lit(buckets)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

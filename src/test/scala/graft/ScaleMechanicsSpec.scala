@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Joins
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The cluster-scale mechanics that local correctness tests don't exercise:
+  * bucketed co-located joins, partition pruning at the scan, and salted
+  * joins for skew. Each asserts on the PLAN (or plan + result), because
+  * that's what changes at 1000 executors.
+  */
+class ScaleMechanicsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse.dir is a static conf — tables land in ./spark-warehouse
+    // (gitignored) under the default in-memory catalog
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      val o = Tables.orders(spark, "/root/testdata/sf0.001")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_b")
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("o_b")
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed join: no shuffle exchange on either side
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() ==
+        li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("partitioned parquet scans prune partitions at the source") {
+    val dir = Files.createTempDirectory("graft_prune").toString
+    val df = Seq((1, "2024-01", 1.0), (2, "2024-02", 2.0), (3, "2024-03", 3.0))
+      .toDF("id", "month", "v")
+    Sinks.writePartitioned(df, dir, Seq("month"))
+    val q = spark.read.parquet(dir).where(col("month") === "2024-02")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(month"),
+      s"no partition filter pushed:\n$scan")
+    assert(q.count() == 1)
+  }
+
+  test("salted join equals the plain join result") {
+    val fact = (1 to 500).map(i => (i % 3L, i.toLong)).toDF("k", "payload")
+    val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "label")
+    val plain = fact.join(dim, Seq("k")).select("k", "payload", "label")
+      .as[(Long, Long, String)].collect().toSet
+    val salted = Joins.saltedJoin(fact, dim, Seq("k"),
+        saltFrom = Seq(col("payload")), buckets = 8)
+      .select("k", "payload", "label")
+      .as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+  }
+}
