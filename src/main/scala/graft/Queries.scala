@@ -558,9 +558,8 @@ object Queries {
           col("n_tokens"),
           round(col("punct"), 6).as("punct_ratio"),
           round(col("stop_r"), 6).as("stop_ratio"),
-          round(least(length(col("text")).cast("double") / 500.0, lit(1.0))
-            * greatest(lit(0.0), lit(1.0) - col("punct") * 5.0)
-            * least(col("stop_r") * 5.0, lit(1.0)), 6).as("quality"))
+          Text.qualityScoreFrom(length(col("text")), col("punct"), col("stop_r"))
+            .as("quality"))
     },
     Some("""WITH t AS (
         SELECT doc_id, text,

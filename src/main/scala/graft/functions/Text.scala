@@ -14,10 +14,13 @@ object Text {
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Whitespace token array / count. Empty or null text -> 0 tokens. */
-  def tokens(c: Column): Column =
-    when(length(normalize(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(normalize(c), " "))
+  /** Whitespace token array / count. Empty or null text -> 0 tokens
+    * (null-in must not leak a null array out — counts stay arithmetic). */
+  def tokens(c: Column): Column = {
+    val n = normalize(c)
+    when(n.isNull || length(n) === 0, array().cast("array<string>"))
+      .otherwise(split(n, " "))
+  }
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -40,13 +43,18 @@ object Text {
   }
 
   /** Composite quality score in [0,1]: length saturation × (1 - punct
-    * excess) × stopword presence. Heuristic, deterministic, SQL-mirrorable. */
-  def qualityScore(c: Column, stopwords: Seq[String]): Column = {
-    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
-    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5.0)
-    val stopScore = least(stopwordRatio(c, stopwords) * 5.0, lit(1.0))
-    round(lenScore * punctScore * stopScore, 6)
-  }
+    * excess) × stopword presence. Heuristic, deterministic, SQL-mirrorable.
+    * The formula lives ONLY here — queries that precompute the inputs
+    * (e.g. via tokenSetCounts) call this overload so the constants can't
+    * drift between the expression form and the catalog.
+    */
+  def qualityScoreFrom(textLen: Column, punctRatio: Column, stopRatio: Column): Column =
+    round(least(textLen.cast("double") / 500.0, lit(1.0))
+      * greatest(lit(0.0), lit(1.0) - punctRatio * 5.0)
+      * least(stopRatio * 5.0, lit(1.0)), 6)
+
+  def qualityScore(c: Column, stopwords: Seq[String]): Column =
+    qualityScoreFrom(length(c), punctRatio(c), stopwordRatio(c, stopwords))
 
   /** Language ID by marker-token counting: for each candidate language,
     * count occurrences of its marker tokens; argmax wins, ties broken by

@@ -79,6 +79,7 @@ object Graph {
       }
       i += 1
     }
+    if (frontier ne known) frontier.unpersist() // last frontier is spent
     known
   }
 }

@@ -20,13 +20,13 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** Exact near-duplicate pairs by word-n-gram Jaccard within a blocking
-    * key (e.g. source): explode shingles, self-join on (block, shingle),
-    * count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
-    *
-    * The blocking key bounds the candidate space; at 100 TB the block is
-    * whatever cheap partition key is available (domain, crawl, bucket of a
-    * cheap hash) and this same plan holds. Returns pairs with id1 < id2 and
-    * jaccard >= threshold.
+    * key: every id1 < id2 pair inside a block is a candidate (quadratic in
+    * block size — the block key must keep blocks small, e.g. a content
+    * prefix or an LSH band, NOT a coarse partition like crawl/domain);
+    * each pair's similarity is |A∩B| / (|A|+|B|-|A∩B|) via array_intersect
+    * on the per-doc shingle sets. For unbounded blocks use
+    * minHashLshPairs, whose banding bounds candidates by signature
+    * collision instead. Returns pairs with jaccard >= threshold.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,

@@ -70,7 +70,11 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+    // join semantics: NULL keys never match (window partitioning would
+    // otherwise group null keys together and carry a payload onto them)
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
     carried.where(col(side) === 1)
+      .withColumn(pay, when(anyKeyNull, lit(null).cast(pType)).otherwise(col(pay)))
       .select((leftCols.map(col) ++
         payloadCols.map(c => col(pay).getField(c).as(c))): _*)
   }

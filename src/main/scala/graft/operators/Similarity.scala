@@ -70,11 +70,12 @@ object Similarity {
     signs.reduce(_ + _)
   }
 
-  /** IVF-style ANN: assign each corpus vector to its nearest of `nCenters`
-    * deterministic pseudo-centroids (hyperplane buckets act as the coarse
-    * quantizer), then search only the probe's bucket (+optionally adjacent
-    * buckets via `nProbes` hamming-1 expansion). Approximate — verified in
-    * tests against bruteForceTopK recall, not an SQL oracle.
+  /** IVF-style ANN: hyperplane sign buckets act as the coarse quantizer
+    * and only the probe's own bucket is searched — a probe whose bucket
+    * holds no corpus vectors returns no rows (recall/latency trade is
+    * governed by `planes`: fewer planes = bigger buckets = higher recall).
+    * Approximate — verified in tests against bruteForceTopK recall, not an
+    * SQL oracle.
     */
   def lshTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,

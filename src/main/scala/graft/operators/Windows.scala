@@ -111,8 +111,12 @@ object Windows {
     val filled = valueCols.foldLeft(masked) { (d, c) =>
       d.withColumn(s"${c}_imp", last(col(s"__obs_$c"), ignoreNulls = true).over(w))
     }
+    // flag = unobserved AND at least one column actually carried a value
+    // (head-only would misreport rows whose first column had no prior
+    // observation while others did)
+    val anyFilled = valueCols.map(c => col(s"${c}_imp").isNotNull).reduce(_ || _)
     filled
-      .withColumn(imputedCol, (!observed && col(s"${valueCols.head}_imp").isNotNull).cast("int"))
+      .withColumn(imputedCol, (!observed && anyFilled).cast("int"))
       .drop(valueCols.map(c => s"__obs_$c"): _*)
   }
 }

@@ -37,8 +37,17 @@ object Transit {
         Exprs.serviceTime(col("DATE"), col("ARRIVAL_TIME_INT")))     // E1
       .withColumn("DEPARTURE_TIME",
         Exprs.serviceTime(col("DATE"), col("DEPARTURE_TIME_INT")))
-      .dropDuplicates("DATE", "ROUTE_AVL", "DIR", "TRIP", "SEQ")     // F8
-    Joins.intervalJoin(typed, routeEquiv, Seq("ROUTE_AVL"),
+    // F8 dedup — deterministic: bare dropDuplicates keeps a shuffle-order-
+    // dependent row; keep the lexicographically-first record per key instead
+    val dedupKey = Seq("DATE", "ROUTE_AVL", "DIR", "TRIP", "SEQ")
+    val rest = typed.columns.filterNot(dedupKey.contains)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dedupKey.map(col): _*)
+      .orderBy(rest.map(col): _*)
+    val deduped = typed
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    Joins.intervalJoin(deduped, routeEquiv, Seq("ROUTE_AVL"),
         factTime = col("DATE").cast("timestamp"),
         dimStart = col("START_DATE"), dimEnd = col("END_DATE"),
         joinType = "left")                              // J4
@@ -58,14 +67,21 @@ object Transit {
     val runtimed = Windows.runtimeMinutes(joined,
       Seq("DATE", "ROUTE_SHORT_NAME", "DIR", "TRIP"), Seq("SEQ"),
       "ARRIVAL_TIME", "DEPARTURE_TIME", out = "RUNTIME")
-    // E5: schedule deviation in minutes (+ = late), on-time, pass-miles
-    val arrMin = hour(col("ARRIVAL_TIME")) * 60 + minute(col("ARRIVAL_TIME")) +
-      when(to_date(col("ARRIVAL_TIME")) > col("DATE"), 24 * 60).otherwise(0)
+    // E5: schedule deviation in minutes (+ = late), on-time, pass-miles.
+    // On-time is the full TCRP rule via Exprs.onTime5: departed no more
+    // than 1 min EARLY and arrived less than 5 min LATE
+    // (SFMuniDataExpander.py:550-551) — arrival lateness alone would
+    // overstate on-time performance for early-running service.
+    def minOfDay(t: Column) =
+      hour(t) * 60 + minute(t) +
+        when(to_date(t) > col("DATE"), 24 * 60).otherwise(0)
     runtimed
       .withColumn("ARRIVAL_DEV",
-        when(col("OBSERVED") === 1, arrMin - col("SCHED_ARR")))
+        when(col("OBSERVED") === 1, minOfDay(col("ARRIVAL_TIME")) - col("SCHED_ARR")))
+      .withColumn("DEPARTURE_DEV",
+        when(col("OBSERVED") === 1, minOfDay(col("DEPARTURE_TIME")) - col("SCHED_DEP")))
       .withColumn("ONTIME5",
-        when(col("OBSERVED") === 1, (col("ARRIVAL_DEV") < 5).cast("int")))
+        Exprs.onTime5(col("DEPARTURE_DEV"), col("ARRIVAL_DEV"), col("OBSERVED")))
       .withColumn("PASSMILES",
         when(col("OBSERVED") === 1, col("LOAD_DEP") * col("SERVMILES")))
   }

@@ -86,6 +86,7 @@ object TransitFixture {
         (feb, "10R", 0L, 1L, 2L, 485L, 0.5),
         (feb, "10R", 0L, 1L, 3L, 490L, 0.5))
     rows.toDF("d", "ROUTE_SHORT_NAME", "DIR", "TRIP", "SEQ", "SCHED_ARR", "SERVMILES")
+      .withColumn("SCHED_DEP", col("SCHED_ARR")) // zero scheduled dwell
       .withColumn("DATE", col("d").cast("date")).drop("d")
   }
 

@@ -23,15 +23,17 @@ object StreamOps {
     * add `.withWatermark(tsCol, horizon)` upstream.
     */
   def sessionAggregate(
-      events: DataFrame, tsCol: String, keyCol: String, gap: String): DataFrame =
+      events: DataFrame, tsCol: String, keyCol: String, gap: String,
+      valueCol: String = "value"): DataFrame =
     events
       .groupBy(col(keyCol), session_window(col(tsCol), gap).as("session"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(valueCol).as("sum_value"))
 
-  /** Tumbling-window counts by event type. */
+  /** Tumbling-window counts by category. */
   def windowedCounts(
-      events: DataFrame, tsCol: String, width: String): DataFrame =
+      events: DataFrame, tsCol: String, width: String,
+      typeCol: String = "event_type"): DataFrame =
     events
-      .groupBy(window(col(tsCol), width).as("w"), col("event_type"))
+      .groupBy(window(col(tsCol), width).as("w"), col(typeCol))
       .agg(count(lit(1)).as("n"))
 }
