@@ -45,6 +45,36 @@ class SinksStreamingSpec extends SparkSpec {
       (ts("2024-01-01 10:00:00"), "b", 1L)))
   }
 
+  test("flatMapGroupsWithState closes sessions across batches and on timeout") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.Ev
+    val dir = Files.createTempDirectory("graft_state").toString
+    val batch1 = Seq(
+      Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Ev(1L, ts("2024-01-01 10:30:00"), 2.0), // same session
+      Ev(1L, ts("2024-01-01 13:00:00"), 4.0)) // opens session 2 -> closes session 1
+    spark.createDataset(batch1).write.mode("overwrite").parquet(dir)
+    val in = spark.readStream.schema(spark.createDataset(batch1).schema)
+      .parquet(dir).withWatermark("ts", "1 minute").as[Ev]
+    val q = StatefulSessions.sessions(in, gapMinutes = 90.0)
+      .writeStream.outputMode("append").format("memory").queryName("state_out").start()
+    q.processAllAvailable()
+    val afterB1 = spark.sql("SELECT n_events, sum_value FROM state_out")
+      .as[(Long, Double)].collect().toSet
+    assert(afterB1 == Set((2L, 3.0))) // first session closed by the new one
+    // batch 2: far-future event advances the watermark past session 2's
+    // timeout -> the open session closes via EventTimeTimeout
+    spark.createDataset(Seq(Ev(2L, ts("2024-01-02 10:00:00"), 9.0)))
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.processAllAvailable() // one more cycle for the timeout batch
+    val afterB2 = spark.sql("SELECT user_id, n_events, sum_value FROM state_out")
+      .as[(Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(afterB2.contains((1L, 2L, 3.0)))
+    assert(afterB2.contains((1L, 1L, 4.0)), s"timeout session missing: $afterB2")
+  }
+
   test("streaming session_window matches batch sessionization session counts") {
     val rows = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
