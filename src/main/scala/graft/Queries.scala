@@ -1608,6 +1608,90 @@ object Queries {
     Some("""SELECT c_custkey AS key FROM customer
       INTERSECT SELECT s_suppkey FROM supplier"""))
 
+  /** BPE-ish subword token counting (letter runs / digit runs / symbols) —
+    * the pre-tokenizer shape of byte-pair encoders; identical regex
+    * semantics across Java regex and RE2. */
+  val q60BpeTokens = Q(
+    "q60_bpe_tokens",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("n_sub", size(Text.subwordTokens(col("text"))).cast("long"))
+        .groupBy("lang")
+        .agg(sum("n_sub").as("total_subwords"),
+          round(avg("n_sub"), 4).as("avg_subwords"),
+          count(lit(1)).as("n_docs")),
+    Some("""SELECT lang,
+        CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_subwords,
+        round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4) AS avg_subwords,
+        count(*) AS n_docs
+      FROM documents GROUP BY 1"""))
+
+  /** Winnowing document fingerprints (rolling-hash k-grams, sliding-window
+    * minima): per-doc fingerprint count and smallest fingerprint —
+    * the SIGMOD'03 scheme whose guarantee is that any shared substring of
+    * length >= k+w-1 produces a shared fingerprint. */
+  val q61Winnow = Q(
+    "q61_winnow",
+    (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        Text.winnowFingerprints(col("text"), k = 8, w = 4).as("fp"))
+        .select(col("doc_id"),
+          size(col("fp")).cast("long").as("n_fingerprints"),
+          array_min(col("fp")).as("min_fingerprint")),
+    Some("""WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+          CASE WHEN length(t) >= 8
+            THEN list_transform(generate_series(1, length(t) - 7),
+              i -> ('0x' || substr(md5('0:' || substr(t, CAST(i AS INT), 8)), 1, 15))::BIGINT)
+            ELSE CAST([] AS BIGINT[]) END AS h
+        FROM norm),
+      mins AS (
+        SELECT doc_id,
+          CASE WHEN len(h) >= 4
+            THEN list_distinct(list_transform(generate_series(1, len(h) - 3),
+              i -> least(h[CAST(i AS INT)], h[CAST(i AS INT) + 1],
+                         h[CAST(i AS INT) + 2], h[CAST(i AS INT) + 3])))
+            ELSE CAST([] AS BIGINT[]) END AS fp
+        FROM grams)
+      SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fingerprints,
+        list_min(fp) AS min_fingerprint
+      FROM mins"""))
+
+  /** Embedding centroids per label: elementwise mean via posexplode +
+    * two-level aggregation (the shuffle-backed path that scales to any
+    * vector count), reporting the centroid norm. */
+  val q62Centroids = Q(
+    "q62_centroids",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val byDim = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(avg(col("v").cast("double")).as("cv"))
+      val norms = byDim.groupBy("label")
+        .agg(round(sqrt(sum(col("cv") * col("cv"))), 6).as("centroid_norm"))
+      val counts = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      counts.join(norms, Seq("label"))
+        .select(col("label").cast("long").as("label"),
+          col("n_vecs"), col("centroid_norm"))
+    },
+    Some("""WITH idx AS (
+        SELECT label, embedding,
+          unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings),
+      dims AS (
+        SELECT label, pos,
+          avg(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)) AS cv
+        FROM idx GROUP BY 1, 2),
+      norms AS (
+        SELECT label, round(sqrt(sum(cv * cv)), 6) AS centroid_norm
+        FROM dims GROUP BY 1),
+      counts AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+      SELECT CAST(c.label AS BIGINT) AS label, c.n_vecs, n.centroid_norm
+      FROM counts c JOIN norms n ON c.label = n.label"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -1623,5 +1707,5 @@ object Queries {
     q47TabVariant, q48Gtfs, q49TransitPipeline, q50LinkedTrips,
     q51ReportAssembly, q52TodBucket, q53Sketches, q54Reconstruct,
     q55TripIdDisambig, q56Allocation, q57DemandAssembly, q58SkimProbe,
-    q59SetOps)
+    q59SetOps, q60BpeTokens, q61Winnow, q62Centroids)
 }

@@ -99,6 +99,41 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** BPE-ish subword tokenization: letter runs, digit runs, and single
+    * symbols — the shape of a byte-pair pre-tokenizer's coarse split.
+    * Same regex class evaluates identically under Java regex and RE2. */
+  def subwordTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+
+  /** Character k-gram shingles (zip_with construction — see wordShingles
+    * for why transform(sequence...) is not used). */
+  def charShingles(c: Column, k: Int): Column = {
+    val chars = split(normalize(c), "")
+    val grams = (2 to k).foldLeft(chars) { (acc, j) =>
+      zip_with(acc, slice(chars, lit(j), greatest(size(chars) - (j - 1), lit(0))),
+        (x, y) => concat(x, y))
+    }
+    when(size(chars) >= k, slice(grams, lit(1), greatest(size(chars) - (k - 1), lit(0))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    * every char k-gram, take the min of each w-length sliding window of
+    * hashes, dedup. Guarantees any shared substring of length >= k+w-1
+    * yields a shared fingerprint — the rolling-hash document fingerprint
+    * for plagiarism/near-dup detection at scale. Pure array expressions.
+    */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
+    val hashes = transform(charShingles(c, k), g => md5Hash64(g, 0))
+    val mins = (2 to w).foldLeft(hashes) { (acc, j) =>
+      zip_with(acc, slice(hashes, lit(j), greatest(size(hashes) - (j - 1), lit(0))),
+        (x, y) => least(x, y))
+    }
+    array_distinct(
+      when(size(hashes) >= w, slice(mins, lit(1), greatest(size(hashes) - (w - 1), lit(0))))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
   /** One-pass token statistics via explode + conditional aggregation:
     * (id, n_tokens, one count column per named token set). For queries
     * scoring several token sets at once this beats repeated
