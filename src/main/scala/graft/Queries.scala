@@ -1692,6 +1692,48 @@ object Queries {
       SELECT CAST(c.label AS BIGINT) AS label, c.n_vecs, n.centroid_norm
       FROM counts c JOIN norms n ON c.label = n.label"""))
 
+  /** Int8 embedding quantization (the storage/serving compression step of
+    * an embedding pipeline): symmetric scale by max |v|, round to [-127,
+    * 127], report reconstruction error. Pure array expressions. */
+  val q63Quantize = Q(
+    "q63_quantize",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("maxabs",
+          aggregate(col("embedding"), lit(0.0d),
+            (acc, v) => greatest(acc, abs(v.cast("double")))))
+      val q = e.withColumn("quant",
+          transform(col("embedding"),
+            v => round(v.cast("double") / col("maxabs") * 127.0, 0).cast("int")))
+        .withColumn("mse",
+          aggregate(
+            zip_with(col("embedding"), col("quant"),
+              (v, qq) => pow(v.cast("double") - qq.cast("double") * col("maxabs") / 127.0, 2)),
+            lit(0.0d), (acc, x) => acc + x) / size(col("embedding")))
+      q.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("maxabs"), 6).as("avg_maxabs"),
+          round(avg("mse"), 9).as("avg_mse"))
+        .select(col("label").cast("long").as("label"), col("n"),
+          col("avg_maxabs"), col("avg_mse"))
+    },
+    Some("""WITH q AS (
+        SELECT label,
+          list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs,
+          embedding
+        FROM embeddings),
+      m AS (
+        SELECT label, maxabs,
+          list_sum(list_transform(embedding,
+            v -> power(CAST(v AS DOUBLE)
+              - round(CAST(v AS DOUBLE) / maxabs * 127.0)
+                * maxabs / 127.0, 2))) / len(embedding) AS mse
+        FROM q)
+      SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+        round(avg(maxabs), 6) AS avg_maxabs,
+        round(avg(mse), 9) AS avg_mse
+      FROM m GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -1707,5 +1749,5 @@ object Queries {
     q47TabVariant, q48Gtfs, q49TransitPipeline, q50LinkedTrips,
     q51ReportAssembly, q52TodBucket, q53Sketches, q54Reconstruct,
     q55TripIdDisambig, q56Allocation, q57DemandAssembly, q58SkimProbe,
-    q59SetOps, q60BpeTokens, q61Winnow, q62Centroids)
+    q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize)
 }
