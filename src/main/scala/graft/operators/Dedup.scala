@@ -78,13 +78,17 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         explode(array_distinct(Text.wordShingles(col(textCol), n))).as("shingle"))
       .withColumn("h0", pmod(Text.md5Hash64(col("shingle"), 0), lit(P)))
-    val perSeed = sh.select(col("id"), posexplode(array(coeffs.map { case (a, b) =>
-      pmod(col("h0") * a + b, lit(P))
-    }: _*)).as(Seq("seed", "h")))
-    perSeed.groupBy("id", "seed").agg(min("h").as("minh"))
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
-        x => x.getField("minh")).as("minhash"))
+    // k min-aggregates over one row per shingle — NOT a posexplode into
+    // k rows per shingle (k x the shuffle volume; measured 2x wall-clock).
+    // Map-side partial aggregation reduces each partition to one row per
+    // (doc, k mins) before the exchange.
+    val minAggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h0") * a + b, lit(P))).as(s"m$i")
+    }
+    sh.groupBy("id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("minhash"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature (`numBands` bands of
