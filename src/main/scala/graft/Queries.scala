@@ -1632,12 +1632,25 @@ object Queries {
     * length >= k+w-1 produces a shared fingerprint. */
   val q61Winnow = Q(
     "q61_winnow",
-    (s, d) =>
-      documents(s, d).select(col("doc_id"),
-        Text.winnowFingerprints(col("text"), k = 8, w = 4).as("fp"))
+    (s, d) => {
+      // staged: each heavy array (chars -> gram hashes) materializes
+      // behind an exchange so the next fold reads a bound attribute
+      // (see Text.winnowFromHashes)
+      val chars = documents(s, d)
+        .select(col("doc_id"),
+          split(Text.normalize(col("text")), "").as("chars"))
+        .repartition(col("doc_id"))
+      val hashed = chars
+        .select(col("doc_id"),
+          transform(Text.charShinglesFrom(col("chars"), 8),
+            g => Text.md5Hash64(g, 0)).as("h"))
+        .repartition(col("doc_id"))
+      hashed.select(col("doc_id"),
+          Text.winnowFromHashes(col("h"), w = 4).as("fp"))
         .select(col("doc_id"),
           size(col("fp")).cast("long").as("n_fingerprints"),
-          array_min(col("fp")).as("min_fingerprint")),
+          array_min(col("fp")).as("min_fingerprint"))
+    },
     Some("""WITH norm AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
         FROM documents),

@@ -105,10 +105,9 @@ object Text {
   def subwordTokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
 
-  /** Character k-gram shingles (zip_with construction — see wordShingles
-    * for why transform(sequence...) is not used). */
-  def charShingles(c: Column, k: Int): Column = {
-    val chars = split(normalize(c), "")
+  /** Character k-gram shingles from a materialized char-array attribute
+    * (see winnowFromHashes for why the staged form exists). */
+  def charShinglesFrom(chars: Column, k: Int): Column = {
     val grams = (2 to k).foldLeft(chars) { (acc, j) =>
       zip_with(acc, slice(chars, lit(j), greatest(size(chars) - (j - 1), lit(0))),
         (x, y) => concat(x, y))
@@ -117,14 +116,19 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
-    * every char k-gram, take the min of each w-length sliding window of
-    * hashes, dedup. Guarantees any shared substring of length >= k+w-1
-    * yields a shared fingerprint — the rolling-hash document fingerprint
-    * for plagiarism/near-dup detection at scale. Pure array expressions.
+  /** Single-expression char k-gram shingles (small inputs/tests). */
+  def charShingles(c: Column, k: Int): Column =
+    charShinglesFrom(split(normalize(c), ""), k)
+
+  /** Sliding-window minima over an ALREADY-MATERIALIZED hash array column
+    * (winnowing's second stage). `hashes` must be a bound attribute, not a
+    * computed expression: Catalyst's subexpression elimination does not
+    * cover higher-order-function trees, so a computed array referenced at
+    * each fold level is re-evaluated per level (measured 8x the md5
+    * pipeline per row — 55 s for 5000 docs). Callers stage the hash
+    * computation behind an exchange (repartition) first.
     */
-  def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
-    val hashes = transform(charShingles(c, k), g => md5Hash64(g, 0))
+  def winnowFromHashes(hashes: Column, w: Int): Column = {
     val mins = (2 to w).foldLeft(hashes) { (acc, j) =>
       zip_with(acc, slice(hashes, lit(j), greatest(size(hashes) - (j - 1), lit(0))),
         (x, y) => least(x, y))
@@ -133,6 +137,15 @@ object Text {
       when(size(hashes) >= w, slice(mins, lit(1), greatest(size(hashes) - (w - 1), lit(0))))
         .otherwise(array().cast("array<bigint>")))
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    * every char k-gram, take the min of each w-length sliding window of
+    * hashes, dedup. Guarantees any shared substring of length >= k+w-1
+    * yields a shared fingerprint. Single-expression form for small inputs
+    * and tests; production-path callers should stage via winnowFromHashes.
+    */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    winnowFromHashes(transform(charShingles(c, k), g => md5Hash64(g, 0)), w)
 
   /** One-pass token statistics via explode + conditional aggregation:
     * (id, n_tokens, one count column per named token set). For queries
