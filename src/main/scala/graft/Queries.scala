@@ -1747,6 +1747,24 @@ object Queries {
         round(avg(mse), 9) AS avg_mse
       FROM m GROUP BY 1"""))
 
+  /** Semi-structured JSON property extraction (events.props is a JSON
+    * string): schema-on-read with from_json, grouped rollup on the parsed
+    * field — the props-column pattern of event pipelines. */
+  val q64JsonProps = Q(
+    "q64_json_props",
+    (s, d) =>
+      events(s, d)
+        .withColumn("k",
+          from_json(col("props"), lit("k BIGINT")).getField("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("value"), 4).as("avg_value"),
+          max("k").as("max_k")),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        count(*) AS n, round(avg(value), 4) AS avg_value,
+        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -1762,5 +1780,6 @@ object Queries {
     q47TabVariant, q48Gtfs, q49TransitPipeline, q50LinkedTrips,
     q51ReportAssembly, q52TodBucket, q53Sketches, q54Reconstruct,
     q55TripIdDisambig, q56Allocation, q57DemandAssembly, q58SkimProbe,
-    q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize)
+    q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize,
+    q64JsonProps)
 }

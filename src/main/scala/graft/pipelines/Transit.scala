@@ -86,19 +86,27 @@ object Transit {
         when(col("OBSERVED") === 1, col("LOAD_DEP") * col("SERVMILES")))
   }
 
-  /** A1 rules: trip-stops -> trips. */
+  /** A1 rules: trip-stops -> trips, exercising the full method vocabulary
+    * the reference's 45-rule table uses (SFMuniDataAggregator.py:110-184):
+    * count/sum/mean plus order-deterministic first/last, min/max, and
+    * countDistinct. */
   val tripRules = Seq(
     AggRule("TRIP_STOPS", "SEQ", AggMethod.Count),
+    AggRule("N_SEQS", "SEQ", AggMethod.CountDistinct),
     AggRule("OBS_TRIP_STOPS", "OBSERVED", AggMethod.Sum),
     AggRule("ON", "ON", AggMethod.Sum),
     AggRule("OFF", "OFF", AggMethod.Sum),
+    AggRule("MAX_LOAD", "LOAD_DEP", AggMethod.Max),
+    AggRule("FIRST_ARR", "ARRIVAL_TIME", AggMethod.First),
+    AggRule("LAST_ARR", "ARRIVAL_TIME", AggMethod.Last),
     AggRule("RUNTIME", "RUNTIME", AggMethod.Sum),
     AggRule("ONTIME5", "ONTIME5", AggMethod.Mean),
     AggRule("PASSMILES", "PASSMILES", AggMethod.Sum))
 
   def aggregateToTrips(ts: DataFrame): DataFrame =
     RuleAgg.aggregate(ts,
-      Seq("DATE", "ROUTE_SHORT_NAME", "DIR", "TRIP"), tripRules)
+      Seq("DATE", "ROUTE_SHORT_NAME", "DIR", "TRIP"), tripRules,
+      order = Some("SEQ"))
 
   /** W8: weight observed trips so they represent all scheduled trips per
     * (DATE, ROUTE, DIR). */

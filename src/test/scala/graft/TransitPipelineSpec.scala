@@ -59,6 +59,12 @@ class TransitPipelineSpec extends SparkSpec {
     assert(t1._6 == 2.0)
     // unobserved trip has null weight
     assert(trips.where(col("TRIP") === 2).select("TRIP_WEIGHT").collect()(0).isNullAt(0))
+    // first/last/min/max/countDistinct rules (SEQ-ordered)
+    val t1b = trips.where(col("ROUTE_SHORT_NAME") === "10" && col("TRIP") === 1)
+      .select(col("N_SEQS"), col("MAX_LOAD"),
+        col("FIRST_ARR").cast("string"), col("LAST_ARR").cast("string"))
+      .as[(Long, Long, String, String)].collect()(0)
+    assert(t1b == ((3L, 6L, "2024-01-15 08:02:00", "2024-01-15 08:16:00")))
   }
 
   test("route_day and system_day: weighted cascade") {
