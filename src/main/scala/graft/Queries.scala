@@ -1765,6 +1765,28 @@ object Queries {
         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY 1"""))
 
+  /** The spark.sql entry point: ONE ANSI SQL text (TPC-H Q5 shape — a
+    * 6-way join across the full star schema) runs verbatim on both Spark
+    * SQL and DuckDB. Tables are registered as temp views from the sf dir. */
+  val q5SqlText = """SELECT r_name AS region, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2"""
+
+  val q65SqlInterface = Q(
+    "q65_sql_interface",
+    (s, d) => {
+      Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
+        .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(q5SqlText)
+    },
+    Some(q5SqlText))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -1781,5 +1803,5 @@ object Queries {
     q51ReportAssembly, q52TodBucket, q53Sketches, q54Reconstruct,
     q55TripIdDisambig, q56Allocation, q57DemandAssembly, q58SkimProbe,
     q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize,
-    q64JsonProps)
+    q64JsonProps, q65SqlInterface)
 }
