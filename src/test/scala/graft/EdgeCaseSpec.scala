@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.Joins
+import graft.sources.FixedWidth
+import graft.sources.FixedWidth.ColSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+/** Regression tests for the edge cases found in review: they pin the fixed
+  * behavior so it cannot silently regress. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoinBackward: NULL keys never match") {
+    val left = Seq((Option.empty[Long], ts("2024-01-01 10:00:00"), "nullkey"),
+      (Some(1L), ts("2024-01-01 10:00:00"), "match"))
+      .toDF("k", "t", "tag")
+    val right = Seq((Option.empty[Long], ts("2024-01-01 09:00:00"), 1.0),
+      (Some(1L), ts("2024-01-01 09:00:00"), 2.0))
+      .toDF("k", "rt", "p")
+    val out = Joins.asOfJoinBackward(left, right, Seq("k"), "t", "rt", Seq("p"))
+      .orderBy("tag").select("p").collect()
+    assert(out(0).getDouble(0) == 2.0) // real key matches
+    assert(out(1).isNullAt(0))         // null key must NOT match null key
+  }
+
+  test("asOfJoinBackward: null payload cells stay atomic (no row mixing)") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(5.0), Some(7.0)),
+      (1L, ts("2024-01-01 10:00:00"), Option.empty[Double], Some(9.0)))
+      .toDF("k", "rt", "a", "b")
+    val out = Joins.asOfJoinBackward(left, right, Seq("k"), "t", "rt", Seq("a", "b"))
+      .select("a", "b").collect()(0)
+    // latest row is (null, 9.0) — 'a' must NOT be backfilled from the older row
+    assert(out.isNullAt(0) && out.getDouble(1) == 9.0)
+  }
+
+  test("fixed-width writer raises on field overflow instead of truncating") {
+    val specs = Seq(ColSpec("x", 1, 3, LongType))
+    val df = Seq(12345L).toDF("x").select(FixedWidth.formatLine(specs).as("value"))
+    val e = intercept[Exception] { df.collect() }
+    assert(e.getMessage.contains("fixed-width overflow") ||
+      e.getCause != null && e.getCause.getMessage.contains("fixed-width overflow"))
+  }
+
+  test("tokens: null text yields zero tokens, not null") {
+    val df = Seq(Option.empty[String], Some("a b")).toDF("t")
+    val out = df.select(Text.tokenCount(col("t"))).as[Int].collect()
+    assert(out.toSeq == Seq(0, 2))
+  }
+
+  test("sessionize: sub-second gap at the threshold boundary is fractional") {
+    import graft.operators.Windows
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00.900"), 1L),
+      // 89.997 min later: whole-second truncation would read 90.0 and split
+      (1L, new Timestamp(Timestamp.valueOf("2024-01-01 10:00:00.900").getTime + 5399800L), 2L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Windows.sessionize(df, Seq("user_id"), "ts", Seq("event_id"), 90.0)
+      .select("session_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 1L), "fractional gap below threshold must not split")
+  }
+
+  test("winnowing guarantee: shared substring of length >= k+w-1 shares a fingerprint") {
+    val shared = "the quick brown fox jumps over it"
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different start $shared other tail")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), Text.winnowFingerprints(col("text"), 8, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+  }
+}
