@@ -17,6 +17,11 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val unknown = names -- Queries.all.map(_.name).toSet
+    if (unknown.nonEmpty) {
+      System.err.println(s"[prof] unknown query names: ${unknown.mkString(", ")}")
+      sys.exit(1)
+    }
     Queries.all.filter(q => names.contains(q.name)).foreach { q =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

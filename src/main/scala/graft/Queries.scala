@@ -81,8 +81,10 @@ object Queries {
     Some("""SELECT l_returnflag,
       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
       round(sum(l_extendedprice * l_quantity), 2) AS wsum_price,
-      (min(struct_pack(k := l_orderkey * 10 + l_linenumber, v := l_shipdate))).v AS first_ship,
-      (max(struct_pack(k := l_orderkey * 10 + l_linenumber, v := l_shipdate))).v AS last_ship,
+      (min(CASE WHEN l_shipdate IS NOT NULL
+        THEN struct_pack(k := l_orderkey * 10 + l_linenumber, v := l_shipdate) END)).v AS first_ship,
+      (max(CASE WHEN l_shipdate IS NOT NULL
+        THEN struct_pack(k := l_orderkey * 10 + l_linenumber, v := l_shipdate) END)).v AS last_ship,
       round(sum(l_quantity), 2) AS sum_w
       FROM lineitem GROUP BY 1"""))
 
@@ -1781,9 +1783,14 @@ object Queries {
   val q65SqlInterface = Q(
     "q65_sql_interface",
     (s, d) => {
-      Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
-        .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
-      s.sql(q5SqlText)
+      val views = Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
+      views.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+      // Dataset analysis is eager, so the view references are resolved to
+      // plans here; dropping the views right after keeps the shared
+      // session's namespace clean (no stale tables shadowing later sql())
+      val df = s.sql(q5SqlText)
+      views.foreach(s.catalog.dropTempView)
+      df
     },
     Some(q5SqlText))
 

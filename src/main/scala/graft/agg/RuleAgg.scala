@@ -75,8 +75,12 @@ object RuleAgg {
       // min/max of struct(orderKey, value): lexicographic, so ties in the
       // order key fall through to the value — fully deterministic even when
       // the order key is not unique (min_by/max_by are not, under ties).
-      case First         => min(struct(ord.as("k"), c.as("v"))).getField("v")
-      case Last          => max(struct(ord.as("k"), c.as("v"))).getField("v")
+      // Null values are skipped (the struct is nulled out), matching pandas
+      // GroupBy.first()/last() which return the first/last NON-NA value.
+      case First         =>
+        min(when(c.isNotNull, struct(ord.as("k"), c.as("v")))).getField("v")
+      case Last          =>
+        max(when(c.isNotNull, struct(ord.as("k"), c.as("v")))).getField("v")
       case Count         => count(lit(1))
       case CountDistinct => if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
       case CountNonZero  => count_if(c =!= lit(0))

@@ -88,15 +88,25 @@ object Text {
     */
   def wordShingles(c: Column, n: Int): Column = {
     require(n >= 1)
-    val toks = tokens(c)
-    val grams = (2 to n).foldLeft(toks) { (acc, k) =>
-      // zip pads the shorter side with null; concat propagates the null,
-      // so tail entries become null and are sliced off below
-      zip_with(acc, slice(toks, lit(k), greatest(size(toks) - (k - 1), lit(0))),
-        (x, y) => concat(x, lit(" "), y))
+    slidingFold(tokens(c), n, (x, y) => concat(x, lit(" "), y), "array<string>")
+  }
+
+  /** The shared n-length sliding fold over an array: combine each element
+    * with its (j-1)-shifted neighbor for j in 2..n, then trim the tail so
+    * only full windows remain. One implementation for word shingles, char
+    * shingles, and winnow minima — the zip_with construction exists because
+    * lambda bodies referencing outer expressions re-evaluate them per
+    * element (see wordShingles note).
+    */
+  private def slidingFold(
+      arr: Column, n: Int,
+      combine: (Column, Column) => Column,
+      emptyType: String): Column = {
+    val folded = (2 to n).foldLeft(arr) { (acc, j) =>
+      zip_with(acc, slice(arr, lit(j), greatest(size(arr) - (j - 1), lit(0))), combine)
     }
-    when(size(toks) >= n, slice(grams, lit(1), greatest(size(toks) - (n - 1), lit(0))))
-      .otherwise(array().cast("array<string>"))
+    when(size(arr) >= n, slice(folded, lit(1), greatest(size(arr) - (n - 1), lit(0))))
+      .otherwise(array().cast(emptyType))
   }
 
   /** BPE-ish subword tokenization: letter runs, digit runs, and single
@@ -107,14 +117,8 @@ object Text {
 
   /** Character k-gram shingles from a materialized char-array attribute
     * (see winnowFromHashes for why the staged form exists). */
-  def charShinglesFrom(chars: Column, k: Int): Column = {
-    val grams = (2 to k).foldLeft(chars) { (acc, j) =>
-      zip_with(acc, slice(chars, lit(j), greatest(size(chars) - (j - 1), lit(0))),
-        (x, y) => concat(x, y))
-    }
-    when(size(chars) >= k, slice(grams, lit(1), greatest(size(chars) - (k - 1), lit(0))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def charShinglesFrom(chars: Column, k: Int): Column =
+    slidingFold(chars, k, (x, y) => concat(x, y), "array<string>")
 
   /** Single-expression char k-gram shingles (small inputs/tests). */
   def charShingles(c: Column, k: Int): Column =
@@ -128,15 +132,8 @@ object Text {
     * pipeline per row — 55 s for 5000 docs). Callers stage the hash
     * computation behind an exchange (repartition) first.
     */
-  def winnowFromHashes(hashes: Column, w: Int): Column = {
-    val mins = (2 to w).foldLeft(hashes) { (acc, j) =>
-      zip_with(acc, slice(hashes, lit(j), greatest(size(hashes) - (j - 1), lit(0))),
-        (x, y) => least(x, y))
-    }
-    array_distinct(
-      when(size(hashes) >= w, slice(mins, lit(1), greatest(size(hashes) - (w - 1), lit(0))))
-        .otherwise(array().cast("array<bigint>")))
-  }
+  def winnowFromHashes(hashes: Column, w: Int): Column =
+    array_distinct(slidingFold(hashes, w, (x, y) => least(x, y), "array<bigint>"))
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
     * every char k-gram, take the min of each w-length sliding window of

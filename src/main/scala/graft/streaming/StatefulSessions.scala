@@ -38,7 +38,13 @@ object StatefulSessions {
         val t = e.ts.getTime
         cur = cur match {
           case Some(s) if t - s.lastMs < gapMs =>
-            Some(s.copy(lastMs = t, n = s.n + 1, sum = s.sum + e.value))
+            // out-of-order (but not late) events must EXTEND the session
+            // bounds, never rewind them — lastMs going backwards would
+            // emit end_ts earlier than contained events and fire the
+            // event-time timeout early
+            Some(s.copy(startMs = math.min(s.startMs, t),
+              lastMs = math.max(s.lastMs, t),
+              n = s.n + 1, sum = s.sum + e.value))
           case Some(s) =>
             closed ::= close(key, s)
             Some(OpenSession(t, t, 1, e.value))

@@ -49,6 +49,20 @@ class RuleAggSpec extends SparkSpec {
     assert(out.getDouble(1) == 1.0 && out.getDouble(2) == 3.0)
   }
 
+  test("first/last skip nulls like pandas GroupBy.first/last") {
+    val withNulls = Seq(
+      ("a", Option.empty[Double], 1L),  // first position is null
+      ("a", Some(2.0), 2L),
+      ("a", Some(3.0), 3L),
+      ("a", Option.empty[Double], 4L)   // last position is null
+    ).toDF("k", "x", "ord")
+    val out = RuleAgg.aggregate(withNulls, Seq("k"), Seq(
+      AggRule("f", "x", AggMethod.First),
+      AggRule("l", "x", AggMethod.Last)),
+      order = Some("ord")).collect()(0)
+    assert(out.getDouble(1) == 2.0 && out.getDouble(2) == 3.0)
+  }
+
   test("maxLevel filters rules") {
     val out = RuleAgg.aggregate(df, Seq("k"), Seq(
       AggRule("s", "x", AggMethod.Sum, maxLevel = 2),

@@ -45,6 +45,27 @@ class SinksStreamingSpec extends SparkSpec {
       (ts("2024-01-01 10:00:00"), "b", 1L)))
   }
 
+  test("stateful session update: out-of-order events extend, never rewind") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.{Ev, OpenSession}
+    import org.apache.spark.sql.streaming.TestGroupState
+    val state = TestGroupState.create[OpenSession](
+      optionalState = org.apache.spark.api.java.Optional.of(OpenSession(
+        ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:00:00").getTime, 1, 1.0)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+      hasTimedOut = false)
+    // an out-of-order event 30s BEFORE the session's last event
+    val out = StatefulSessions.update(90 * 60000L)(
+      1L, Iterator(Ev(1L, ts("2024-01-01 09:59:30"), 2.0)), state).toSeq
+    assert(out.isEmpty)
+    val s = state.get
+    assert(s.lastMs == ts("2024-01-01 10:00:00").getTime, "lastMs must not rewind")
+    assert(s.startMs == ts("2024-01-01 09:59:30").getTime, "startMs extends back")
+    assert(s.n == 2 && s.sum == 3.0)
+  }
+
   test("flatMapGroupsWithState closes sessions across batches and on timeout") {
     import graft.streaming.StatefulSessions
     import graft.streaming.StatefulSessions.Ev
