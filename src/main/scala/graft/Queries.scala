@@ -1794,6 +1794,45 @@ object Queries {
     },
     Some(q5SqlText))
 
+  /** §3.3 estimation file + E14 data patches: the model-input assembly
+    * (writeSFMuniEstimationFile, TransitReporter.py:2059-2099) — monthly
+    * measures joined with explicit event-dummy columns and a targeted
+    * hand-patch (the reference pins known data problems to specific months,
+    * e.g. the BART-strike dummies and the Dec-2009 fill). */
+  val q66EstimationFile = Q(
+    "q66_estimation_file",
+    (s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(sum("o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      monthly
+        // E14-style targeted patch: a known-bad month is overridden by a
+        // documented ratio adjustment
+        .withColumn("revenue_patched",
+          when(col("month") === lit("1997-07-01").cast("timestamp"),
+            col("revenue") * 1.1).otherwise(col("revenue")))
+        // event dummies for estimation
+        .withColumn("strike_dummy",
+          (col("month") === lit("1997-07-01").cast("timestamp")).cast("int"))
+        .withColumn("post2000_dummy", (year(col("month")) >= 2000).cast("int"))
+        .withColumn("trend",
+          (year(col("month")) * 12 + month(col("month")) - lit(1995 * 12 + 1)).cast("long"))
+        .select(col("month"), round(col("revenue_patched"), 2).as("revenue_patched"),
+          col("n_orders"), col("strike_dummy"), col("post2000_dummy"), col("trend"))
+    },
+    Some("""WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+          sum(o_totalprice) AS revenue, count(*) AS n_orders
+        FROM orders GROUP BY 1)
+      SELECT month,
+        round(CASE WHEN month = TIMESTAMP '1997-07-01' THEN revenue * 1.1
+              ELSE revenue END, 2) AS revenue_patched,
+        n_orders,
+        CAST(CASE WHEN month = TIMESTAMP '1997-07-01' THEN 1 ELSE 0 END AS INT) AS strike_dummy,
+        CAST(CASE WHEN year(month) >= 2000 THEN 1 ELSE 0 END AS INT) AS post2000_dummy,
+        CAST(year(month) * 12 + month(month) - 23941 AS BIGINT) AS trend
+      FROM m"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -1810,5 +1849,5 @@ object Queries {
     q51ReportAssembly, q52TodBucket, q53Sketches, q54Reconstruct,
     q55TripIdDisambig, q56Allocation, q57DemandAssembly, q58SkimProbe,
     q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize,
-    q64JsonProps, q65SqlInterface)
+    q64JsonProps, q65SqlInterface, q66EstimationFile)
 }
