@@ -65,7 +65,9 @@ object Graph {
       val newPairs = expanded.join(known, Seq("src", "dst"), "left_anti")
         .groupBy("src", "dst").agg(min("hops").as("hops"))
         .cache()
-      if (newPairs.isEmpty) { newPairs.unpersist(); done = true }
+      // count() both materializes the cache and answers the emptiness
+      // check — isEmpty would be a separate job per iteration
+      if (newPairs.count() == 0) { newPairs.unpersist(); done = true }
       else {
         val prevKnown = known
         val prevFrontier = frontier
