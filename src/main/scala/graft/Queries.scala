@@ -1833,6 +1833,63 @@ object Queries {
         CAST(year(month) * 12 + month(month) - 23941 AS BIGINT) AS trend
       FROM m"""))
 
+  /** T7 — ratio-based extrapolation (MultiModalHelper.py:216-238): where a
+    * trusted series (lineitem revenue) has gaps, estimate it from a proxy
+    * series (orders revenue) scaled by the observed ratio, forward- AND
+    * backward-filled to cover leading/trailing gaps. */
+  val q67RatioExtrapolation = Q(
+    "q67_ratio_extrapolation",
+    (s, d) => {
+      val o = orders(s, d)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(sum("o_totalprice").as("proxy"))
+      val li = lineitem(s, d)
+        .groupBy(date_trunc("MONTH", col("l_shipdate")).as("month"))
+        .agg(sum(rev).as("trusted"))
+      // deterministic knockout: trusted missing every 4th month
+      val joined = o.join(li, Seq("month"), "left")
+        .withColumn("trusted_obs",
+          when(month(col("month")) % 4 === 0, lit(null)).otherwise(col("trusted")))
+        .withColumn("ratio", col("trusted_obs") / col("proxy"))
+      val wAll = Window.orderBy(col("month"))
+      val filled = joined
+        .withColumn("ratio_f",
+          coalesce(
+            last(col("ratio"), ignoreNulls = true)
+              .over(wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            first(col("ratio"), ignoreNulls = true)
+              .over(wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing))))
+      filled.select(col("month"),
+        round(coalesce(col("trusted_obs"), col("proxy") * col("ratio_f")), 2)
+          .as("trusted_extrapolated"),
+        (col("trusted_obs").isNull).cast("int").as("extrapolated"))
+    },
+    Some("""WITH o AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+          sum(o_totalprice) AS proxy
+        FROM orders GROUP BY 1),
+      li AS (
+        SELECT date_trunc('month', l_shipdate) AS month,
+          sum(l_extendedprice * (1.0 - l_discount)) AS trusted
+        FROM lineitem GROUP BY 1),
+      j AS (
+        SELECT o.month, o.proxy,
+          CASE WHEN month(o.month) % 4 = 0 THEN NULL ELSE li.trusted END AS trusted_obs
+        FROM o LEFT JOIN li ON o.month = li.month),
+      r AS (
+        SELECT month, proxy, trusted_obs, trusted_obs / proxy AS ratio FROM j),
+      f AS (
+        SELECT month, proxy, trusted_obs,
+          COALESCE(
+            last_value(ratio IGNORE NULLS) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING),
+            first_value(ratio IGNORE NULLS) OVER (ORDER BY month
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS ratio_f
+        FROM r)
+      SELECT month,
+        round(COALESCE(trusted_obs, proxy * ratio_f), 2) AS trusted_extrapolated,
+        CAST(CASE WHEN trusted_obs IS NULL THEN 1 ELSE 0 END AS INT) AS extrapolated
+      FROM f"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -1849,5 +1906,5 @@ object Queries {
     q51ReportAssembly, q52TodBucket, q53Sketches, q54Reconstruct,
     q55TripIdDisambig, q56Allocation, q57DemandAssembly, q58SkimProbe,
     q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize,
-    q64JsonProps, q65SqlInterface, q66EstimationFile)
+    q64JsonProps, q65SqlInterface, q66EstimationFile, q67RatioExtrapolation)
 }
