@@ -42,7 +42,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // n_queries/mean give cross-round comparability: the catalog grows
+    // every round, so raw total seconds alone would read as a regression
+    val mean = if (results.nonEmpty) total / results.size else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_per_query":$mean,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
