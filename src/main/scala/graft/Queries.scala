@@ -29,6 +29,25 @@ object Queries {
 
   private def rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Exact money sum: per-row cast to decimal(18,6) (deterministic), exact
+    * decimal aggregation (order-independent), one cast back to double.
+    * Plain double sums differ between engines in the last ulp, which flips
+    * the final cent at the rounding boundary once magnitudes reach ~1e8
+    * (observed at sf0.1: 5/400 rows off by 0.01). SQL mirror:
+    * CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE). */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Exact revenue term: price and discount are true 2-decimal quantities,
+    * so casting EACH to decimal before multiplying is boundary-safe and
+    * the product is exact — casting the noisy double product
+    * price*(1-disc) to decimal is NOT (its last-ulp noise straddles cast
+    * boundaries; 1 in ~400 groups flipped a cent at sf0.1). SQL mirror:
+    * CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))). */
+  private def revDec: Column =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1.00).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+
   // ---------------------------------------------------------------- §2.5 agg
   /** A1-A17 core: the rule-driven aggregation engine on lineitem. */
   val q01RuleaggBasic = Q(
@@ -101,13 +120,14 @@ object Queries {
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"),
           date_trunc("MONTH", col("o_orderdate")).as("month"))
-        .agg(round(sum(rev), 2).as("revenue"),
+        .agg(round(sum(revDec), 2).cast("double").as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_rows"))
     },
     Some("""SELECT c_mktsegment,
       date_trunc('month', o_orderdate) AS month,
-      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1.00 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
       count(*) AS n_rows
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -224,18 +244,24 @@ object Queries {
   val q09Cumload = Q(
     "q09_cumload",
     (s, d) =>
+      // value is a true 2-decimal quantity: decimal cums are exact and
+      // order-independent. avg is NOT emitted — sum/count of 2-decimal
+      // data lands exactly on .xxx25/.xxx75 rounding halves, where the
+      // engines' double-rounding implementations systematically disagree.
       Windows.runningSum(events(s, d), Seq("user_id"), Seq("ts", "event_id"),
-          col("value"), "cum_value")
+          col("value").cast("decimal(18,2)"), "cum_value")
         .groupBy("user_id")
-        .agg(round(max("cum_value"), 4).as("max_cum"),
-          round(avg("cum_value"), 4).as("avg_cum")),
+        .agg(round(max("cum_value").cast("double"), 2).as("max_cum"),
+          round(sum("cum_value").cast("double"), 2).as("sum_cum"),
+          count(lit(1)).as("n")),
     Some("""WITH c AS (
         SELECT user_id,
-          sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS UNBOUNDED PRECEDING) AS cum_value
+          sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cum_value
         FROM events)
-      SELECT user_id, round(max(cum_value), 4) AS max_cum,
-             round(avg(cum_value), 4) AS avg_cum
+      SELECT user_id, round(CAST(max(cum_value) AS DOUBLE), 2) AS max_cum,
+             round(CAST(sum(cum_value) AS DOUBLE), 2) AS sum_cum,
+             count(*) AS n
       FROM c GROUP BY 1"""))
 
   /** W8 — expansion weighting: scale weights so weighted totals match raw
@@ -272,7 +298,7 @@ object Queries {
       val monthly = orders(s, d)
         .groupBy((col("o_custkey") % 10).as("grp"),
           date_trunc("MONTH", col("o_orderdate")).as("month"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+        .agg(round(dsum(col("o_totalprice")), 2).as("revenue"))
       val full = TimeSeries.resampleMonthly(monthly, Seq("grp"), "month")
       Windows.imputeCarryForward(full, Seq("grp"), Seq("month"),
           observed = col("revenue").isNotNull, valueCols = Seq("revenue"))
@@ -282,7 +308,7 @@ object Queries {
     Some("""WITH monthly AS (
         SELECT o_custkey % 10 AS grp,
                date_trunc('month', o_orderdate) AS month,
-               round(sum(o_totalprice), 2) AS revenue
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
         FROM orders GROUP BY 1, 2),
       spine AS (
         SELECT g.grp, m.month
@@ -309,15 +335,15 @@ object Queries {
     (s, d) => {
       val monthly = orders(s, d)
         .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
-        .agg(round(sum("o_totalprice"), 2).as("raw"))
+        .agg(round(dsum(col("o_totalprice")), 2).as("raw"))
         .withColumn("value", when(month(col("month")) % 3 === 1, lit(null)).otherwise(col("raw")))
         .withColumn("idx", year(col("month")) * 12 + month(col("month")))
       TimeSeries.interpolateLinear(monthly, Seq.empty, "idx", "value", "value_interp")
-        .select(col("month"), round(col("value_interp"), 2).as("value_interp"))
+        .select(col("month"), round(col("value_interp"), 4).as("value_interp"))
     },
     Some("""WITH monthly AS (
         SELECT date_trunc('month', o_orderdate) AS month,
-          round(sum(o_totalprice), 2) AS raw
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS raw
         FROM orders GROUP BY 1),
       masked AS (
         SELECT month,
@@ -336,7 +362,7 @@ object Queries {
       SELECT month, round(COALESCE(value,
         CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
              THEN pv + (nv - pv) * (t - pt) / (nt - pt) END,
-        pv, nv), 2) AS value_interp
+        pv, nv), 4) AS value_interp
       FROM w"""))
 
   /** T3 — step-function forward fill over the month spine with
@@ -469,7 +495,7 @@ object Queries {
     (s, d) => {
       val monthly = orders(s, d)
         .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
-        .agg(sum("o_totalprice").as("revenue"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
       val withCpi = monthly.withColumn("cpi",
         lit(100.0) + lit(0.25) *
           (year(col("month")) * 12 + month(col("month")) - lit(1995 * 12 + 1)))
@@ -480,7 +506,7 @@ object Queries {
     },
     Some("""WITH monthly AS (
         SELECT date_trunc('month', o_orderdate) AS month,
-               sum(o_totalprice) AS revenue
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         FROM orders GROUP BY 1),
       c AS (SELECT month, revenue,
         100.0 + 0.25 * (year(month) * 12 + month(month) - 23941) AS cpi
@@ -722,12 +748,14 @@ object Queries {
       val g = Window.partitionBy(col("user_id"), col("event_type"))
       events(s, d)
         .withColumn("n_type_events", count(lit(1)).over(g))
-        .withColumn("value_share", round(col("value") / sum("value").over(g), 6))
+        .withColumn("value_share", round(col("value") /
+          sum(col("value").cast("decimal(18,6)")).over(g).cast("double"), 6))
         .select("event_id", "user_id", "event_type", "n_type_events", "value_share")
     },
     Some("""SELECT event_id, user_id, event_type,
         count(*) OVER (PARTITION BY user_id, event_type) AS n_type_events,
-        round(value / sum(value) OVER (PARTITION BY user_id, event_type), 6) AS value_share
+        round(value / CAST(sum(CAST(value AS DECIMAL(18,6)))
+          OVER (PARTITION BY user_id, event_type) AS DOUBLE), 6) AS value_share
       FROM events"""))
 
   /** Left-anti join — missing-dimension-member audit
@@ -747,20 +775,22 @@ object Queries {
     (s, d) => {
       val a = orders(s, d)
         .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
-        .agg(round(sum("o_totalprice"), 2).as("value"))
+        .agg(round(dsum(col("o_totalprice")), 2).as("value"))
         .withColumn("measure", lit("orders_rev"))
       val b = lineitem(s, d)
         .groupBy(date_trunc("MONTH", col("l_shipdate")).as("month"))
-        .agg(round(sum(rev), 2).as("value"))
+        .agg(round(sum(revDec), 2).cast("double").as("value"))
         .withColumn("measure", lit("lineitem_rev"))
       a.unionByName(b)
     },
     Some("""SELECT date_trunc('month', o_orderdate) AS month,
-        round(sum(o_totalprice), 2) AS value, 'orders_rev' AS measure
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS value,
+        'orders_rev' AS measure
       FROM orders GROUP BY 1
       UNION ALL
       SELECT date_trunc('month', l_shipdate) AS month,
-        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS value,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1.00 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS value,
         'lineitem_rev' AS measure
       FROM lineitem GROUP BY 1"""))
 
@@ -1335,9 +1365,9 @@ object Queries {
     (s, d) => {
       val m = (c: Column) => date_trunc("MONTH", c).as("month")
       val oRev = orders(s, d).groupBy(m(col("o_orderdate")))
-        .agg(sum("o_totalprice").as("orders_rev"), count(lit(1)).as("n_orders"))
+        .agg(dsum(col("o_totalprice")).as("orders_rev"), count(lit(1)).as("n_orders"))
       val liRev = lineitem(s, d).groupBy(m(col("l_shipdate")))
-        .agg(sum(rev).as("lineitem_rev"))
+        .agg(round(sum(revDec), 2).cast("double").as("lineitem_rev"))
       val ev = events(s, d).groupBy(m(col("ts")))
         .agg(count(lit(1)).as("n_events"), sum("value").as("event_value"))
       val assembled = oRev
@@ -1347,16 +1377,21 @@ object Queries {
         round(col("orders_rev"), 2).as("orders_rev"),
         round(col("lineitem_rev"), 2).as("lineitem_rev"),
         col("n_orders"), col("n_events"),
-        round(col("orders_rev") / col("n_orders"), 4).as("rev_per_order"),
+        // floor-scaling, not round(): 2dp-sum / int quotients terminate
+        // exactly on rounding halves (…41875), where engine rounding
+        // implementations disagree; floor of identical doubles is identical
+        (floor(col("orders_rev") / col("n_orders") * 10000) / 10000).as("rev_per_order"),
         round(col("lineitem_rev") / col("orders_rev"), 6).as("li_share"))
     },
     Some("""WITH o AS (
         SELECT date_trunc('month', o_orderdate) AS month,
-          sum(o_totalprice) AS orders_rev, count(*) AS n_orders
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS orders_rev,
+          count(*) AS n_orders
         FROM orders GROUP BY 1),
       li AS (
         SELECT date_trunc('month', l_shipdate) AS month,
-          sum(l_extendedprice * (1.0 - l_discount)) AS lineitem_rev
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1.00 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS lineitem_rev
         FROM lineitem GROUP BY 1),
       ev AS (
         SELECT date_trunc('month', ts) AS month,
@@ -1366,7 +1401,7 @@ object Queries {
         round(orders_rev, 2) AS orders_rev,
         round(lineitem_rev, 2) AS lineitem_rev,
         n_orders, n_events,
-        round(orders_rev / n_orders, 4) AS rev_per_order,
+        floor(orders_rev / n_orders * 10000) / 10000 AS rev_per_order,
         round(lineitem_rev / orders_rev, 6) AS li_share
       FROM o FULL OUTER JOIN li ON o.month = li.month
       FULL OUTER JOIN ev ON COALESCE(o.month, li.month) = ev.month"""))
@@ -1465,7 +1500,10 @@ object Queries {
           gapMinutes = 60.0, sessionCol = "trip_id")
         .withColumn("dur_s",
           max(col("ts").cast("double")).over(g) - min(col("ts").cast("double")).over(g))
-        .withColumn("alloc_s", col("dur_s") * col("value") / sum("value").over(g))
+        .withColumn("__sumv",
+          sum(col("value").cast("decimal(18,6)")).over(g).cast("double"))
+        .withColumn("alloc_s",
+          when(col("__sumv") =!= 0, col("dur_s") * col("value") / col("__sumv")))
         .groupBy("user_id", "trip_id")
         .agg(count(lit(1)).as("n_legs"),
           round(sum("alloc_s"), 4).as("alloc_total_s"),
@@ -1486,8 +1524,10 @@ object Queries {
       a AS (
         SELECT user_id, trip_id, value,
           max(epoch(ts)) OVER g - min(epoch(ts)) OVER g AS dur_s,
-          (max(epoch(ts)) OVER g - min(epoch(ts)) OVER g)
-            * value / sum(value) OVER g AS alloc_s
+          CASE WHEN CAST(sum(CAST(value AS DECIMAL(18,6))) OVER g AS DOUBLE) <> 0
+            THEN (max(epoch(ts)) OVER g - min(epoch(ts)) OVER g)
+              * value / CAST(sum(CAST(value AS DECIMAL(18,6))) OVER g AS DOUBLE)
+          END AS alloc_s
         FROM t WINDOW g AS (PARTITION BY user_id, trip_id))
       SELECT user_id, trip_id, count(*) AS n_legs,
         round(sum(alloc_s), 4) AS alloc_total_s,
@@ -1804,7 +1844,7 @@ object Queries {
     (s, d) => {
       val monthly = orders(s, d)
         .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
-        .agg(sum("o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       monthly
         // E14-style targeted patch: a known-bad month is overridden by a
         // documented ratio adjustment
@@ -1822,7 +1862,8 @@ object Queries {
     },
     Some("""WITH m AS (
         SELECT date_trunc('month', o_orderdate) AS month,
-          sum(o_totalprice) AS revenue, count(*) AS n_orders
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+          count(*) AS n_orders
         FROM orders GROUP BY 1)
       SELECT month,
         round(CASE WHEN month = TIMESTAMP '1997-07-01' THEN revenue * 1.1
@@ -1842,10 +1883,10 @@ object Queries {
     (s, d) => {
       val o = orders(s, d)
         .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
-        .agg(sum("o_totalprice").as("proxy"))
+        .agg(dsum(col("o_totalprice")).as("proxy"))
       val li = lineitem(s, d)
         .groupBy(date_trunc("MONTH", col("l_shipdate")).as("month"))
-        .agg(sum(rev).as("trusted"))
+        .agg(round(sum(revDec), 2).cast("double").as("trusted"))
       // deterministic knockout: trusted missing every 4th month
       val joined = o.join(li, Seq("month"), "left")
         .withColumn("trusted_obs",
@@ -1866,11 +1907,12 @@ object Queries {
     },
     Some("""WITH o AS (
         SELECT date_trunc('month', o_orderdate) AS month,
-          sum(o_totalprice) AS proxy
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS proxy
         FROM orders GROUP BY 1),
       li AS (
         SELECT date_trunc('month', l_shipdate) AS month,
-          sum(l_extendedprice * (1.0 - l_discount)) AS trusted
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1.00 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS trusted
         FROM lineitem GROUP BY 1),
       j AS (
         SELECT o.month, o.proxy,
