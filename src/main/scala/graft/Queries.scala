@@ -1294,12 +1294,21 @@ object Queries {
         .run(s, "/root/repo/tmp/transit")("system_day")
       out.select(col("DATE").cast("timestamp").as("date"),
         col("TRIPS"), col("ON"),
-        round(col("ONTIME5"), 6).as("ONTIME5"), col("PASSMILES"))
+        round(col("ONTIME5"), 6).as("ONTIME5"), col("PASSMILES"),
+        round(col("PASSHOURS"), 6).as("PASSHOURS"),
+        round(col("WAITHOURS"), 6).as("WAITHOURS"),
+        col("FULLFARE_REV"), col("PASSDELAY_DEP"), col("PASSDELAY_ARR"),
+        round(col("VC"), 6).as("VC"),
+        round(col("CROWDED"), 6).as("CROWDED"),
+        round(col("CROWDHOURS"), 6).as("CROWDHOURS"))
     },
     Some("""SELECT * FROM (VALUES
-        (TIMESTAMP '2024-01-15 00:00:00', 3.0, 17.0, 0.777778, 12.5),
-        (TIMESTAMP '2024-02-15 00:00:00', 1.0, 4.0, 1.0, 2.0))
-      t(date, TRIPS, "ON", ONTIME5, PASSMILES)"""))
+        (TIMESTAMP '2024-01-15 00:00:00', 3.0, 17.0, 0.777778, 11.0,
+         2.466667, 1.416667, 42.5, 51.0, 39.0, 0.666667, 0.666667, 1.6),
+        (TIMESTAMP '2024-02-15 00:00:00', 1.0, 4.0, 1.0, 0.0,
+         0.0, 0.333333, 10.0, 4.0, 0.0, 0.0, 0.0, 0.0))
+      t(date, TRIPS, "ON", ONTIME5, PASSMILES, PASSHOURS, WAITHOURS,
+        FULLFARE_REV, PASSDELAY_DEP, PASSDELAY_ARR, VC, CROWDED, CROWDHOURS)"""))
 
   /** Clipper linked-trip flow (ClipperHelper.py:177-258): W4 transfer
     * sessionization (gap < 90 min = transfer), From_* attribute carry via

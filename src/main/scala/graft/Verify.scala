@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated name substrings to run a subset
+    // (local iteration only — the driver always passes two args = run all)
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +21,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
       // Timestamps go out as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false):
       // with a UTC session this is a wall-clock no-op but makes the files
       // physically identical to DuckDB's µs-naive TIMESTAMP, so the

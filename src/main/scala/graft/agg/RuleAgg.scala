@@ -35,7 +35,11 @@ object AggMethod {
   /** wgtSum: sum(w * x) (SFMuniDataAggregator.py:1113-1125,1149-1150). */
   case object WgtSum        extends AggMethod
   /** wgtAvg: sum(w * x) / sum(w) (SFMuniDataAggregator.py:1162-1165).
-    * Null x rows drop out of the numerator only — same as pandas skipna. */
+    * The numerator skips null-x rows (pandas skipna on the w*x sum) but the
+    * denominator is the TOTAL weight of the group — the reference divides by
+    * `aggregated[weight]`, the plain sum of w over every row. A group whose
+    * total weight is 0 yields null (pandas would produce inf/NaN; ANSI Spark
+    * would throw, so we guard). */
   case object WgtAvg        extends AggMethod
   /** Escape hatch for one-off aggregate expressions. */
   final case class Custom(build: String => Column) extends AggMethod
@@ -85,7 +89,7 @@ object RuleAgg {
       case CountDistinct => if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
       case CountNonZero  => count_if(c =!= lit(0))
       case WgtSum        => sum(c * w)
-      case WgtAvg        => sum(c * w) / sum(when(c.isNotNull, w))
+      case WgtAvg        => { val tw = sum(w); when(tw =!= 0, sum(c * w) / tw) }
       case Custom(f)     => f(rule.in)
     }
     e.as(rule.out)

@@ -67,6 +67,10 @@ object Spatial {
       .agg(min(struct(col("dist"), col("point_id"))).as("b"))
       .select(col("probe_id"), col("b.point_id").as("point_id"), col("b.dist").as("dist"))
 
-    resolved.unionByName(brute)
+    // left-join back onto the probe set so every probe appears exactly once
+    // — with an empty corpus both passes emit zero rows, and the contract
+    // is (probe, null, null), not a dropped probe
+    p.select("probe_id")
+      .join(resolved.unionByName(brute), Seq("probe_id"), "left")
   }
 }

@@ -82,12 +82,17 @@ object Windows {
     * (SFMuniDataExpander.py:122-166,600-619):
     * `w' = w * sum(target) over G / sum(w * target) over G`.
     * A single partition-only window — one shuffle, no joins.
+    *
+    * A group whose weighted target sums to zero (all-zero targets or
+    * weights) has no scale factor; such rows keep their raw weight rather
+    * than going null/Infinity and poisoning downstream rollups.
     */
   def scaleWeightsToTotals(
       df: DataFrame, group: Seq[String], weight: String, target: String,
       out: String = "weight_scaled"): DataFrame = {
     val g = Window.partitionBy(group.map(col): _*)
-    val factor = sum(col(target)).over(g) / sum(col(weight) * col(target)).over(g)
+    val denom = sum(col(weight) * col(target)).over(g)
+    val factor = when(denom =!= 0, sum(col(target)).over(g) / denom).otherwise(1.0)
     df.withColumn(out, col(weight) * factor)
   }
 

@@ -37,6 +37,15 @@ object Transit {
         Exprs.serviceTime(col("DATE"), col("ARRIVAL_TIME_INT")))     // E1
       .withColumn("DEPARTURE_TIME",
         Exprs.serviceTime(col("DATE"), col("DEPARTURE_TIME_INT")))
+      // arriving load (SFMuniDataHelper.py:504): what's on board as the
+      // vehicle pulls in — the passenger-miles/VC load basis downstream
+      .withColumn("LOAD_ARR", col("LOAD_DEP") - col("ON") + col("OFF"))
+      // dwell minutes; the reference zeroes the AVL DWELL field at SEQ==1
+      // and EOL (SFMuniDataHelper.py:509-511) — our synthetic AVL has no
+      // DWELL field, so derive it from the dep-arr gap with the same zeroing
+      .withColumn("DWELL",
+        when(col("SEQ") === 1, 0.0).otherwise(
+          (col("DEPARTURE_TIME").cast("double") - col("ARRIVAL_TIME").cast("double")) / 60.0))
     // F8 dedup — deterministic: bare dropDuplicates keeps a shuffle-order-
     // dependent row; keep the lexicographically-first record per key instead
     val dedupKey = Seq("DATE", "ROUTE_AVL", "DIR", "TRIP", "SEQ")
@@ -56,34 +65,68 @@ object Transit {
 
   /** expand: schedule trip-stops ⟕ cleaned AVL on the expansion key, then
     * derived measures. `sched` carries SCHED_ARR/SCHED_DEP minutes since
-    * service midnight per (DATE, ROUTE, DIR, TRIP, SEQ). */
+    * service midnight plus HEADWAY_S (scheduled headway, min) and FARE per
+    * (DATE, ROUTE, DIR, TRIP, SEQ). */
   def expand(sched: DataFrame, cleaned: DataFrame): DataFrame = {
     val key = Seq("DATE", "ROUTE_SHORT_NAME", "DIR", "TRIP", "SEQ")
     val obs = cleaned.select(
       (key.map(col) :+ col("ARRIVAL_TIME") :+ col("DEPARTURE_TIME") :+
-        col("ON") :+ col("OFF") :+ col("LOAD_DEP")): _*)
+        col("ON") :+ col("OFF") :+ col("LOAD_DEP") :+ col("LOAD_ARR") :+
+        col("DWELL") :+ col("CAPACITY")): _*)
     val joined = sched.join(obs, key, "left")
       .withColumn("OBSERVED", col("ARRIVAL_TIME").isNotNull.cast("int"))
     val runtimed = Windows.runtimeMinutes(joined,
       Seq("DATE", "ROUTE_SHORT_NAME", "DIR", "TRIP"), Seq("SEQ"),
       "ARRIVAL_TIME", "DEPARTURE_TIME", out = "RUNTIME")
-    // E5: schedule deviation in minutes (+ = late), on-time, pass-miles.
+    // E5: schedule deviation in fractional minutes (+ = late), signed and
+    // rounded to 2dp exactly like getScheduleDeviation
+    // (SFMuniDataExpander.py:82-97) — whole-minute flooring would lose
+    // sub-minute deviations and can flip ONTIME5 at the -1/+5 boundaries.
+    // Epoch-second arithmetic handles the post-midnight service-day
+    // wraparound for free: ARRIVAL_TIME is anchored on DATE.
+    def minSinceServiceMidnight(t: Column) =
+      (t.cast("double") - col("DATE").cast("timestamp").cast("double")) / 60.0
     // On-time is the full TCRP rule via Exprs.onTime5: departed no more
     // than 1 min EARLY and arrived less than 5 min LATE
     // (SFMuniDataExpander.py:550-551) — arrival lateness alone would
     // overstate on-time performance for early-running service.
-    def minOfDay(t: Column) =
-      hour(t) * 60 + minute(t) +
-        when(to_date(t) > col("DATE"), 24 * 60).otherwise(0)
     runtimed
       .withColumn("ARRIVAL_DEV",
-        when(col("OBSERVED") === 1, minOfDay(col("ARRIVAL_TIME")) - col("SCHED_ARR")))
+        when(col("OBSERVED") === 1,
+          round(minSinceServiceMidnight(col("ARRIVAL_TIME")) - col("SCHED_ARR"), 2)))
       .withColumn("DEPARTURE_DEV",
-        when(col("OBSERVED") === 1, minOfDay(col("DEPARTURE_TIME")) - col("SCHED_DEP")))
+        when(col("OBSERVED") === 1,
+          round(minSinceServiceMidnight(col("DEPARTURE_TIME")) - col("SCHED_DEP"), 2)))
       .withColumn("ONTIME5",
         Exprs.onTime5(col("DEPARTURE_DEV"), col("ARRIVAL_DEV"), col("OBSERVED")))
-      .withColumn("PASSMILES",
-        when(col("OBSERVED") === 1, col("LOAD_DEP") * col("SERVMILES")))
+      // passenger miles from the ARRIVING load (SFMuniDataExpander.py:554)
+      .withColumn("PASSMILES", col("LOAD_ARR") * col("SERVMILES"))
+      // passenger hours: riding (arriving load x runtime) + dwelling
+      // (departing load x dwell) (SFMuniDataExpander.py:557-558)
+      .withColumn("PASSHOURS",
+        (col("LOAD_ARR") * col("RUNTIME") + col("LOAD_DEP") * col("DWELL")) / 60.0)
+      // waiting: boardings wait half a scheduled headway on average (:561)
+      .withColumn("WAITHOURS", col("ON") * lit(0.5) * col("HEADWAY_S") / 60.0)
+      // revenue if every boarding paid full fare (:564)
+      .withColumn("FULLFARE_REV", col("ON") * col("FARE"))
+      // passenger-minutes of delay, late side only, masked to observed
+      // (:567-574); null x 0 stays null like the reference's nan mask
+      .withColumn("PASSDELAY_DEP",
+        when(col("OBSERVED") === 1,
+          when(col("DEPARTURE_DEV") > 0, col("ON") * col("DEPARTURE_DEV")).otherwise(0.0)))
+      .withColumn("PASSDELAY_ARR",
+        when(col("OBSERVED") === 1,
+          when(col("ARRIVAL_DEV") > 0, col("ON") * col("ARRIVAL_DEV")).otherwise(0.0)))
+      // volume/capacity on the crush capacity (:577); guard 0 — ANSI throws
+      .withColumn("VC",
+        when(col("CAPACITY") > 0, col("LOAD_ARR") / col("CAPACITY")))
+      // crowded = VC over 85% of crush load ~ 125-150% of seated (:579-586);
+      // np.where(nan > .85) is False in the reference, so null VC -> 0.0
+      .withColumn("CROWDED",
+        when(col("OBSERVED") === 1,
+          coalesce((col("VC") > 0.85).cast("double"), lit(0.0))))
+      .withColumn("CROWDHOURS",
+        col("CROWDED") * (col("LOAD_ARR") * col("RUNTIME") + col("LOAD_DEP") * col("DWELL")) / 60.0)
   }
 
   /** A1 rules: trip-stops -> trips, exercising the full method vocabulary
@@ -101,7 +144,16 @@ object Transit {
     AggRule("LAST_ARR", "ARRIVAL_TIME", AggMethod.Last),
     AggRule("RUNTIME", "RUNTIME", AggMethod.Sum),
     AggRule("ONTIME5", "ONTIME5", AggMethod.Mean),
-    AggRule("PASSMILES", "PASSMILES", AggMethod.Sum))
+    AggRule("PASSMILES", "PASSMILES", AggMethod.Sum),
+    AggRule("PASSHOURS", "PASSHOURS", AggMethod.Sum),
+    AggRule("WAITHOURS", "WAITHOURS", AggMethod.Sum),
+    AggRule("FULLFARE_REV", "FULLFARE_REV", AggMethod.Sum),
+    AggRule("PASSDELAY_DEP", "PASSDELAY_DEP", AggMethod.Sum),
+    AggRule("PASSDELAY_ARR", "PASSDELAY_ARR", AggMethod.Sum),
+    // crowding peaks, not totals (SFMuniDataAggregator.py:163-164)
+    AggRule("VC", "VC", AggMethod.Max),
+    AggRule("CROWDED", "CROWDED", AggMethod.Max),
+    AggRule("CROWDHOURS", "CROWDHOURS", AggMethod.Sum))
 
   def aggregateToTrips(ts: DataFrame): DataFrame =
     RuleAgg.aggregate(ts,
@@ -130,7 +182,15 @@ object Transit {
     AggRule("OFF", "OFF", AggMethod.WgtSum),
     AggRule("RUNTIME", "RUNTIME", AggMethod.WgtSum),
     AggRule("ONTIME5", "ONTIME5", AggMethod.WgtAvg),
-    AggRule("PASSMILES", "PASSMILES", AggMethod.WgtSum))
+    AggRule("PASSMILES", "PASSMILES", AggMethod.WgtSum),
+    AggRule("PASSHOURS", "PASSHOURS", AggMethod.WgtSum),
+    AggRule("WAITHOURS", "WAITHOURS", AggMethod.WgtSum),
+    AggRule("FULLFARE_REV", "FULLFARE_REV", AggMethod.WgtSum),
+    AggRule("PASSDELAY_DEP", "PASSDELAY_DEP", AggMethod.WgtSum),
+    AggRule("PASSDELAY_ARR", "PASSDELAY_ARR", AggMethod.WgtSum),
+    AggRule("VC", "VC", AggMethod.WgtAvg),
+    AggRule("CROWDED", "CROWDED", AggMethod.WgtAvg),
+    AggRule("CROWDHOURS", "CROWDHOURS", AggMethod.WgtSum))
 
   def routeDay(weightedTrips: DataFrame): DataFrame =
     RuleAgg.aggregate(weightedTrips.where(col("OBS_TRIP_STOPS") > 0),
@@ -142,6 +202,14 @@ object Transit {
       AggRule("TRIPS", "TRIPS", AggMethod.Sum),
       AggRule("ON", "ON", AggMethod.Sum),
       AggRule("ONTIME5", "ONTIME5", AggMethod.WgtAvg),
-      AggRule("PASSMILES", "PASSMILES", AggMethod.Sum)),
+      AggRule("PASSMILES", "PASSMILES", AggMethod.Sum),
+      AggRule("PASSHOURS", "PASSHOURS", AggMethod.Sum),
+      AggRule("WAITHOURS", "WAITHOURS", AggMethod.Sum),
+      AggRule("FULLFARE_REV", "FULLFARE_REV", AggMethod.Sum),
+      AggRule("PASSDELAY_DEP", "PASSDELAY_DEP", AggMethod.Sum),
+      AggRule("PASSDELAY_ARR", "PASSDELAY_ARR", AggMethod.Sum),
+      AggRule("VC", "VC", AggMethod.WgtAvg),
+      AggRule("CROWDED", "CROWDED", AggMethod.WgtAvg),
+      AggRule("CROWDHOURS", "CROWDHOURS", AggMethod.Sum)),
       weight = Some("TRIPS"))
 }

@@ -27,24 +27,28 @@ object TransitFixture {
     ColSpec("DEPARTURE_TIME_INT", 43, 8, LongType),
     ColSpec("ON", 51, 4, LongType),
     ColSpec("OFF", 55, 4, LongType),
-    ColSpec("LOAD_DEP", 59, 4, LongType))
+    ColSpec("LOAD_DEP", 59, 4, LongType),
+    ColSpec("CAPACITY", 63, 4, LongType))
 
-  /** (SEQ, RDBRDNGS, DIR, QC201, ROUTE_AVL, TRIP, DATE_INT, ARR, DEP, ON, OFF, LOAD) */
-  val avlRows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)] = Seq(
+  /** (SEQ, RDBRDNGS, DIR, QC201, ROUTE_AVL, TRIP, DATE_INT, ARR, DEP, ON, OFF, LOAD, CAP).
+    * Stop 1 arrives at 08:02:30 — the 30s exercises fractional-minute
+    * schedule deviation. Trip 1's CAPACITY of 6 makes its last stop
+    * (LOAD_ARR=6) cross the VC>0.85 crowding threshold. */
+  val avlRows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)] = Seq(
     // 2024-01-15, route 1 ("10"), trip 1: 3 observed stops
-    (1L, 10L, 0L, 0L, 1L, 1L, 11524L, 80200L, 80300L, 5L, 0L, 5L),
-    (2L, 10L, 0L, 0L, 1L, 1L, 11524L, 80700L, 80800L, 2L, 1L, 6L),
-    (3L, 10L, 0L, 0L, 1L, 1L, 11524L, 81600L, 81700L, 0L, 6L, 0L),
+    (1L, 10L, 0L, 0L, 1L, 1L, 11524L, 80230L, 80300L, 5L, 0L, 5L, 6L),
+    (2L, 10L, 0L, 0L, 1L, 1L, 11524L, 80700L, 80800L, 2L, 1L, 6L, 6L),
+    (3L, 10L, 0L, 0L, 1L, 1L, 11524L, 81600L, 81700L, 0L, 6L, 0L, 6L),
     // duplicate of stop 1 (dedup target)
-    (1L, 10L, 0L, 0L, 1L, 1L, 11524L, 80200L, 80300L, 5L, 0L, 5L),
+    (1L, 10L, 0L, 0L, 1L, 1L, 11524L, 80230L, 80300L, 5L, 0L, 5L, 6L),
     // QC-failing row (dropped by F3)
-    (2L, 10L, 0L, 99L, 1L, 1L, 11524L, 80790L, 80890L, 9L, 9L, 9L),
+    (2L, 10L, 0L, 99L, 1L, 1L, 11524L, 80790L, 80890L, 9L, 9L, 9L, 6L),
     // non-revenue pull-out DIR=6 (dropped by F3)
-    (1L, 10L, 6L, 0L, 1L, 5L, 11524L, 70000L, 70100L, 0L, 0L, 0L),
+    (1L, 10L, 6L, 0L, 1L, 5L, 11524L, 70000L, 70100L, 0L, 0L, 0L, 6L),
     // route 2 ("N"), trip 7: post-midnight arrival 24:05 (service day 01-15)
-    (1L, 10L, 0L, 0L, 2L, 7L, 11524L, 240500L, 240600L, 3L, 0L, 3L),
+    (1L, 10L, 0L, 0L, 2L, 7L, 11524L, 240500L, 240600L, 3L, 0L, 3L, 50L),
     // 2024-02-15: route 1 renamed to "10R"; only stop 1 observed
-    (1L, 10L, 0L, 0L, 1L, 1L, 21524L, 80000L, 80100L, 4L, 0L, 4L))
+    (1L, 10L, 0L, 0L, 1L, 1L, 21524L, 80000L, 80100L, 4L, 0L, 4L, 6L))
 
   /** Raw AVL as a fixed-width text file (with an embedded header line that
     * F1 must drop), round-tripped through the FixedWidth source. */
@@ -71,8 +75,9 @@ object TransitFixture {
   }
 
   /** Schedule trip-stops: (DATE, ROUTE_SHORT_NAME, DIR, TRIP, SEQ,
-    * SCHED_ARR minutes-since-service-midnight, SERVMILES). Trip 2 on
-    * route 10 is scheduled but never observed (weighting target). */
+    * SCHED_ARR minutes-since-service-midnight, SERVMILES, HEADWAY_S
+    * scheduled headway in minutes, FARE). Trip 2 on route 10 is scheduled
+    * but never observed (weighting target). */
   def schedule(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val jan = "2024-01-15"; val feb = "2024-02-15"
@@ -87,6 +92,8 @@ object TransitFixture {
         (feb, "10R", 0L, 1L, 3L, 490L, 0.5))
     rows.toDF("d", "ROUTE_SHORT_NAME", "DIR", "TRIP", "SEQ", "SCHED_ARR", "SERVMILES")
       .withColumn("SCHED_DEP", col("SCHED_ARR")) // zero scheduled dwell
+      .withColumn("HEADWAY_S", lit(10.0))
+      .withColumn("FARE", lit(2.5))
       .withColumn("DATE", col("d").cast("date")).drop("d")
   }
 

@@ -39,6 +39,21 @@ class RuleAggSpec extends SparkSpec {
     assert(out(0).getDouble(1) == 20.0 && out(0).getDouble(2) == 100.0)
   }
 
+  test("wgtAvg divides by the TOTAL group weight, null-x rows included") {
+    // Reference semantics (SFMuniDataAggregator.py:1162-1165): numerator
+    // sum(w*x) skips null x, denominator is sum(w) over EVERY row.
+    val withNull = Seq(
+      ("c", Some(10.0), 1.0),
+      ("c", Option.empty[Double], 3.0),   // weight counts in the denominator
+      ("z", Option.empty[Double], 0.0)    // total weight 0 -> null, not error
+    ).toDF("k", "x", "w")
+    val out = RuleAgg.aggregate(withNull, Seq("k"), Seq(
+      AggRule("wa", "x", AggMethod.WgtAvg)),
+      weight = Some("w")).orderBy("k").collect()
+    assert(out(0).getDouble(1) == 2.5) // 10*1 / (1+3)
+    assert(out(1).isNullAt(1))
+  }
+
   test("first/last deterministic under duplicate order keys") {
     val dup = Seq(("a", 1.0, 0L), ("a", 2.0, 0L), ("a", 3.0, 9L)).toDF("k", "x", "ord")
     val out = RuleAgg.aggregate(dup, Seq("k"), Seq(
