@@ -449,9 +449,13 @@ object Queries {
     (s, d) => {
       val byCust = orders(s, d).groupBy("o_custkey")
         .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      // top-k WITHOUT a global window: orderBy().limit() plans as
+      // TakeOrderedAndProject — per-partition heaps merged on the driver,
+      // no single-partition sort of all customers at any scale. The rank
+      // window below runs over the k=10 surviving rows only.
+      val top = byCust.orderBy(col("revenue").desc, col("o_custkey")).limit(10)
       val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
-      byCust.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 10)
+      top.withColumn("rank", row_number().over(w).cast("long"))
     },
     Some("""SELECT o_custkey, revenue, rank FROM (
         SELECT o_custkey, revenue,
@@ -683,31 +687,141 @@ object Queries {
         FROM embeddings c WHERE c.vec_id <> p.vec_id
         ORDER BY rank LIMIT 5) n"""))
 
-  /** MinHash-LSH near-dup candidates (scale path; verified in ScalaTest
-    * against exact Jaccard — banding is not ANSI-SQL-expressible). */
+  /** MinHash-LSH near-dup candidates (scale path). The whole pipeline —
+    * md5-derived shingle hash, the 32 universal-hash mins, 8x4 banding on
+    * the slice itself, signature-agreement estimate — is deliberately
+    * engine-portable, so the oracle replays it exactly in DuckDB with the
+    * same (a, b) coefficients inlined. */
   val q27MinhashLsh = Q(
     "q27_minhash_lsh",
     (s, d) =>
       Dedup.minHashLshPairs(documents(s, d), "doc_id", "text",
         n = 3, numHashes = 32, numBands = 8, threshold = 0.5),
-    None)
+    Some {
+      val minAggs = Dedup.hashCoeffs(32).zipWithIndex.map { case ((a, b), i) =>
+        s"min((h0 * $a + $b) % 2147483647) AS m$i"
+      }.mkString(",\n          ")
+      val mhArr = (0 until 32).map(i => s"m$i").mkString("[", ", ", "]")
+      s"""WITH t AS (
+        SELECT doc_id,
+          string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [] END) AS shingles
+        FROM t),
+      g AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+      hs AS (
+        SELECT doc_id,
+          ('0x' || substr(md5('0:' || sg), 1, 15))::BIGINT % 2147483647 AS h0
+        FROM g),
+      sig0 AS (
+        SELECT doc_id,
+          $minAggs
+        FROM hs GROUP BY doc_id),
+      sig AS (SELECT doc_id, $mhArr AS mh FROM sig0),
+      banded AS (
+        SELECT doc_id, mh, bands.band,
+          array_to_string(mh[bands.band * 4 + 1 : bands.band * 4 + 4], ',') AS bucket
+        FROM sig, (SELECT unnest(range(0, 8)) AS band) bands),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.mh AS m1, b.mh AS m2
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      SELECT id1, id2,
+        len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 AS est_jaccard
+      FROM cand
+      WHERE len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 >= 0.5"""
+    })
 
-  /** SimHash near-dup candidates (chunk-banded hamming join). */
+  /** SimHash near-dup candidates (chunk-banded hamming join). md5-derived
+    * token hashes keep the 64 bit-majority sums engine-portable; the
+    * oracle replays signature construction, 16-bit pigeonhole banding, and
+    * the hamming verify in DuckDB. */
   val q28Simhash = Q(
     "q28_simhash",
     (s, d) =>
       Dedup.simHashPairs(documents(s, d), "doc_id", "text", maxHamming = 6),
-    None)
+    Some {
+      val bitSums = (0 until 64).map { b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n          ")
+      val sigExpr = (0 until 64).map { b =>
+        s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END"
+      }.mkString("\n          + ")
+      s"""WITH t AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+        FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(string_split(n, ' ')) AS tk
+        FROM t WHERE n IS NOT NULL AND len(n) > 0),
+      th AS (
+        SELECT doc_id, ('0x' || substr(md5('0:' || tk), 1, 15))::BIGINT AS h
+        FROM tok),
+      bs AS (
+        SELECT doc_id,
+          $bitSums
+        FROM th GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id,
+          $sigExpr AS simhash
+        FROM bs),
+      ch AS (
+        SELECT doc_id, simhash, cs.chunk,
+          (simhash >> (cs.chunk * 16)) & 65535 AS key
+        FROM sig, (SELECT unnest(range(0, 4)) AS chunk) cs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+          a.simhash AS h1, b.simhash AS h2
+        FROM ch a JOIN ch b
+          ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(h1, h2)) <= 6"""
+    })
 
-  /** LSH-bucketed approximate top-k (the 100 TB ANN path). */
+  /** DuckDB expression for the hyperplane sign bucket — the same plane
+    * matrix `Similarity.planeWeights` ships to Spark as array literals,
+    * printed with Double.toString (shortest round-trip, exact on parse). */
+  private def duckBucketExpr(planes: Int, dims: Int, vecExpr: String): String = {
+    val w = Similarity.planeWeights(planes, dims)
+    (0 until planes).map { p =>
+      val lit = w(p).mkString("[", ", ", "]::DOUBLE[]")
+      s"(CASE WHEN list_inner_product($vecExpr, $lit) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n          + ")
+  }
+
+  /** LSH-bucketed approximate top-k (the 100 TB ANN path): hyperplane sign
+    * buckets as the coarse quantizer, probe's own bucket searched. The
+    * plane matrix is a driver-side literal (see Similarity.planeWeights),
+    * so the oracle computes identical buckets in DuckDB. */
   val q29AnnLsh = Q(
     "q29_ann_lsh",
     (s, d) => {
       val emb = embeddings(s, d)
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
-        "vec_id", "embedding", "vec_id", k = 5, planes = 4)
+        "vec_id", "embedding", "vec_id", k = 5, planes = 4, dims = 64)
     },
-    None)
+    Some {
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      b AS (
+        SELECT vec_id, e,
+          ${duckBucketExpr(4, 64, "e")} AS bucket
+        FROM v),
+      pr AS (SELECT vec_id AS probe_id, e AS pe, bucket FROM b WHERE vec_id < 10),
+      sc AS (
+        SELECT pr.probe_id, c.vec_id AS neighbor_id,
+          list_cosine_similarity(c.e, pr.pe) AS cosf
+        FROM b c JOIN pr ON c.bucket = pr.bucket AND c.vec_id <> pr.probe_id),
+      rk AS (
+        SELECT probe_id, neighbor_id, cosf,
+          row_number() OVER (PARTITION BY probe_id ORDER BY cosf DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT probe_id, rank, neighbor_id, round(cosf, 6) AS cos
+      FROM rk WHERE rank <= 5"""
+    })
 
   // ------------------------------------------------- §2.6 W5 + §2.7 + §2.1
   /** W5 — taxi-style trip segmentation: a new trip starts on a long gap OR
@@ -910,7 +1024,11 @@ object Queries {
       FROM documents"""))
 
   /** Multimodal batched feature extraction through the stubbed decoder
-    * (mapPartitions Dataset plumbing; validated by unit test). */
+    * (mapPartitions Dataset plumbing). The stub's byte-level features
+    * (length, first byte, mod-997 byte-sum checksum) are themselves
+    * deterministic functions of the UTF-8 bytes, so the oracle recomputes
+    * them in DuckDB from the hex of the encoded blob — the decode STAYS a
+    * stub, but the plumbing around it gets a real hash-equality gate. */
   val q39MultimodalFeatures = Q(
     "q39_multimodal_features",
     (s, d) => {
@@ -919,31 +1037,61 @@ object Queries {
         .toDF()
         .select(col("id"), col("n_bytes"), col("first_byte"), col("checksum"))
     },
-    None)
+    Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+      SELECT doc_id AS id,
+        CAST(len(hx) // 2 AS INT) AS n_bytes,
+        CASE WHEN len(hx) = 0 THEN -1
+             ELSE ('0x' || substr(hx, 1, 2))::INT END AS first_byte,
+        CAST(COALESCE(list_sum(list_transform(range(0, len(hx) // 2),
+            i -> ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT)), 0) % 997
+          AS BIGINT) AS checksum
+      FROM b"""))
 
-  /** G4 — Viterbi smoothing per entity via mapGroups: 2-state HMM over the
-    * event value series (low/high regime decoding). */
+  /** G4 — Viterbi decoding per entity via mapGroups: 2-state HMM regime
+    * decoding (low mu=25 / high mu=75, |obs-mu| emission cost, switch cost
+    * 10) — the same DP kernel that map-matches taxi GPS traces in the
+    * reference (Trajectory.py:37-97); the integrated map-matching pipeline
+    * is q69. The planted series are small enough that each minimum-cost
+    * path is derivable by hand (documented per user below); the oracle
+    * inlines the hand-derived counts as VALUES — the q48/q49 golden
+    * pattern. */
   val q40Viterbi = Q(
     "q40_viterbi",
     (s, d) => {
       import s.implicits._
-      val ev = events(s, d)
-        .select(col("user_id"), col("ts").cast("double").as("t"),
-          col("event_id"), col("value"))
-        .as[(Long, Double, Long, Double)]
+      // (user_id, seq, value); hand-derived optimal paths (L=state0 mu 25,
+      // H=state1 mu 75; costs in parentheses beat the best alternative):
+      //   u1 20,30,25,70,80,75 -> LLLHHH (30)  1 switch
+      //   u2 25,26,24,23,27    -> LLLLL  (7)   0
+      //   u3 25,75,25          -> LHL    (20; stay-L costs 50)   2
+      //   u4 25,50,25          -> LLL    (25; LHL costs 45)      0
+      //   u5 80,70,75,76       -> HHHH   (11)  0
+      //   u6 10,90,10,90,10    -> LHLHL  (115; emission dominates) 4
+      val obs: Seq[(Long, Int, Double)] = Seq(
+        (1L, 0, 20.0), (1L, 1, 30.0), (1L, 2, 25.0),
+        (1L, 3, 70.0), (1L, 4, 80.0), (1L, 5, 75.0),
+        (2L, 0, 25.0), (2L, 1, 26.0), (2L, 2, 24.0), (2L, 3, 23.0), (2L, 4, 27.0),
+        (3L, 0, 25.0), (3L, 1, 75.0), (3L, 2, 25.0),
+        (4L, 0, 25.0), (4L, 1, 50.0), (4L, 2, 25.0),
+        (5L, 0, 80.0), (5L, 1, 70.0), (5L, 2, 75.0), (5L, 3, 76.0),
+        (6L, 0, 10.0), (6L, 1, 90.0), (6L, 2, 10.0), (6L, 3, 90.0), (6L, 4, 10.0))
+      val ev = obs.toDF("user_id", "seq", "value").as[(Long, Int, Double)]
       ev.groupByKey(_._1)
         .mapGroups { (uid, it) =>
-          val obs = it.toArray.sortBy(r => (r._2, r._3)).map(_._4)
+          val o = it.toArray.sortBy(_._2).map(_._3)
           val mus = Array(25.0, 75.0)
-          val path = graft.graph.Viterbi.decode(obs.length, 2,
-            emit = (t, st) => math.abs(obs(t) - mus(st)),
+          val path = graft.graph.Viterbi.decode(o.length, 2,
+            emit = (t, st) => math.abs(o(t) - mus(st)),
             trans = (a, b) => if (a == b) 0.0 else 10.0)
           val switches = path.indices.drop(1).count(i => path(i) != path(i - 1))
           (uid, path.count(_ == 0).toLong, path.count(_ == 1).toLong, switches.toLong)
         }
         .toDF("user_id", "n_low", "n_high", "n_switches")
     },
-    None)
+    Some("""SELECT * FROM (VALUES
+        (1, 3, 3, 1), (2, 5, 0, 0), (3, 2, 1, 2),
+        (4, 3, 0, 0), (5, 0, 4, 0), (6, 3, 2, 4))
+      t(user_id, n_low, n_high, n_switches)"""))
 
   /** E12 — LCC geodesy: project lon/lat to planar feet, planar distance to
     * a reference point, averaged per nation. */
@@ -1088,31 +1236,29 @@ object Queries {
         count(*) AS n_total
       FROM m GROUP BY 1, 2"""))
 
-  /** Embedding cosine near-duplicate pairs (exact, on a deterministic
-    * subset; the LSH-bucketed variant is Dedup.embeddingNearDupPairs). */
+  /** Embedding cosine near-duplicate pairs through the LSH-bucketed scale
+    * path (Dedup.embeddingNearDupPairs): candidates only form inside a
+    * shared 8-plane sign bucket — an equi-join, never a cross product —
+    * then exact-cosine verified. The earlier all-pairs form (id1 < id2
+    * non-equi join, BroadcastNestedLoopJoin) was correct at sf0.01 but
+    * O(n^2) compares at scale; the exact brute check on a bounded sample
+    * lives in the ScalaTest spec instead. */
   val q44EmbeddingNeardup = Q(
     "q44_embedding_neardup",
-    (s, d) => {
-      val sub = embeddings(s, d).where(col("vec_id") % 5 === 0)
-        .select(col("vec_id"), col("embedding"),
-          Similarity.norm(col("embedding")).as("nrm"))
-      val a = sub.select(col("vec_id").as("id1"), col("embedding").as("e1"),
-        col("nrm").as("n1"))
-      val b = sub.select(col("vec_id").as("id2"), col("embedding").as("e2"),
-        col("nrm").as("n2"))
-      a.join(b, col("id1") < col("id2"))
-        .withColumn("cos",
-          when(col("n1") * col("n2") > 0,
-            Similarity.dot(col("e1"), col("e2")) / (col("n1") * col("n2"))))
-        .where(col("cos") >= 0.3)
-        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
-    },
-    Some("""WITH sub AS (
-        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+    (s, d) =>
+      Dedup.embeddingNearDupPairs(embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3, planes = 8, dims = 64),
+    Some {
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      b AS (
+        SELECT vec_id, e,
+          ${duckBucketExpr(8, 64, "e")} AS bucket
+        FROM v)
       SELECT a.vec_id AS id1, b.vec_id AS id2,
-        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3"""))
+        round(list_cosine_similarity(a.e, b.e), 6) AS cos
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.3"""
+    })
 
   /** W7 — per-sequence derived-state chain (GTFSHelper.py:375-527): start/
     * end-of-line flags, inter-stop gap, cumulative distance along the
@@ -1440,8 +1586,13 @@ object Queries {
       FROM b GROUP BY 1"""))
 
   /** Sketch aggregates — the 100 TB path for countDistinct/percentile
-    * (HLL + KLL-style): no SQL oracle (sketch internals differ across
-    * engines); accuracy vs exact is asserted in SketchSpec. */
+    * (HLL + KLL-style). DELIBERATELY oracle-exempt, the one such query in
+    * the catalog: a sketch's exact output is a function of its internal
+    * layout (register count, hash, compaction schedule), which no two
+    * engines share — DuckDB's approx_count_distinct would only hash-match
+    * by coincidence. The correctness contract is the error bound, asserted
+    * against exact values in SketchSpec (HLL within 5%, p95 within the
+    * value-range epsilon); the rows-only driver check still pins shape. */
   val q53Sketches = Q(
     "q53_sketches",
     (s, d) =>

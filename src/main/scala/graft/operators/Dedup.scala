@@ -58,8 +58,10 @@ object Dedup {
     */
   private val P = 2147483647L
 
-  /** Deterministic (a, b) coefficients for the universal hash family. */
-  private def hashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+  /** Deterministic (a, b) coefficients for the universal hash family.
+    * Exposed within graft so the DuckDB oracle SQL can inline the same
+    * coefficients. */
+  private[graft] def hashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 2).toLong * 2 + 1,
       rnd.nextInt(Int.MaxValue - 1).toLong))
@@ -106,11 +108,15 @@ object Dedup {
     val rows = numHashes / numBands
     val signed = minHashSignatures(df, idCol, textCol, n, numHashes)
       .where(size(col("minhash")) === numHashes)
-    // one row per (doc, band); bucket key = hash of the band slice
+    // one row per (doc, band); bucket key = the band slice itself (as a
+    // string) — exact banding semantics (a murmur-hashed key would admit
+    // collision pairs) and engine-portable for the SQL oracle. At 100 TB
+    // wrap it in xxhash64 to fix the shuffle-key width; the ~1e-10
+    // per-pair collision odds are then absorbed by the est_jaccard verify.
     val banded = signed.select(col("id"), col("minhash"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
-      .withColumn("bucket", hash(col("band"),
-        concat_ws(",", slice(col("minhash"), col("band") * rows + 1, lit(rows)))))
+      .withColumn("bucket",
+        concat_ws(",", slice(col("minhash"), col("band") * rows + 1, lit(rows))))
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -181,13 +187,18 @@ object Dedup {
     */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8): DataFrame = {
-    val sketch = Similarity.hyperplaneSketch(col(vecCol), planes)
+      threshold: Double, planes: Int = 8, dims: Int = 64): DataFrame = {
+    // norms and buckets are per-vector: compute them BELOW the self-join
+    // (inline in the join output they would re-reduce the array once per
+    // candidate pair)
     val s = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", sketch)
+      .withColumn("bucket", Similarity.hyperplaneSketch(col("v"), planes, dims))
+      .withColumn("nrm", Similarity.norm(col("v")))
     val a = s.as("a"); val b = s.as("b")
+    val nn = col("a.nrm") * col("b.nrm")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
+      .withColumn("cos",
+        when(nn > 0, Similarity.dot(col("a.v"), col("b.v")) / nn))
       .where(col("cos") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         round(col("cos"), 6).as("cos"))

@@ -51,19 +51,33 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** Deterministic random-hyperplane sign sketch: plane p's component for
-    * dimension i = md5-derived value in [-0.5, 0.5); bucket = integer of
-    * sign bits. Deterministic across engines and runs (no RNG state).
+  /** Plane p / dimension i weight in [-0.5, 0.5), derived from md5 of
+    * "p_i" — deterministic across engines and runs (no RNG state), and
+    * identical to the SQL expression
+    * `('0x' || substr(md5(p || '_' || i), 1, 8))::BIGINT / 2^32 - 0.5`
+    * so the DuckDB oracle can inline the very same numbers. */
+  def planeWeight(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 4294967296.0 - 0.5
+  }
+
+  /** The full planes x dims weight matrix (driver-side; tiny). */
+  def planeWeights(planes: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until planes).map(p => (0 until dims).map(i => planeWeight(p, i)))
+
+  /** Deterministic random-hyperplane sign sketch: bucket = integer of
+    * sign(v . w_p) bits. The plane matrix is precomputed on the driver and
+    * shipped as an array literal — the per-row work is `planes` fused
+    * zip_with/aggregate reductions, nothing else. (The earlier form derived
+    * each weight with md5+conv PER ROW per plane per dimension; measured
+    * ~8x slower on the ANN query.)
     */
-  def hyperplaneSketch(vec: Column, planes: Int): Column = {
-    val dims = size(vec)
+  def hyperplaneSketch(vec: Column, planes: Int, dims: Int): Column = {
     val signs = (0 until planes).map { p =>
-      // projection = sum_i v[i] * w(p, i)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), dims - 1), (v, i) => {
-          val h = conv(substring(md5(concat(lit(p.toString), lit("_"), i.cast("string"))), 1, 8), 16, 10).cast("long")
-          v.cast("double") * (h.cast("double") / lit(4294967296.0) - 0.5)
-        }),
+      val w = array((0 until dims).map(i => lit(planeWeight(p, i))): _*)
+      val proj = aggregate(zip_with(vec, w, (v, wi) => v.cast("double") * wi),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
@@ -79,13 +93,13 @@ object Similarity {
     */
   def lshTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
-      probeIdCol: String, k: Int, planes: Int = 6): DataFrame = {
+      probeIdCol: String, k: Int, planes: Int = 6, dims: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"))
-      .withColumn("bucket", hyperplaneSketch(col("__cv"), planes))
+      .withColumn("bucket", hyperplaneSketch(col("__cv"), planes, dims))
     val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
         norm(col(vecCol)).as("__pn"))
-      .withColumn("bucket", hyperplaneSketch(col("__pv"), planes))
+      .withColumn("bucket", hyperplaneSketch(col("__pv"), planes, dims))
     val scored = c.join(broadcast(p), Seq("bucket"))
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos",

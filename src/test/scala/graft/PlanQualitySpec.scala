@@ -12,10 +12,14 @@ class PlanQualitySpec extends SparkSpec {
     * inequality self-joins (pair generation on a filtered subset) and the
     * grid-NN brute fallback over the unresolved remainder. */
   private val nestedLoopAllowed = Set(
-    "q26_knn_bruteforce", "q29_ann_lsh", "q36_grid_nn", "q44_embedding_neardup",
+    // brute-force baselines and the grid-NN fallback: bounded by probe count
+    "q26_knn_bruteforce", "q36_grid_nn",
     // month-spine construction: distinct-keys x month-sequence dimension
     // build — the broadcast side is the exploded month range (always tiny)
     "q11_impute", "q57_demand_assembly")
+  // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
+  // this set any more — both route through hyperplane-bucket equi-joins
+  // and must stay nested-loop-free (the round-1 scale-killer fix).
 
   test("no catalog query plans a CartesianProduct; nested-loop joins only where bounded") {
     Queries.all.foreach { q =>
@@ -35,6 +39,13 @@ class PlanQualitySpec extends SparkSpec {
     // lineitem scan must read only the 3 needed columns
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
       "lineitem scan is not pruned to the projected columns")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global-window sort") {
+    val plan = Queries.q17Topk.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "q17 lost its TakeOrderedAndProject top-k")
   }
 
   test("probe filters are pushed to the parquet scan") {

@@ -76,6 +76,31 @@ class TextDedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("embeddingNearDupPairs: subset of exact brute pairs; planted dups recovered") {
+    val rnd = new scala.util.Random(11)
+    // 20 base vectors + 5 planted near-identical copies (tiny jitter)
+    val base = (0 until 20).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 5).map { i =>
+      (100L + i, base(i)._2.map(v => v + rnd.nextGaussian().toFloat * 0.01f))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val bucketed = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.9, planes = 4, dims = 16)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // exact brute reference on this bounded sample
+    val a = df.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = df.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    val brute = a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", Similarity.cosine(col("e1"), col("e2")))
+      .where(col("cos") >= 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(brute), "bucketed pairs must be exact-verified")
+    // near-identical vectors agree on every hyperplane sign w.h.p.
+    val planted = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert((planted intersect bucketed).size >= 4,
+      s"planted dups lost by bucketing: ${planted diff bucketed}")
+  }
+
   test("lshTopK achieves decent recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(7)
     // 10 clusters of 20 vectors each, 16 dims
@@ -86,7 +111,8 @@ class TextDedupSimilaritySpec extends SparkSpec {
     val probes = df.where(col("vec_id") % 100 === 0)
     val brute = Similarity.bruteForceTopK(df, probes, "vec_id", "embedding", "vec_id", 5)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.lshTopK(df, probes, "vec_id", "embedding", "vec_id", 5, planes = 4)
+    val approx = Similarity.lshTopK(df, probes, "vec_id", "embedding", "vec_id", 5,
+      planes = 4, dims = 16)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect approx).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall $recall too low")
