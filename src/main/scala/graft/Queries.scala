@@ -2092,6 +2092,102 @@ object Queries {
         CAST(CASE WHEN trusted_obs IS NULL THEN 1 ELSE 0 END AS INT) AS extrapolated
       FROM f"""))
 
+  /** W5 — the FULL 5-predicate taxi trip segmentation
+    * (TaxiDataHelper.py:195-320) over a synthetic GPS projection of the
+    * events table: status change, long gap, long jump, long stop
+    * (forward stationary time), last-point-before-a-stop (backward
+    * stationary time) — both stationary times are conditional-reset
+    * running sums built with the nested-window trick (see
+    * pipelines/Taxi.scala). Thresholds are scaled to this data's
+    * inter-event gaps (hours, not GPS seconds); the reference's real
+    * constants are the operator defaults and the unit fixture's values.
+    * All five predicates fire here (status 3099 / gap 710 / dist 1052 /
+    * fwd-stat 776 / bwd-stat 366 breaks at sf0.01). */
+  val q68TaxiSegmentation = Q(
+    "q68_taxi_segmentation",
+    (s, d) => {
+      val pts = events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        (col("value") * 100.0).as("x"),
+        ((col("event_id") % 97) * 50.0).as("y"),
+        when(col("event_type") === "purchase", "metered")
+          .otherwise("empty").as("status"))
+      val seg = graft.pipelines.Taxi.segmentPoints(
+        pts, Seq("user_id"), "ts", "event_id", "x", "y", "status",
+        speedThresholdMph = 0.10, stationarySeconds = 100000.0,
+        maxSecondsBetween = 86400.0, maxFeetBetween = 9000.0)
+      graft.pipelines.Taxi.toTrips(seg, Seq("user_id"), "ts",
+          minTripFeet = 2000.0)
+        .select(col("user_id"), col("trip_id"), col("num_points"),
+          round(col("trip_length"), 2).as("trip_length"),
+          col("start_ts"), col("end_ts"))
+    },
+    Some("""WITH pts AS (
+        SELECT user_id, ts, event_id,
+          value * 100.0 AS x,
+          (event_id % 97) * 50.0 AS y,
+          CASE WHEN event_type = 'purchase' THEN 'metered' ELSE 'empty' END AS status
+        FROM events),
+      m AS (
+        SELECT user_id, ts, event_id, status,
+          epoch(ts) - epoch(lag(ts) OVER w) AS seconds,
+          sqrt(pow(x - lag(x) OVER w, 2) + pow(y - lag(y) OVER w, 2)) AS feet,
+          CASE WHEN lag(status) OVER w IS NOT NULL AND status <> lag(status) OVER w
+               THEN 1 ELSE 0 END AS status_chg
+        FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sp AS (
+        SELECT *, CASE WHEN seconds > 0 THEN feet / seconds * 0.681818 END AS speed
+        FROM m),
+      fg AS (
+        SELECT *,
+          CASE WHEN seconds IS NULL OR seconds = 0 OR speed >= 0.10
+               THEN 1 ELSE 0 END AS fwd_reset,
+          sum(CASE WHEN seconds IS NULL OR seconds = 0 OR speed >= 0.10
+               THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS fwd_grp
+        FROM sp),
+      fs AS (
+        SELECT *,
+          COALESCE(sum(CASE WHEN fwd_reset = 0 THEN seconds END)
+            OVER (PARTITION BY user_id, fwd_grp ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING), 0) AS fst
+        FROM fg),
+      ld AS (
+        SELECT *,
+          lead(seconds) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+          lead(speed) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sp2
+        FROM fs),
+      bg AS (
+        SELECT *,
+          CASE WHEN s2 IS NULL OR s2 = 0 OR sp2 >= 0.10 THEN 1 ELSE 0 END AS bwd_reset,
+          sum(CASE WHEN s2 IS NULL OR s2 = 0 OR sp2 >= 0.10 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                  ROWS UNBOUNDED PRECEDING) AS bwd_grp
+        FROM ld),
+      bs AS (
+        SELECT *,
+          COALESCE(sum(CASE WHEN bwd_reset = 0 THEN s2 END)
+            OVER (PARTITION BY user_id, bwd_grp ORDER BY ts DESC, event_id DESC
+                  ROWS UNBOUNDED PRECEDING), 0) AS bst
+        FROM bg),
+      brk AS (
+        SELECT *,
+          CASE WHEN seconds IS NULL OR status_chg = 1 OR seconds > 86400.0
+            OR feet > 9000.0 OR fst > 100000.0
+            OR (bst > 100000.0 AND fst > 0) THEN 1 ELSE 0 END AS is_break
+        FROM bs),
+      tr AS (
+        SELECT user_id, ts, event_id, COALESCE(feet, 0) AS feet0,
+          CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trip_id
+        FROM brk)
+      SELECT user_id, trip_id, count(*) AS num_points,
+        round(sum(feet0), 2) AS trip_length,
+        min(ts) AS start_ts, max(ts) AS end_ts
+      FROM tr GROUP BY 1, 2
+      HAVING count(*) > 1 AND sum(feet0) > 2000.0"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2108,5 +2204,6 @@ object Queries {
     q51ReportAssembly, q52TodBucket, q53Sketches, q54Reconstruct,
     q55TripIdDisambig, q56Allocation, q57DemandAssembly, q58SkimProbe,
     q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize,
-    q64JsonProps, q65SqlInterface, q66EstimationFile, q67RatioExtrapolation)
+    q64JsonProps, q65SqlInterface, q66EstimationFile, q67RatioExtrapolation,
+    q68TaxiSegmentation)
 }
