@@ -2188,6 +2188,77 @@ object Queries {
       FROM tr GROUP BY 1, 2
       HAVING count(*) > 1 AND sum(feet0) > 2000.0"""))
 
+  /** The map-matching fixture: a 5-link directed network (two routes
+    * B->D) and two GPS trips. Planted so every stage is hand-derivable —
+    * see MapMatchSpec for the full worked derivation. Trip 1's second
+    * point sits closer to the wrong link (link 4, 80 ft vs 120 ft); the
+    * path structure snaps it back to link 2, which is the entire point of
+    * HMM map-matching. */
+  private lazy val mmLinks = Seq(
+    graft.pipelines.MapMatch.Link(1L, 0, 0, 1000, 0, 50),
+    graft.pipelines.MapMatch.Link(2L, 1000, 0, 2000, 0, 50),
+    graft.pipelines.MapMatch.Link(3L, 2000, 0, 2000, 1000, 100),
+    graft.pipelines.MapMatch.Link(4L, 1000, 0, 1000, 1000, 100),
+    graft.pipelines.MapMatch.Link(5L, 1000, 1000, 2000, 1000, 100))
+  private lazy val mmSkim = graft.pipelines.MapMatch.linkSkim(mmLinks)
+  private lazy val mmById = mmLinks.map(l => l.linkId -> l).toMap
+
+  private def mmTraversals(s: SparkSession) = {
+    import s.implicits._
+    val pts = Seq(
+      ("1", 0L, 0.0, 600.0, 10.0), ("1", 1L, 96.0, 1080.0, 120.0),
+      ("1", 2L, 156.0, 1900.0, 40.0), ("1", 3L, 236.0, 2050.0, 950.0),
+      ("2", 0L, 1000.0, 200.0, 5.0), ("2", 1L, 1100.0, 1800.0, 5.0),
+      ("2", 2L, 1150.0, 1800.0, 5.0) // stationary repeat: leg is skipped
+    ).toDF("trip", "pt", "ts", "x", "y")
+    val cands = graft.pipelines.MapMatch.candidateStates(
+      pts, mmLinks, "trip", "pt", "x", "y")
+    val legs = graft.pipelines.MapMatch.viterbiLegs(
+      cands, "trip", "pt", "ts", mmSkim, mmById)
+    graft.pipelines.MapMatch.allocateTravelTimes(legs, mmLinks)
+  }
+
+  /** G1+G3+G4+G5 — the integrated map-matching chain (points ->
+    * candidate link projection -> Viterbi over candidate paths from the
+    * broadcast skim -> travel time allocated to links with the
+    * consecutive-link merge); sftaxi_wrangler.py:172-204 end to end.
+    * Oracle = the hand-derived traversals (MapMatchSpec documents the
+    * derivation: leg ff-parts 20/4, 41, 5/95 allocate dts 96, 60, 80 into
+    * exact tts; link 2 merges 0.08+0.82+0.10 across all three legs). */
+  val q69MapMatching = Q(
+    "q69_map_matching",
+    (s, d) =>
+      mmTraversals(s).select(col("trip"), col("run"), col("link_id"),
+        round(col("traversal_ratio"), 6).as("traversal_ratio"),
+        round(col("travel_time"), 6).as("travel_time"), col("start_ts")),
+    Some("""SELECT * FROM (VALUES
+        ('1', 1, 1, 0.4,  80.0, TIMESTAMP '1970-01-01 00:00:00'),
+        ('1', 2, 2, 1.0,  80.0, TIMESTAMP '1970-01-01 00:01:20'),
+        ('1', 3, 3, 0.95, 76.0, TIMESTAMP '1970-01-01 00:02:40'),
+        ('2', 1, 1, 0.8,  50.0, TIMESTAMP '1970-01-01 00:16:40'),
+        ('2', 2, 2, 0.8,  50.0, TIMESTAMP '1970-01-01 00:17:30'))
+      t(trip, run, link_id, traversal_ratio, travel_time, start_ts)"""))
+
+  /** A10 over the matched traversals — link travel-time stats on
+    * mostly-traversed observations (ratio > 0.75), scaled to the full
+    * link (TaxiDataHelper.py:489-541): link 1 gets trip 2's 62.5 s, link 2
+    * one 80 s and one 62.5 s observation (pop-std 8.75, p95 79.125),
+    * link 3 trip 1's 76/0.95 = 80 s; trip 1's 0.4-traversal of link 1 is
+    * filtered out. */
+  val q70LinkTtStats = Q(
+    "q70_link_tt_stats",
+    (s, d) =>
+      graft.pipelines.MapMatch.linkStats(mmTraversals(s))
+        .select(col("link_id"), col("hour"), col("observations"),
+          round(col("tt_mean"), 6).as("tt_mean"),
+          round(col("tt_std"), 6).as("tt_std"),
+          round(col("tt_95"), 6).as("tt_95")),
+    Some("""SELECT * FROM (VALUES
+        (1, 0, 1, 62.5,  0.0,  62.5),
+        (2, 0, 2, 71.25, 8.75, 79.125),
+        (3, 0, 1, 80.0,  0.0,  80.0))
+      t(link_id, hour, observations, tt_mean, tt_std, tt_95)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2205,5 +2276,5 @@ object Queries {
     q55TripIdDisambig, q56Allocation, q57DemandAssembly, q58SkimProbe,
     q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize,
     q64JsonProps, q65SqlInterface, q66EstimationFile, q67RatioExtrapolation,
-    q68TaxiSegmentation)
+    q68TaxiSegmentation, q69MapMatching, q70LinkTtStats)
 }

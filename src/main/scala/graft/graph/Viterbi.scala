@@ -19,21 +19,37 @@ object Viterbi {
   def decode(
       nObs: Int, nStates: Int,
       emit: (Int, Int) => Double,
-      trans: (Int, Int) => Double): Array[Int] = {
+      trans: (Int, Int) => Double): Array[Int] =
+    decodeVar(nObs, _ => nStates, emit, (_, a, b) => trans(a, b))
+
+  /** The general kernel: per-observation state counts and time-dependent
+    * transition costs — the shape map-matching needs (candidate links per
+    * GPS point vary; the path cost between two candidates depends on the
+    * observed time gap at that step). Unreachable states carry
+    * Double.PositiveInfinity cost and are never chosen while any finite
+    * path exists.
+    *
+    * @param nStatesAt states at observation t (>= 1 for every t)
+    * @param trans     trans(t, s1, s2): cost s1@(t-1) -> s2@t
+    */
+  def decodeVar(
+      nObs: Int, nStatesAt: Int => Int,
+      emit: (Int, Int) => Double,
+      trans: (Int, Int, Int) => Double): Array[Int] = {
     if (nObs == 0) return Array.empty
-    val cost = Array.ofDim[Double](nObs, nStates)
-    val back = Array.ofDim[Int](nObs, nStates)
+    val cost = Array.tabulate(nObs)(t => new Array[Double](nStatesAt(t)))
+    val back = Array.tabulate(nObs)(t => new Array[Int](nStatesAt(t)))
     var s = 0
-    while (s < nStates) { cost(0)(s) = emit(0, s); s = 1 + s }
+    while (s < nStatesAt(0)) { cost(0)(s) = emit(0, s); s = 1 + s }
     var t = 1
     while (t < nObs) {
       var cur = 0
-      while (cur < nStates) {
+      while (cur < nStatesAt(t)) {
         var bestPrev = 0
-        var bestCost = Double.MaxValue
+        var bestCost = Double.PositiveInfinity
         var prev = 0
-        while (prev < nStates) {
-          val c = cost(t - 1)(prev) + trans(prev, cur)
+        while (prev < nStatesAt(t - 1)) {
+          val c = cost(t - 1)(prev) + trans(t, prev, cur)
           if (c < bestCost) { bestCost = c; bestPrev = prev }
           prev += 1
         }
@@ -47,7 +63,7 @@ object Viterbi {
     var best = 0
     var bc = cost(nObs - 1)(0)
     s = 1
-    while (s < nStates) {
+    while (s < nStatesAt(nObs - 1)) {
       if (cost(nObs - 1)(s) < bc) { bc = cost(nObs - 1)(s); best = s }
       s += 1
     }

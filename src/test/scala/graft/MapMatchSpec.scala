@@ -1,0 +1,119 @@
+package graft
+
+import graft.pipelines.MapMatch
+import graft.pipelines.MapMatch.{Link, State}
+import org.apache.spark.sql.functions._
+
+/** Integrated map-matching on the planted fixture — hand-worked numbers.
+  *
+  * Network (feet; ff seconds):        E(1000,1000)──5──D(2000,1000)
+  *   1 A(0,0)->B(1000,0)      ff 50        │4              │3
+  *   2 B->C(2000,0)           ff 50        B──────2────────C
+  *   3 C->D                   ff 100       │
+  *   4 B->E                   ff 100   A───1───B  (1 feeds 2 and 4)
+  *   5 E->D                   ff 100
+  * Inclusive skim: s(1,2)=100 s(1,3)=200 s(1,4)=150 s(1,5)=250
+  *                 s(2,3)=150 s(4,5)=200; no path back from 3/5 or 4->2.
+  *
+  * Trip 1: p0 (600,10) t0   -> only link1@0.6  (d 10)
+  *         p1 (1080,120) t96 -> link4@0.12 (d 80), link2@0.08 (d 120),
+  *                             link1@1.0 (d 144.2) — all within 150
+  *         p2 (1900,40) t156 -> link2@0.9 (d 40), link3@0.04 (d 100)
+  *         p3 (2050,950) t236-> link3@0.95 (d 50), link5@1.0 (d 70.7)
+  * Viterbi (emit 0.5*d; trans tt + max(tt-dt, 0); limit max(60, 2*dt)):
+  *   p1: via link2: tt=100-30-46=24, cum 5+24+60=89
+  *       via link4: tt=150-30-88=32, cum 5+32+40=77  <- locally better!
+  *   p2: link2@0.9 <- link2@0.08 (same link, tt=41): 89+41+20=150
+  *       (from link4: unreachable; link3@0.04: s(2,3)=150 > limit 120)
+  *   p3: link3@0.95 <- link2@0.9: tt=150-45-5=100, cost 100+20: 150+120+25
+  *       (link5: unreachable) -> backtrack snaps p1 to link2@0.08.
+  * Legs: [1,2] 0.6->0.08: ff 20/4, dt 96 -> tt 80/16
+  *       [2]   0.08->0.9:  ff 41, dt 60 -> tt 60
+  *       [2,3] 0.9->0.95:  ff 5/95, dt 80 -> tt 4/76
+  * Merge: link1 (0.4, 80, t 0); link2 (1.0, 16+60+4=80, t 80);
+  *        link3 (0.95, 76, t 160).
+  *
+  * Trip 2: (200,5) t1000 -> link1@0.2; (1800,5) t1100 -> link2@0.8;
+  *         stationary repeat t1150 (same state -> leg skipped).
+  * Leg [1,2] 0.2->0.8: ff 40/40, dt 100 -> tt 50/50.
+  */
+class MapMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val links = Seq(
+    Link(1L, 0, 0, 1000, 0, 50), Link(2L, 1000, 0, 2000, 0, 50),
+    Link(3L, 2000, 0, 2000, 1000, 100), Link(4L, 1000, 0, 1000, 1000, 100),
+    Link(5L, 1000, 1000, 2000, 1000, 100))
+  private lazy val skim = MapMatch.linkSkim(links)
+  private val byId = links.map(l => l.linkId -> l).toMap
+
+  test("linkSkim: inclusive free-flow times and link sequences") {
+    assert(skim((1L, 2L)) == ((100.0, Vector(1L, 2L))))
+    assert(skim((1L, 3L)) == ((200.0, Vector(1L, 2L, 3L))))
+    assert(skim((1L, 5L)) == ((250.0, Vector(1L, 4L, 5L))))
+    assert(skim((1L, 1L))._1 == 50.0)
+    assert(!skim.contains((4L, 2L)) && !skim.contains((3L, 1L)))
+  }
+
+  private def pts = Seq(
+    ("1", 0L, 0.0, 600.0, 10.0), ("1", 1L, 96.0, 1080.0, 120.0),
+    ("1", 2L, 156.0, 1900.0, 40.0), ("1", 3L, 236.0, 2050.0, 950.0),
+    ("2", 0L, 1000.0, 200.0, 5.0), ("2", 1L, 1100.0, 1800.0, 5.0),
+    ("2", 2L, 1150.0, 1800.0, 5.0)
+  ).toDF("trip", "pt", "ts", "x", "y")
+
+  test("candidateStates: projection, clamping, rank by distance") {
+    val c = MapMatch.candidateStates(pts, links, "trip", "pt", "x", "y")
+      .select("trip", "pt", "cand_rank", "link_id", "offset_ratio", "cand_dist")
+      .as[(String, Long, Int, Long, Double, Double)].collect()
+      .groupBy(r => (r._1, r._2))
+    // p1 of trip 1: link4 nearest (80), then link2 (120), then link1
+    // clamped to its end (sqrt(80^2+120^2) ~ 144.2)
+    val p1 = c(("1", 1L)).sortBy(_._3).map(r => (r._4, r._5, r._6)).toSeq
+    assert(p1.map(_._1) == Seq(4L, 2L, 1L))
+    assert(p1(0)._2 == 0.12 && p1(0)._3 == 80.0)
+    assert(p1(1)._2 == 0.08 && p1(1)._3 == 120.0)
+    assert(p1(2)._2 == 1.0)
+    // p3: link5's projection clamps to its endpoint D
+    val p3 = c(("1", 3L)).sortBy(_._3).map(_._4).toSeq
+    assert(p3 == Seq(3L, 5L))
+    // trip 2 points have a single candidate each
+    assert(c(("2", 0L)).map(_._4).toSeq == Seq(1L))
+  }
+
+  test("viterbiLegs: the path structure overrides the nearest projection") {
+    val cands = MapMatch.candidateStates(pts, links, "trip", "pt", "x", "y")
+    val legs = MapMatch.viterbiLegs(cands, "trip", "pt", "ts", skim, byId)
+      .collect().groupBy(_.trip)
+    val t1 = legs("1").sortBy(_.leg)
+    assert(t1.map(_.links.toVector).toSeq ==
+      Seq(Vector(1L, 2L), Vector(2L), Vector(2L, 3L)))
+    assert(t1(0).startRatio == 0.6 && t1(0).endRatio == 0.08)
+    assert(t1(1).startRatio == 0.08 && t1(1).endRatio == 0.9)
+    assert(t1(2).startRatio == 0.9 && t1(2).endRatio == 0.95)
+    assert(t1.forall(_.moved))
+    // trip 2: the stationary leg is marked unmoved
+    val t2 = legs("2").sortBy(_.leg)
+    assert(t2.map(_.moved).toSeq == Seq(true, false))
+  }
+
+  test("allocation + consecutive-link merge + stats match the derivation") {
+    val cands = MapMatch.candidateStates(pts, links, "trip", "pt", "x", "y")
+    val legs = MapMatch.viterbiLegs(cands, "trip", "pt", "ts", skim, byId)
+    val trav = MapMatch.allocateTravelTimes(legs, links)
+    val rows = trav.orderBy("trip", "run")
+      .select(col("trip"), col("link_id"), round(col("traversal_ratio"), 9),
+        round(col("travel_time"), 9), col("start_ts").cast("long"))
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(rows == Seq(
+      ("1", 1L, 0.4, 80.0, 0L), ("1", 2L, 1.0, 80.0, 80L),
+      ("1", 3L, 0.95, 76.0, 160L),
+      ("2", 1L, 0.8, 50.0, 1000L), ("2", 2L, 0.8, 50.0, 1050L)))
+    val stats = MapMatch.linkStats(trav).orderBy("link_id")
+      .select(col("link_id"), col("observations"), round(col("tt_mean"), 6),
+        round(col("tt_std"), 6), round(col("tt_95"), 6))
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(stats == Seq((1L, 1L, 62.5, 0.0, 62.5),
+      (2L, 2L, 71.25, 8.75, 79.125), (3L, 1L, 80.0, 0.0, 80.0)))
+  }
+}

@@ -16,7 +16,10 @@ class PlanQualitySpec extends SparkSpec {
     "q26_knn_bruteforce", "q36_grid_nn",
     // month-spine construction: distinct-keys x month-sequence dimension
     // build — the broadcast side is the exploded month range (always tiny)
-    "q11_impute", "q57_demand_assembly")
+    "q11_impute", "q57_demand_assembly",
+    // candidate link projection: points x broadcast network (config-scale,
+    // guarded by MapMatch.linkSkim's maxLinks bound)
+    "q69_map_matching", "q70_link_tt_stats")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).
