@@ -1397,18 +1397,30 @@ object Queries {
   private def secToGtfs(sec: Int): String =
     f"${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d"
 
+  /** Cumulative shape distance at stops 1..3 in meters (stop_times
+    * shape_dist_traveled; S1's 0 exercises the sdt<=0 fallback branch). */
+  private val gtfsSdt = Seq(0, 1000, 2500)
+
   private lazy val gtfsFixture: Seq[(String, String)] = {
     val routes = "route_id,route_short_name,route_type\nR1,10,3\nR2,N,3\n"
+    // R1's trips run weekdays; R2's owl trips run the Saturday service
+    val svc = Map("R1" -> "WKDY", "R2" -> "SAT")
     val trips = "trip_id,route_id,service_id,direction_id\n" +
-      gtfsTrips.map { case (t, r, _) => s"$t,$r,WKDY,0" }.mkString("\n") + "\n"
-    val stopTimes = "trip_id,stop_id,stop_sequence,arrival_time,departure_time\n" +
+      gtfsTrips.map { case (t, r, _) => s"$t,$r,${svc(r)},0" }.mkString("\n") + "\n"
+    val stopTimes = "trip_id,stop_id,stop_sequence,arrival_time,departure_time,shape_dist_traveled\n" +
       (for ((t, _, start) <- gtfsTrips; k <- 1 to 3) yield {
         val dep = start + (k - 1) * 4 * 60
-        s"$t,S$k,$k,${secToGtfs(dep)},${secToGtfs(dep)}"
+        s"$t,S$k,$k,${secToGtfs(dep)},${secToGtfs(dep)},${gtfsSdt(k - 1)}"
       }).mkString("\n") + "\n"
-    val calendar = "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date\nWKDY,1,1,1,1,1,0,0,20240101,20241231\n"
+    val calendar = "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date\n" +
+      "WKDY,1,1,1,1,1,0,0,20240101,20240114\n" +
+      "SAT,0,0,0,0,0,1,0,20240101,20240114\n" +
+      "SUN,0,0,0,0,0,0,1,20240101,20240114\n"
+    val fareAttrs = "fare_id,price,currency_type\nf1,2.50,USD\nf2,3.00,USD\n"
+    val fareRules = "fare_id,route_id\nf1,R1\nf2,R2\n"
     Seq("routes.txt" -> routes, "trips.txt" -> trips,
-      "stop_times.txt" -> stopTimes, "calendar.txt" -> calendar)
+      "stop_times.txt" -> stopTimes, "calendar.txt" -> calendar,
+      "fare_attributes.txt" -> fareAttrs, "fare_rules.txt" -> fareRules)
   }
 
   /** Expected q48 rows computed independently of Spark:
@@ -2259,6 +2271,110 @@ object Queries {
         (3, 0, 1, 80.0,  0.0,  80.0))
       t(link_id, hour, observations, tt_mean, tt_std, tt_95)"""))
 
+  /** Expected per-stop GTFS measures, computed independently in plain
+    * Scala with the same IEEE arithmetic and decimal rounding
+    * (BigDecimal.valueOf == Spark's Round semantics): service-mile deltas
+    * from the shape distances, runtimes, speeds. */
+  private def gtfsRnd(x: Double, d: Int): Double =
+    BigDecimal.valueOf(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private lazy val gtfsStopMiles: Seq[Double] = Seq(
+    0.0,
+    gtfsRnd(1000 * 3.2808399 / 5280.0, 3),
+    gtfsRnd((2500 * 3.2808399 - 1000 * 3.2808399) / 5280.0, 3))
+  private lazy val gtfsStopSpeeds: Seq[Double] =
+    gtfsStopMiles.zip(Seq(0.0, 4.0, 4.0)).map { case (m, t) =>
+      if (t > 0) gtfsRnd(m / (t / 60.0), 2) else 0.0
+    }
+
+  /** Daily system-total expectations: WKDY serves t1-t3 on the 10 January
+    * weekdays, SAT serves the owl trips t4-t5 (23:55 and 24:40 starts —
+    * the >24h service-day trips) on the 2 Saturdays; the SUN service
+    * exists in calendar.txt but no trip references it, so Sundays vanish.
+    */
+  private lazy val gtfsDailyExpected: Seq[(String, Int, Int, Int, Int,
+      Double, Double, Double, Double, Double)] = {
+    val milesPerTrip = gtfsStopMiles.sum
+    val speedSum = gtfsStopSpeeds.sum
+    val wkDates = Seq(1, 2, 3, 4, 5, 8, 9, 10, 11, 12)
+    val satDates = Seq(6, 13)
+    wkDates.map { dd =>
+      (f"2024-01-$dd%02d", 1, 3, 3, 9, 2.5, 15.0,
+        gtfsRnd(3 * milesPerTrip, 6), 24.0, gtfsRnd(3 * speedSum / 9.0, 6))
+    } ++ satDates.map { dd =>
+      (f"2024-01-$dd%02d", 2, 2, 3, 6, 3.0, 45.0,
+        gtfsRnd(2 * milesPerTrip, 6), 16.0, gtfsRnd(2 * speedSum / 6.0, 6))
+    }
+  }
+
+  private def gtfsFeedFor(s: SparkSession, base: String) = {
+    import graft.sources.Gtfs
+    Gtfs.writeZip(s"$base/feed.zip", gtfsFixture)
+    Gtfs.extractZip(s"$base/feed.zip", s"$base/feed")
+    Gtfs.readFeed(s, s"$base/feed")
+  }
+
+  /** S5/W7/A8 — GTFS daily system totals: the full schedule (shape-mile
+    * chain with the negative-mile gate, dwell/runtime/speeds, fare join)
+    * joined to calendar-expanded service dates, one system row per active
+    * date with countUnique trips/stops (GTFSHelper.py:192-282,474-527). */
+  val q71GtfsDaily = Q(
+    "q71_gtfs_daily",
+    (s, d) => {
+      import graft.sources.Gtfs
+      val feed = gtfsFeedFor(s, "/root/repo/tmp/gtfs71")
+      val sched = Gtfs.assertNonNegativeMiles(Gtfs.tripStopScheduleFull(feed))
+      Gtfs.dailySystemTotals(sched, Gtfs.serviceDates(feed))
+        .select(col("date").cast("timestamp").as("date"), col("dow"),
+          col("TRIPS"), col("STOPS"), col("TRIP_STOPS"),
+          round(col("FARE"), 6).as("FARE"),
+          round(col("HEADWAY_S"), 6).as("HEADWAY_S"),
+          round(col("SERVMILES_S"), 6).as("SERVMILES_S"),
+          round(col("RUNTIME_S"), 6).as("RUNTIME_S"),
+          round(col("RUNSPEED_S"), 6).as("RUNSPEED_S"))
+    },
+    Some {
+      val rows = gtfsDailyExpected.map { case (dt, dow, tr, st, ts, f, h, sm, rt, sp) =>
+        s"(TIMESTAMP '$dt 00:00:00', $dow, $tr, $st, $ts, $f, $h, $sm, $rt, $sp)"
+      }.mkString(",\n        ")
+      s"""SELECT * FROM (VALUES
+        $rows)
+        t(date, dow, TRIPS, STOPS, TRIP_STOPS, FARE, HEADWAY_S,
+          SERVMILES_S, RUNTIME_S, RUNSPEED_S)"""
+    })
+
+  /** A9 — GTFS monthly system totals: means of the daily rows per
+    * (month, dow) (GTFSHelper.py:287-321). */
+  val q72GtfsMonthly = Q(
+    "q72_gtfs_monthly",
+    (s, d) => {
+      import graft.sources.Gtfs
+      val feed = gtfsFeedFor(s, "/root/repo/tmp/gtfs72")
+      val sched = Gtfs.tripStopScheduleFull(feed)
+      val daily = Gtfs.dailySystemTotals(sched, Gtfs.serviceDates(feed))
+      Gtfs.monthlySystemTotals(daily)
+        .select(col("month"), col("dow"),
+          round(col("TRIPS"), 6).as("TRIPS"),
+          round(col("STOPS"), 6).as("STOPS"),
+          round(col("TRIP_STOPS"), 6).as("TRIP_STOPS"),
+          round(col("FARE"), 6).as("FARE"),
+          round(col("HEADWAY_S"), 6).as("HEADWAY_S"),
+          round(col("SERVMILES_S"), 6).as("SERVMILES_S"),
+          round(col("RUNTIME_S"), 6).as("RUNTIME_S"),
+          round(col("RUNSPEED_S"), 6).as("RUNSPEED_S"))
+    },
+    Some {
+      // means of identical daily rows reduce to those same values
+      val wk = gtfsDailyExpected.find(_._2 == 1).get
+      val sat = gtfsDailyExpected.find(_._2 == 2).get
+      val rows = Seq(wk, sat).map { case (_, dow, tr, st, ts, f, h, sm, rt, sp) =>
+        s"(TIMESTAMP '2024-01-01 00:00:00', $dow, $tr.0, $st.0, $ts.0, $f, $h, $sm, $rt, $sp)"
+      }.mkString(",\n        ")
+      s"""SELECT * FROM (VALUES
+        $rows)
+        t(month, dow, TRIPS, STOPS, TRIP_STOPS, FARE, HEADWAY_S,
+          SERVMILES_S, RUNTIME_S, RUNSPEED_S)"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2276,5 +2392,6 @@ object Queries {
     q55TripIdDisambig, q56Allocation, q57DemandAssembly, q58SkimProbe,
     q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize,
     q64JsonProps, q65SqlInterface, q66EstimationFile, q67RatioExtrapolation,
-    q68TaxiSegmentation, q69MapMatching, q70LinkTtStats)
+    q68TaxiSegmentation, q69MapMatching, q70LinkTtStats, q71GtfsDaily,
+    q72GtfsMonthly)
 }
