@@ -2375,6 +2375,43 @@ object Queries {
           SERVMILES_S, RUNTIME_S, RUNSPEED_S)"""
     })
 
+  /** A7 — master-route aggregation with NUMDAYS weighting and the
+    * missing-month donor patch (SFMuniDataAggregator.py:807-929) on a
+    * mid-month-rename fixture: route 5L runs 12 days of April 2015, its
+    * rename 5R the other 18 — both map to master route 5, so trips SUM
+    * (no double count) and ON/ONTIME5 weight by days; the 8X's December
+    * row aggregated all-null (missing data) and is filled from January;
+    * route X99 has no equivalency and drops like a pandas NaN group key.
+    * Expected (hand-computed): ON(5, Apr) = (12*5000 + 18*9000)/30 = 7400,
+    * ONTIME5 = (12*0.8 + 18*0.9)/30 = 0.86. */
+  val q73MasterRoute = Q(
+    "q73_master_route",
+    (s, d) => {
+      import s.implicits._
+      val monthly = Seq(
+        ("2015-04-01", "5L", 12.0, Some(1200.0), Some(5000.0), Some(0.80)),
+        ("2015-04-01", "5R", 18.0, Some(2000.0), Some(9000.0), Some(0.90)),
+        ("2009-12-01", "8X", 5.0, Option.empty[Double], Option.empty[Double], Option.empty[Double]),
+        ("2010-01-01", "8X", 20.0, Some(800.0), Some(3000.0), Some(0.75)),
+        ("2015-04-01", "X99", 10.0, Some(99.0), Some(1.0), Some(0.5)))
+        .toDF("m", "ROUTE_SHORT_NAME", "NUMDAYS", "TRIPS", "ON", "ONTIME5")
+        .withColumn("MONTH", col("m").cast("timestamp")).drop("m")
+      val equiv = Seq(("5L", "5"), ("5R", "5"), ("8X", "8"))
+        .toDF("ROUTE_SHORT_NAME", "MASTER_ROUTE_NAME")
+      val agg = graft.pipelines.Transit.masterRoute(monthly, equiv)
+      graft.pipelines.Transit.fillMonthFromDonor(agg,
+          Seq("MASTER_ROUTE_NAME"), "MONTH", "2009-12-01", "2010-01-01",
+          Seq("TRIPS", "ON", "ONTIME5"))
+        .select(col("MONTH"), col("MASTER_ROUTE_NAME"),
+          col("NUMDAYS"), col("TRIPS"), round(col("ON"), 6).as("ON"),
+          round(col("ONTIME5"), 6).as("ONTIME5"))
+    },
+    Some("""SELECT * FROM (VALUES
+        (TIMESTAMP '2009-12-01 00:00:00', '8', 5.0, 800.0, 3000.0, 0.75),
+        (TIMESTAMP '2010-01-01 00:00:00', '8', 20.0, 800.0, 3000.0, 0.75),
+        (TIMESTAMP '2015-04-01 00:00:00', '5', 30.0, 3200.0, 7400.0, 0.86))
+      t(MONTH, MASTER_ROUTE_NAME, NUMDAYS, TRIPS, "ON", ONTIME5)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2393,5 +2430,5 @@ object Queries {
     q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize,
     q64JsonProps, q65SqlInterface, q66EstimationFile, q67RatioExtrapolation,
     q68TaxiSegmentation, q69MapMatching, q70LinkTtStats, q71GtfsDaily,
-    q72GtfsMonthly)
+    q72GtfsMonthly, q73MasterRoute)
 }

@@ -212,4 +212,54 @@ object Transit {
       AggRule("CROWDED", "CROWDED", AggMethod.WgtAvg),
       AggRule("CROWDHOURS", "CROWDHOURS", AggMethod.Sum)),
       weight = Some("TRIPS"))
+
+  /** A7 — master-route aggregation (SFMuniDataAggregator.py:807-929):
+    * routes that change names mid-month (the 5L -> 5R April-2015 case)
+    * would double-count at the monthly route grain; the equivalency table
+    * maps both names to one master route, observation counts SUM, rates
+    * and means weight by NUMDAYS (the rule-table engine's WgtAvg —
+    * numerator skips null months, denominator is the total weight).
+    * Routes the equivalency doesn't map are dropped, exactly as a pandas
+    * groupby drops NaN keys in the reference.
+    */
+  def masterRoute(
+      routeMonthly: DataFrame, routeEquiv: DataFrame,
+      groupCols: Seq[String] = Seq("MONTH"),
+      rules: Seq[AggRule] = masterRouteRules): DataFrame =
+    RuleAgg.aggregate(
+      routeMonthly
+        .join(org.apache.spark.sql.functions.broadcast(routeEquiv),
+          Seq("ROUTE_SHORT_NAME"), "left")
+        .where(col("MASTER_ROUTE_NAME").isNotNull),
+      groupCols :+ "MASTER_ROUTE_NAME", rules, weight = Some("NUMDAYS"))
+
+  val masterRouteRules: Seq[AggRule] = Seq(
+    AggRule("NUMDAYS", "NUMDAYS", AggMethod.Sum),
+    AggRule("TRIPS", "TRIPS", AggMethod.Sum),
+    AggRule("ON", "ON", AggMethod.WgtAvg),
+    AggRule("ONTIME5", "ONTIME5", AggMethod.WgtAvg))
+
+  /** The Dec-2009 8X/9X patch at the master-route level
+    * (SFMuniDataAggregator.py:905-929): a target month whose aggregated
+    * measures came out null (the underlying route's data is missing) is
+    * filled from a donor month of the SAME master route — only null
+    * columns are touched. Relational form: broadcast the donor month's
+    * rows, coalesce per column on the target month.
+    */
+  def fillMonthFromDonor(
+      df: DataFrame, keys: Seq[String], monthCol: String,
+      targetMonth: String, donorMonth: String,
+      valueCols: Seq[String]): DataFrame = {
+    val donor = df
+      .where(col(monthCol) === lit(donorMonth).cast("timestamp"))
+      .select((keys.map(col) ++ valueCols.map(c => col(c).as(s"__donor_$c"))): _*)
+    val patched = df.join(
+      org.apache.spark.sql.functions.broadcast(donor), keys, "left")
+    val filled = valueCols.foldLeft(patched) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(monthCol) === lit(targetMonth).cast("timestamp"),
+          coalesce(col(c), col(s"__donor_$c"))).otherwise(col(c)))
+    }
+    filled.drop(valueCols.map(c => s"__donor_$c"): _*)
+  }
 }
