@@ -2412,6 +2412,63 @@ object Queries {
         (TIMESTAMP '2015-04-01 00:00:00', '5', 30.0, 3200.0, 7400.0, 0.86))
       t(MONTH, MASTER_ROUTE_NAME, NUMDAYS, TRIPS, "ON", ONTIME5)"""))
 
+  /** T1 full form — annual order counts converted to a monthly series
+    * with July anchoring (April for the 1995 "census" year), one-year
+    * LINEAR extrapolation at both ends via synthetic anchors, and the
+    * Jan(y0)..Dec(yN) trim (DemandHelper.py:1558-1619). The first/last
+    * six real months only exist because of the synthetic anchors — a
+    * flat-fill implementation hash-mismatches immediately. */
+  val q74AnnualToMonthly = Q(
+    "q74_annual_to_monthly",
+    (s, d) => {
+      val annual = orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      TimeSeries.annualToMonthly(annual, Seq.empty, "yr", Seq("v"),
+          censusYears = Seq(1995))
+        .select(col("month").cast("timestamp").as("month"),
+          round(col("v"), 4).as("v"))
+    },
+    Some("""WITH annual AS (
+        SELECT year(o_orderdate) AS yr, CAST(count(*) AS DOUBLE) AS v
+        FROM orders GROUP BY 1),
+      nb AS (
+        SELECT yr, v, lead(v) OVER (ORDER BY yr) AS nx,
+          lag(v) OVER (ORDER BY yr) AS pv,
+          row_number() OVER (ORDER BY yr) AS rna,
+          row_number() OVER (ORDER BY yr DESC) AS rnd
+        FROM annual),
+      anchors AS (
+        SELECT yr, v FROM nb
+        UNION ALL SELECT yr - 1, 2*v - nx FROM nb WHERE rna = 1
+        UNION ALL SELECT yr + 1, 2*v - pv FROM nb WHERE rnd = 1),
+      am AS (
+        SELECT make_date(yr, CASE WHEN yr = 1995 THEN 4 ELSE 7 END, 1) AS month, v
+        FROM anchors),
+      spine AS (
+        SELECT unnest(generate_series((SELECT min(month) FROM am),
+          (SELECT max(month) FROM am), INTERVAL 1 MONTH))::DATE AS month),
+      j AS (
+        SELECT s.month, am.v, year(s.month) * 12 + month(s.month) AS idx
+        FROM spine s LEFT JOIN am ON s.month = am.month),
+      w AS (
+        SELECT month, v, CAST(idx AS DOUBLE) AS t,
+          last_value(v IGNORE NULLS) OVER past AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN CAST(idx AS DOUBLE) END IGNORE NULLS) OVER past AS pt,
+          first_value(v IGNORE NULLS) OVER fut AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN CAST(idx AS DOUBLE) END IGNORE NULLS) OVER fut AS nt
+        FROM j
+        WINDOW past AS (ORDER BY idx ROWS UNBOUNDED PRECEDING),
+               fut AS (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT month::TIMESTAMP AS month,
+        round(COALESCE(v,
+          CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (t - pt) / (nt - pt) END,
+          pv, nv), 4) AS v
+      FROM w
+      WHERE month >= make_date((SELECT min(yr) FROM annual), 1, 1)
+        AND month <= make_date((SELECT max(yr) FROM annual), 12, 1)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2430,5 +2487,5 @@ object Queries {
     q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize,
     q64JsonProps, q65SqlInterface, q66EstimationFile, q67RatioExtrapolation,
     q68TaxiSegmentation, q69MapMatching, q70LinkTtStats, q71GtfsDaily,
-    q72GtfsMonthly, q73MasterRoute)
+    q72GtfsMonthly, q73MasterRoute, q74AnnualToMonthly)
 }

@@ -58,6 +58,68 @@ object TimeSeries {
         prevV, nextV))
   }
 
+  /** T1 in the reference's FULL form (DemandHelper.py:1558-1619): annual
+    * values anchored at July 1 (April 1 for census years), ONE-YEAR LINEAR
+    * EXTRAPOLATION at both ends via synthetic anchor years
+    * (v0' = 2*v_first - v_second at year_min-1; symmetric at year_max+1),
+    * monthly spine, per-month-position linear interpolation, then trimmed
+    * to Jan(year_min)..Dec(year_max). A key with a single annual value
+    * gets null synthetic anchors and falls back to flat fill — the same
+    * NaN arithmetic outcome as the reference.
+    */
+  def annualToMonthly(
+      df: DataFrame, keys: Seq[String], yearCol: String,
+      valueCols: Seq[String], censusYears: Seq[Int] = Nil): DataFrame = {
+    val base = df.select(
+      (keys.map(col) :+ col(yearCol).cast("int").as("__yr")) ++
+        valueCols.map(col): _*)
+    val pa = Window.partitionBy(keys.map(col): _*).orderBy(col("__yr"))
+    val pd = Window.partitionBy(keys.map(col): _*).orderBy(col("__yr").desc)
+    val withNb = valueCols.foldLeft(base) { (d, c) =>
+      d.withColumn(s"__nx_$c", lead(col(c), 1).over(pa))
+        .withColumn(s"__pv_$c", lag(col(c), 1).over(pa))
+    }.withColumn("__rnA", row_number().over(pa))
+      .withColumn("__rnD", row_number().over(pd))
+    val synthStart = withNb.where(col("__rnA") === 1).select(
+      (keys.map(col) :+ (col("__yr") - 1).as("__yr")) ++
+        valueCols.map(c => (col(c) * 2 - col(s"__nx_$c")).as(c)): _*)
+    val synthEnd = withNb.where(col("__rnD") === 1).select(
+      (keys.map(col) :+ (col("__yr") + 1).as("__yr")) ++
+        valueCols.map(c => (col(c) * 2 - col(s"__pv_$c")).as(c)): _*)
+    val anchors = base.unionByName(synthStart).unionByName(synthEnd)
+      .withColumn("__month", make_date(col("__yr"),
+        if (censusYears.isEmpty) lit(7)
+        else when(col("__yr").isin(censusYears.map(Integer.valueOf): _*), 4)
+          .otherwise(7),
+        lit(1)))
+    // monthly spine across the anchor range (synthetic ends included)
+    val bounds = anchors.select(min("__month").as("lo"), max("__month").as("hi"))
+    val spine0 = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MONTH"))).as("month"))
+    val spine =
+      if (keys.isEmpty) spine0
+      else df.select(keys.map(col): _*).distinct().crossJoin(spine0)
+    val joined = spine.join(
+        anchors.select((keys.map(col) :+ col("__month").as("month")) ++
+          valueCols.map(col): _*),
+        keys :+ "month", "left")
+      .withColumn("__idx", year(col("month")) * 12 + month(col("month")))
+    val interped = valueCols.foldLeft(joined) { (d, c) =>
+      interpolateLinear(d, keys, "__idx", c, c + "__i")
+        .drop(c).withColumnRenamed(c + "__i", c)
+    }
+    // trim to the REAL year range per key (drops the synthetic half-years)
+    val range = base.groupBy(keys.map(col): _*)
+      .agg(min("__yr").as("__y0"), max("__yr").as("__yN"))
+    val bounded =
+      if (keys.isEmpty) interped.crossJoin(broadcast(range))
+      else interped.join(broadcast(range), keys)
+    bounded
+      .where(col("month").between(make_date(col("__y0"), lit(1), lit(1)),
+        make_date(col("__yN"), lit(12), lit(1))))
+      .select((keys.map(col) :+ col("month")) ++ valueCols.map(col): _*)
+  }
+
   /** T3 — step-function forward fill (tolls/parking/fares resample-ffill,
     * DemandHelper.py:1444-1513). */
   def ffill(df: DataFrame, keys: Seq[String], orderCol: String,

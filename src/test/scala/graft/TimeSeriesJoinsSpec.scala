@@ -19,6 +19,28 @@ class TimeSeriesJoinsSpec extends SparkSpec {
     assert(out.toSeq == Seq(10.0, 10.0, 20.0, 30.0, 40.0, 40.0))
   }
 
+  test("annualToMonthly: July/census anchors, LINEAR end extrapolation, trim") {
+    // years 2000..2002 with values 120, 240, 300: synthetic anchors are
+    // 2*120-240 = 0 @ Jul 1999 and 2*300-240 = 360 @ Jul 2003
+    val annual = Seq((2000, 120.0), (2001, 240.0), (2002, 300.0)).toDF("yr", "v")
+    val out = TimeSeries.annualToMonthly(annual, Seq.empty, "yr", Seq("v"),
+        censusYears = Seq(2001))
+      .orderBy("month")
+      .select(col("month").cast("string"), col("v"))
+      .as[(String, Double)].collect().toSeq
+    assert(out.length == 36 && out.head._1 == "2000-01-01" && out.last._1 == "2002-12-01")
+    val byMonth = out.toMap
+    // Jan 2000 sits 6/12 of the way from the synthetic 0 to the real 120:
+    // flat-fill would say 120; the linear end extrapolation says 60
+    assert(byMonth("2000-01-01") == 60.0)
+    // census year: the 240 anchors at APRIL 2001, so Apr is exact and the
+    // Jul-2000 -> Apr-2001 stretch is 9 equal steps of (240-120)/9
+    assert(byMonth("2001-04-01") == 240.0)
+    assert(math.abs(byMonth("2000-10-01") - (120.0 + 3 * 120.0 / 9)) < 1e-9)
+    // trailing: Dec 2002 is 5/12 toward the synthetic 360
+    assert(byMonth("2002-12-01") == 300.0 + 5 * 60.0 / 12)
+  }
+
   test("ffill carries last non-null forward only") {
     val df = Seq(("k", 1, Some(1.0)), ("k", 2, None), ("k", 3, Some(3.0)), ("k", 4, None))
       .toDF("k", "i", "v")
