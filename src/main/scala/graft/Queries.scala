@@ -2469,6 +2469,69 @@ object Queries {
       WHERE month >= make_date((SELECT min(yr) FROM annual), 1, 1)
         AND month <= make_date((SELECT max(yr) FROM annual), 12, 1)"""))
 
+  /** A3/W9 at the reference's month grain (SFMuniDataAggregator.py:
+    * 371-464): monthly observed-only aggregates with deterministic
+    * knockouts (every month%3==2 unobserved), a store-wide calendar gap
+    * (month%7==0 rows deleted — the chain crosses it, because the
+    * reference joins the previous AVAILABLE month), and a key dropout
+    * ('3-MEDIUM' missing from month%5==0 — ITS chain breaks with null
+    * bookkeeping). IMP_TRIP_STOPS telescopes to the anchor month's OBS.
+    * MonthImputeSpec proves this window form equals the literal
+    * sequential algorithm. */
+  val q75MonthImpute = Q(
+    "q75_month_impute",
+    (s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(col("o_orderpriority").as("k"),
+          date_trunc("MONTH", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"),
+          round(dsum(col("o_totalprice")), 2).as("rev0"))
+        .withColumn("midx", year(col("month")) * 12 + month(col("month")))
+        .where(month(col("month")) % 7 =!= 0 &&
+          !(col("k") === "3-MEDIUM" && month(col("month")) % 5 === 0))
+        .withColumn("obs",
+          when(month(col("month")) % 3 === 2, lit(0L)).otherwise(col("n")))
+        .withColumn("rev",
+          when(month(col("month")) % 3 === 2, lit(null)).otherwise(col("rev0")))
+        .drop("n", "rev0")
+      graft.operators.Windows.imputeMonthChain(
+          monthly, Seq("k"), "midx", Seq("rev"), "obs")
+        .select(col("k"), col("month"), col("obs"),
+          round(col("rev"), 4).as("rev"), col("IMP_TRIP_STOPS"))
+    },
+    Some("""WITH m AS (
+        SELECT o_orderpriority AS k, date_trunc('month', o_orderdate) AS month,
+          year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+          count(*) AS n,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS rev0
+        FROM orders GROUP BY 1, 2, 3),
+      masked AS (
+        SELECT k, month, midx,
+          CASE WHEN month(month) % 3 = 2 THEN 0 ELSE n END AS obs,
+          CASE WHEN month(month) % 3 = 2 THEN NULL ELSE rev0 END AS rev
+        FROM m
+        WHERE month(month) % 7 <> 0
+          AND NOT (k = '3-MEDIUM' AND month(month) % 5 = 0)),
+      rk AS (SELECT *, dense_rank() OVER (ORDER BY midx) AS mrank FROM masked),
+      rn AS (SELECT *,
+          mrank - row_number() OVER (PARTITION BY k ORDER BY midx) AS run
+        FROM rk),
+      f AS (
+        SELECT k, month, obs,
+          CASE WHEN obs > 0 THEN rev
+               ELSE last_value(CASE WHEN obs > 0 THEN rev END IGNORE NULLS)
+                 OVER (PARTITION BY k, run ORDER BY midx ROWS UNBOUNDED PRECEDING)
+          END AS rev,
+          last_value(CASE WHEN obs > 0 THEN obs END IGNORE NULLS)
+            OVER (PARTITION BY k, run ORDER BY midx ROWS UNBOUNDED PRECEDING) AS anchor,
+          min(mrank) OVER (PARTITION BY k, run) AS run0
+        FROM rn)
+      SELECT k, month, CAST(obs AS BIGINT) AS obs, round(rev, 4) AS rev,
+        CAST(CASE WHEN obs > 0 THEN 0
+             WHEN anchor IS NOT NULL THEN anchor
+             WHEN run0 = 1 THEN 0 END AS BIGINT) AS "IMP_TRIP_STOPS"
+      FROM f"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2487,5 +2550,5 @@ object Queries {
     q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize,
     q64JsonProps, q65SqlInterface, q66EstimationFile, q67RatioExtrapolation,
     q68TaxiSegmentation, q69MapMatching, q70LinkTtStats, q71GtfsDaily,
-    q72GtfsMonthly, q73MasterRoute, q74AnnualToMonthly)
+    q72GtfsMonthly, q73MasterRoute, q74AnnualToMonthly, q75MonthImpute)
 }

@@ -124,4 +124,63 @@ object Windows {
       .withColumn(imputedCol, (!observed && anyFilled).cast("int"))
       .drop(valueCols.map(c => s"__obs_$c"): _*)
   }
+
+  /** A3/W9 at the reference's EXACT month grain
+    * (SFMuniDataAggregator.py:371-464): the reference walks the store's
+    * months in sorted order, left-joining each month against the PREVIOUS
+    * AVAILABLE month's already-imputed table. Consequences, mirrored
+    * exactly here:
+    *  - values chain forward through unobserved months, across calendar
+    *    gaps (the `prev_month in months` guard only skips the first
+    *    month — every later prev_month is by construction in the list);
+    *  - a KEY absent from an intermediate month's table breaks that key's
+    *    chain (the left join finds nothing): value AND bookkeeping go
+    *    null, and the null IMP propagates down-chain like pandas NaN;
+    *  - `IMP_TRIP_STOPS` = OBS_prev + IMP_prev telescopes to the OBS
+    *    count of the chain's anchor month; 0 for observed rows and for
+    *    unobserved rows of the very first month (initialized, never
+    *    overwritten).
+    *
+    * Window form: rank months globally (tiny broadcast dimension), then
+    * per key a chain-run is a stretch of rows with consecutive GLOBAL
+    * ranks (`rank - row_number` constant); within a run, carry the last
+    * observed value and pin the anchor's OBS. MonthImputeSpec proves
+    * equality with the literal sequential algorithm on a multi-gap,
+    * key-dropout fixture.
+    */
+  def imputeMonthChain(
+      df: DataFrame, keys: Seq[String], monthIdxCol: String,
+      valueCols: Seq[String], obsCol: String,
+      impOut: String = "IMP_TRIP_STOPS"): DataFrame = {
+    // global month rank: bounded dimension (one row per month in store),
+    // built with a single-partition window over the DISTINCT months only
+    val months = df.select(col(monthIdxCol)).distinct()
+      .withColumn("__mrank", row_number().over(Window.orderBy(col(monthIdxCol))))
+    val part = Window.partitionBy(keys.map(col): _*).orderBy(col(monthIdxCol))
+    val d = df.join(broadcast(months), monthIdxCol)
+      .withColumn("__run", col("__mrank") - row_number().over(part))
+    val runW = Window.partitionBy((keys :+ "__run").map(col): _*)
+      .orderBy(col(monthIdxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val obs = col(obsCol)
+    // observed rows keep their values VERBATIM (even legitimate nulls);
+    // only obs==0 rows take the carried value
+    val filled = valueCols.foldLeft(d) { (acc, c) =>
+      acc.withColumn(c,
+        when(obs > 0, col(c)).otherwise(
+          last(when(obs > 0, col(c)), ignoreNulls = true).over(runW)))
+    }
+    val anchorObs = last(when(obs > 0, obs), ignoreNulls = true).over(runW)
+    val runStartsAtFirstMonth =
+      min(col("__mrank")).over(Window.partitionBy((keys :+ "__run").map(col): _*)) === 1
+    filled
+      .withColumn(impOut,
+        when(obs > 0, lit(0L))
+          .when(anchorObs.isNotNull, anchorObs)
+          // an unobserved, unanchored chain that began at the store's first
+          // month keeps the initialized 0 (0 + 0 telescopes); one that began
+          // later hit a missing prev row -> pandas NaN -> null
+          .when(runStartsAtFirstMonth, lit(0L)))
+      .drop("__run", "__mrank")
+  }
 }

@@ -19,7 +19,9 @@ class PlanQualitySpec extends SparkSpec {
     "q11_impute", "q57_demand_assembly",
     // candidate link projection: points x broadcast network (config-scale,
     // guarded by MapMatch.linkSkim's maxLinks bound)
-    "q69_map_matching", "q70_link_tt_stats")
+    "q69_map_matching", "q70_link_tt_stats",
+    // trim-bounds attach: monthly series x one global (y0, yN) row
+    "q74_annual_to_monthly")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).
