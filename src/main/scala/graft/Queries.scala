@@ -2532,6 +2532,47 @@ object Queries {
              WHEN run0 = 1 THEN 0 END AS BIGINT) AS "IMP_TRIP_STOPS"
       FROM f"""))
 
+  /** K1 under oracle — the partitioned sink round-trip: write monthly
+    * aggregates partitioned by year, then REBUILD ONE partition (1996,
+    * revenue doubled) through dynamic partition overwrite, re-read and
+    * aggregate. The oracle computes yearly revenue with only 1996
+    * doubled — a static overwrite (which would drop every other year) or
+    * an append (which would double-count 1996) both hash-mismatch, so
+    * the remove-key-then-rewrite semantics themselves are what's being
+    * checked (SFMuniDataHelper.py:28-39,583-584). */
+  val q76PartitionedSink = Q(
+    "q76_partitioned_sink",
+    (s, d) => {
+      val path = "/root/repo/tmp/sink76"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(path))
+      val monthly = orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(round(dsum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      graft.sources.Sinks.writePartitioned(monthly, path, Seq("yr"))
+      val patch = monthly.where(col("yr") === 1996)
+        .withColumn("revenue", col("revenue") * 2)
+      graft.sources.Sinks.writePartitioned(patch, path, Seq("yr"))
+      s.read.parquet(path)
+        .groupBy("yr")
+        .agg(round(sum("revenue"), 2).as("revenue"),
+          sum("n_orders").as("n_orders"))
+    },
+    Some("""WITH monthly AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+          count(*) AS n_orders
+        FROM orders GROUP BY 1, 2)
+      SELECT yr,
+        round(sum(CASE WHEN yr = 1996 THEN revenue * 2 ELSE revenue END), 2) AS revenue,
+        CAST(sum(n_orders) AS BIGINT) AS n_orders
+      FROM monthly GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2550,5 +2591,6 @@ object Queries {
     q59SetOps, q60BpeTokens, q61Winnow, q62Centroids, q63Quantize,
     q64JsonProps, q65SqlInterface, q66EstimationFile, q67RatioExtrapolation,
     q68TaxiSegmentation, q69MapMatching, q70LinkTtStats, q71GtfsDaily,
-    q72GtfsMonthly, q73MasterRoute, q74AnnualToMonthly, q75MonthImpute)
+    q72GtfsMonthly, q73MasterRoute, q74AnnualToMonthly, q75MonthImpute,
+    q76PartitionedSink)
 }
