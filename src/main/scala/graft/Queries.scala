@@ -1777,11 +1777,17 @@ object Queries {
       import s.implicits._
       val nat = nation(s, d)
       val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
-      val edges = nat.withColumn("dst", lead(col("n_nationkey"), 1).over(w))
+      // tiny config graph -> driver, per the reference; the take(N+1) bound
+      // turns a fact-sized edge set into a loud error instead of a silent
+      // driver OOM
+      val maxEdges = 100000
+      val edgeRows = nat.withColumn("dst", lead(col("n_nationkey"), 1).over(w))
         .where(col("dst").isNotNull)
         .select(col("n_nationkey").cast("int").as("src"), col("dst").cast("int").as("dst"))
-        .as[(Int, Int)].collect()  // tiny config graph -> driver, per the reference
-        .map { case (u, v) => (u, v, 1.0 + v % 3) }
+        .as[(Int, Int)].take(maxEdges + 1)
+      require(edgeRows.length <= maxEdges,
+        s"q58 skim expects a config-scale graph; got > $maxEdges edges")
+      val edges = edgeRows.map { case (u, v) => (u, v, 1.0 + v % 3) }
       val n = 32
       val (dist, _) = graft.graph.Graph.floydWarshall(n, edges.toSeq)
       val skim = (for {
@@ -2573,6 +2579,51 @@ object Queries {
         CAST(sum(n_orders) AS BIGINT) AS n_orders
       FROM monthly GROUP BY 1"""))
 
+  /** E6 — the mode-inference cascade as a broadcast LOOKUP TABLE
+    * (ClipperHelper.py:182-201), not a hard-coded CASE: priority-ordered
+    * rules with null-wildcard fields, highest matching priority wins
+    * (each np.where in the reference overwrites earlier assignments),
+    * default for unmatched rows. The q22 CASE cascade stays as the
+    * expression form; this is the data-driven form a config file feeds. */
+  val q77ModeLookup = Q(
+    "q77_mode_lookup",
+    (s, d) => {
+      import s.implicits._
+      val facts = events(s, d).select(col("event_id"), col("event_type"),
+        (col("user_id") % 10).cast("string").as("route"), col("value"))
+      val rules = Seq(
+        (1, Some("click"), Option.empty[String], "Engagement"),
+        (2, Some("purchase"), Option.empty[String], "Revenue"),
+        (3, Some("click"), Some("3"), "SpecialClick"),
+        (4, Option.empty[String], Some("7"), "Lucky7"))
+        .toDF("priority", "etype", "rroute", "mode")
+      val cond = (rules("etype").isNull || rules("etype") === facts("event_type")) &&
+        (rules("rroute").isNull || rules("rroute") === facts("route"))
+      graft.operators.Joins.lookupCascade(facts, Seq("event_id"), rules,
+          cond, "priority", "mode", "MODE", lit("Other"))
+        .groupBy("MODE")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+    },
+    Some("""WITH f AS (
+        SELECT event_id, event_type,
+          CAST(user_id % 10 AS VARCHAR) AS route, value
+        FROM events),
+      r(priority, etype, rroute, mode) AS (
+        SELECT * FROM (VALUES
+          (1, 'click', NULL, 'Engagement'), (2, 'purchase', NULL, 'Revenue'),
+          (3, 'click', '3', 'SpecialClick'), (4, NULL, '7', 'Lucky7'))),
+      m AS (
+        SELECT f.event_id, min(f.value) AS value,
+          max(CASE WHEN r.priority IS NOT NULL
+                   THEN struct_pack(p := r.priority, m := r.mode) END) AS best
+        FROM f LEFT JOIN r
+          ON (r.etype IS NULL OR r.etype = f.event_type)
+         AND (r.rroute IS NULL OR r.rroute = f.route)
+        GROUP BY f.event_id)
+      SELECT COALESCE(best.m, 'Other') AS MODE,
+        count(*) AS n, round(avg(value), 4) AS avg_value
+      FROM m GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2592,5 +2643,5 @@ object Queries {
     q64JsonProps, q65SqlInterface, q66EstimationFile, q67RatioExtrapolation,
     q68TaxiSegmentation, q69MapMatching, q70LinkTtStats, q71GtfsDaily,
     q72GtfsMonthly, q73MasterRoute, q74AnnualToMonthly, q75MonthImpute,
-    q76PartitionedSink)
+    q76PartitionedSink, q77ModeLookup)
 }

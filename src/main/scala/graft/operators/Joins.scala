@@ -85,6 +85,36 @@ object Joins {
   def missingKeys(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
     fact.select(key).distinct().join(dim, Seq(key), "left_anti")
 
+  /** E6 — the mode-inference lookup cascade as DATA
+    * (ClipperHelper.py:182-201): the reference's chain of np.where
+    * overrides is a priority-ordered rules table — each later rule
+    * overwrites earlier matches, so the HIGHEST-priority matching rule
+    * wins; `default` applies when nothing matches. Rules are broadcast
+    * (a lookup table is config-scale by construction); the winner is a
+    * lexicographic struct-max, so one aggregate resolves the cascade with
+    * no window. `matchCond` encodes the rule predicate — null rule fields
+    * as wildcards, e.g.
+    *   (rules("agency").isNull || rules("agency") === facts("agency")).
+    */
+  def lookupCascade(
+      facts: DataFrame, factKeys: Seq[String], rules: DataFrame,
+      matchCond: Column, priorityCol: String, valueCol: String,
+      out: String, default: Column): DataFrame = {
+    val carried = facts.columns.toSeq
+    val joined = facts.join(broadcast(rules), matchCond, "left")
+    val keep = carried.filterNot(factKeys.contains)
+      .map(c => first(facts(c)).as(c))
+    // guard the no-match row: its struct would be non-null with null
+    // fields, and struct-with-null ordering is not what we want in max
+    val best = max(when(rules(priorityCol).isNotNull,
+      struct(rules(priorityCol), rules(valueCol)))).as("__best")
+    val aggs = keep :+ best
+    joined.groupBy(factKeys.map(facts(_)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(out, coalesce(col(s"__best.$valueCol"), default))
+      .drop("__best")
+  }
+
   /** Skew-safe equi-join: salt the fact side with a DETERMINISTIC bucket
     * derived from hashing `saltFrom` columns (rand() would break retries
     * and oracle parity), replicate the dimension side across all salt

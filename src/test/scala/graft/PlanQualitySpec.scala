@@ -21,7 +21,9 @@ class PlanQualitySpec extends SparkSpec {
     // guarded by MapMatch.linkSkim's maxLinks bound)
     "q69_map_matching", "q70_link_tt_stats",
     // trim-bounds attach: monthly series x one global (y0, yN) row
-    "q74_annual_to_monthly")
+    "q74_annual_to_monthly",
+    // wildcard-rule lookup: facts x broadcast rules table (4 rows)
+    "q77_mode_lookup")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).
