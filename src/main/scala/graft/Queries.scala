@@ -697,12 +697,21 @@ object Queries {
     (s, d) =>
       Dedup.minHashLshPairs(documents(s, d), "doc_id", "text",
         n = 3, numHashes = 32, numBands = 8, threshold = 0.5),
-    Some {
+    Some(minhashPairsSql +
+      """
+      SELECT id1, id2,
+        len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 AS est_jaccard
+      FROM cand
+      WHERE len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 >= 0.5"""))
+
+  /** The MinHash-LSH candidate CTE chain, shared by q27 and the
+    * connected-components query. Ends with `cand(id1, id2, m1, m2)`. */
+  private lazy val minhashPairsSql: String = {
       val minAggs = Dedup.hashCoeffs(32).zipWithIndex.map { case ((a, b), i) =>
         s"min((h0 * $a + $b) % 2147483647) AS m$i"
       }.mkString(",\n          ")
       val mhArr = (0 until 32).map(i => s"m$i").mkString("[", ", ", "]")
-      s"""WITH t AS (
+      s"""WITH RECURSIVE t AS (
         SELECT doc_id,
           string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
         FROM documents),
@@ -730,12 +739,8 @@ object Queries {
       cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.mh AS m1, b.mh AS m2
         FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-      SELECT id1, id2,
-        len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 AS est_jaccard
-      FROM cand
-      WHERE len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 >= 0.5"""
-    })
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+  }
 
   /** SimHash near-dup candidates (chunk-banded hamming join). md5-derived
     * token hashes keep the 64 bit-majority sums engine-portable; the
@@ -2624,6 +2629,95 @@ object Queries {
         count(*) AS n, round(avg(value), 4) AS avg_value
       FROM m GROUP BY 1"""))
 
+  /** Near-dup pairs -> connected components -> canonical doc per
+    * component: the step that turns MinHash-LSH candidate pairs into
+    * dedup DECISIONS (keep the minimum id, drop the rest). Distributed
+    * min-label propagation (see Dedup.connectedComponents); the oracle
+    * computes the same fixed point as a recursive transitive closure over
+    * the identical pair set. */
+  val q78DedupComponents = Q(
+    "q78_dedup_components",
+    (s, d) => {
+      val pairs = Dedup.minHashLshPairs(documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 32, numBands = 8, threshold = 0.5)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component").as("canonical_id"))
+    },
+    Some(minhashPairsSql +
+      """,
+      p AS (
+        SELECT id1, id2 FROM cand
+        WHERE len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 >= 0.5),
+      e AS (SELECT id1 AS u, id2 AS v FROM p
+            UNION SELECT id2, id1 FROM p),
+      reach(u, v) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+      SELECT u AS doc_id, min(v) AS canonical_id
+      FROM reach GROUP BY u"""))
+
+  /** Sequence packing (concat-and-chunk, the standard pretraining batch
+    * assembly): documents laid end-to-end per source shard in doc_id
+    * order, cut into 256-token sequences; per doc the token offset, the
+    * first/last sequence it feeds, and its offset within the first. The
+    * cumsum window is per-shard — 1000 shards = 1000 independent tasks,
+    * no global sort. */
+  val q79SequencePacking = Q(
+    "q79_sequence_packing",
+    (s, d) =>
+      graft.operators.Packing.packSequences(
+          documents(s, d).withColumn("n_tokens", Text.tokenCount(col("text"))),
+          Seq("source"), "doc_id", "n_tokens", seqLen = 256)
+        .select(col("source"), col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("offset"), col("start_seq").cast("long").as("start_seq"),
+          col("end_seq").cast("long").as("end_seq"), col("start_offset")),
+    Some("""WITH t AS (
+        SELECT source, doc_id,
+          CASE WHEN text IS NULL
+                 OR len(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
+               ELSE len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+          END AS tok
+        FROM documents),
+      o AS (
+        SELECT source, doc_id, tok,
+          CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - tok AS BIGINT) AS off
+        FROM t)
+      SELECT source, doc_id, CAST(tok AS BIGINT) AS n_tokens, off AS offset,
+        off // 256 AS start_seq,
+        CASE WHEN tok > 0 THEN (off + tok - 1) // 256 ELSE off // 256 END AS end_seq,
+        off % 256 AS start_offset
+      FROM o"""))
+
+  /** Deterministic stratified sampling — the training-data source-mix
+    * primitive: per-stratum keep fractions from a broadcast config table,
+    * membership decided by an md5-derived hash of the id (reproducible
+    * across runs/engines/cluster sizes; no RNG state). src2 is halved,
+    * src3 dropped entirely, src1 kept whole, everything else at the
+    * default rate. */
+  val q80StratifiedSample = Q(
+    "q80_stratified_sample",
+    (s, d) => {
+      import s.implicits._
+      val fracs = Seq(("src1", 1.0), ("src2", 0.5), ("src3", 0.0))
+        .toDF("source", "frac")
+      graft.operators.Packing.stratifiedSample(
+          documents(s, d), "doc_id", "source", fracs, defaultFrac = 0.25)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+    },
+    Some("""WITH f(source, frac) AS (
+        SELECT * FROM (VALUES ('src1', 1.0), ('src2', 0.5), ('src3', 0.0))),
+      s AS (
+        SELECT d.source, d.n_chars, COALESCE(f.frac, 0.25) AS frac,
+          ('0x' || substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 AS h
+        FROM documents d LEFT JOIN f ON d.source = f.source)
+      SELECT source, count(*) AS n_kept,
+        CAST(sum(n_chars) AS BIGINT) AS chars_kept
+      FROM s WHERE h < frac * 1000000 GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2643,5 +2737,6 @@ object Queries {
     q64JsonProps, q65SqlInterface, q66EstimationFile, q67RatioExtrapolation,
     q68TaxiSegmentation, q69MapMatching, q70LinkTtStats, q71GtfsDaily,
     q72GtfsMonthly, q73MasterRoute, q74AnnualToMonthly, q75MonthImpute,
-    q76PartitionedSink, q77ModeLookup)
+    q76PartitionedSink, q77ModeLookup, q78DedupComponents,
+    q79SequencePacking, q80StratifiedSample)
 }

@@ -203,4 +203,45 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         round(col("cos"), 6).as("cos"))
   }
+
+  /** Connected components over near-dup pairs -> canonical document per
+    * component (min id reachable). This is the step that turns pairwise
+    * similarity into dedup DECISIONS: every doc in a component keeps the
+    * component's minimum id as its canonical representative.
+    *
+    * Distributed min-label propagation: each iteration joins the frontier
+    * against the (undirected) edge set and keeps per-node minima — one
+    * shuffle join + one partial-aggregated groupBy per round, converging
+    * in O(component diameter) iterations, NOT graph size. Near-dup
+    * components are shallow (planted dups cluster around an original), so
+    * the iteration count stays small at any scale; for adversarial
+    * long-chain graphs the large-star/small-star contraction (Kiveris et
+    * al.) halves diameter per round and would slot in here.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .unionByName(pairs.select(col("id2").as("u"), col("id1").as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    labels.count() // materialize before iterating
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // propagate each node's label to its neighbors, keep the minimum
+      val prop = edges.join(labels, edges("v") === labels("id"))
+        .select(edges("u").as("id"), col("component"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("component").as("component"))
+        .cache()
+      // one job: materializes `next` AND answers convergence
+      changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
+        .where(col("component") < col("__old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch assembly operators: GPT-style sequence packing and
+  * deterministic (stratified) sampling. Neither exists in the reference —
+  * they are the operations a large-scale training-data pipeline runs
+  * after the reference-style wrangling, and both are designed shard-local
+  * so no stage ever needs a global order.
+  */
+object Packing {
+
+  /** Concat-and-chunk sequence packing: within each shard, documents are
+    * laid end-to-end in (orderCol) order and cut into fixed `seqLen`-token
+    * sequences — the standard pretraining packing (documents may straddle
+    * a cut; the rollup counts those boundary crossings). Per-shard window
+    * cumsum: the widest window is one shard, so 1000 shards = 1000
+    * independent tasks and NO global sort at any scale. Emits per doc:
+    * token offset, first/last sequence index, offset within the first
+    * sequence.
+    */
+  def packSequences(
+      df: DataFrame, shardCols: Seq[String], orderCol: String,
+      tokensCol: String, seqLen: Int): DataFrame = {
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tok = col(tokensCol).cast("long")
+    df.withColumn("offset", sum(tok).over(w) - tok)
+      .withColumn("start_seq", floor(col("offset") / seqLen))
+      .withColumn("end_seq",
+        when(tok > 0, floor((col("offset") + tok - 1) / seqLen))
+          .otherwise(floor(col("offset") / seqLen)))
+      .withColumn("start_offset", pmod(col("offset"), lit(seqLen.toLong)))
+  }
+
+  /** Per-sequence rollup of a packed shard: how many documents feed each
+    * sequence and how many cross its leading boundary. */
+  def sequenceStats(packed: DataFrame, shardCols: Seq[String], seqLen: Int): DataFrame =
+    packed
+      .withColumn("seq", explode(sequence(col("start_seq"), col("end_seq"))))
+      .groupBy((shardCols :+ "seq").map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("start_seq") < col("seq")).as("n_carryover"))
+
+  /** Deterministic hash sampling: keep a row iff the md5-derived 64-bit
+    * hash of its id lands below frac * 2^k — reproducible across runs,
+    * engines, and cluster sizes (no RNG state), uniformly spread because
+    * md5 bits are. `salt` decorrelates independent samples of the same
+    * table. */
+  def sampleHash(idCol: Column, frac: Column, salt: Int = 0): Column =
+    pmod(Text.md5Hash64(idCol.cast("string"), salt), lit(1000000L)) <
+      frac * 1000000L
+
+  /** Stratified deterministic sampling: per-stratum keep fractions from a
+    * broadcast config table (stratum, frac); strata missing from the
+    * table fall back to `defaultFrac`. The training-data "source mix"
+    * primitive. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      fracs: DataFrame, defaultFrac: Double, salt: Int = 0): DataFrame =
+    df.join(broadcast(fracs), Seq(stratumCol), "left")
+      .withColumn("__frac", coalesce(col("frac"), lit(defaultFrac)))
+      .where(sampleHash(col(idCol), col("__frac"), salt))
+      .drop("frac", "__frac")
+}

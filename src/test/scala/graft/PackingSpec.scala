@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.functions._
+
+/** Sequence packing + deterministic sampling unit coverage (the q79/q80
+  * oracles check the data path; these pin the edge semantics). */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: offsets, boundary straddle, zero-token doc") {
+    // shard A: 100 + 200 + 0 + 300 tokens, seqLen 256:
+    //   d1 off 0   -> seq 0..0, start_offset 0
+    //   d2 off 100 -> 100+200-1 = 299 -> seq 0..1 (straddles the cut)
+    //   d3 off 300, 0 tokens -> seq 1..1 (degenerate, no span)
+    //   d4 off 300 -> 300+300-1 = 599 -> seq 1..2
+    val df = Seq(("A", 1L, 100), ("A", 2L, 200), ("A", 3L, 0), ("A", 4L, 300))
+      .toDF("shard", "id", "tok")
+    val out = Packing.packSequences(df, Seq("shard"), "id", "tok", 256)
+      .orderBy("id")
+      .select("offset", "start_seq", "end_seq", "start_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 0L, 0L), (100L, 0L, 1L, 100L),
+      (300L, 1L, 1L, 44L), (300L, 1L, 2L, 44L)))
+  }
+
+  test("sequenceStats counts docs per sequence and boundary carryovers") {
+    val df = Seq(("A", 1L, 100), ("A", 2L, 200), ("A", 3L, 0), ("A", 4L, 300))
+      .toDF("shard", "id", "tok")
+    val packed = Packing.packSequences(df, Seq("shard"), "id", "tok", 256)
+    val stats = Packing.sequenceStats(packed, Seq("shard"), 256)
+      .orderBy("seq").select("seq", "n_docs", "n_carryover")
+      .as[(Long, Long, Long)].collect().toSeq
+    // seq0: d1, d2 start here. seq1: d2 carries over, d3+d4 start. seq2: d4 carries.
+    assert(stats == Seq((0L, 2L, 0L), (1L, 3L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("stratifiedSample is deterministic and respects 0/1 fractions") {
+    val docs = (0 until 200).map(i => (i.toLong, if (i % 2 == 0) "keep" else "drop"))
+      .toDF("id", "stratum")
+    val fracs = Seq(("keep", 1.0), ("drop", 0.0)).toDF("stratum", "frac")
+    val out = Packing.stratifiedSample(docs, "id", "stratum", fracs, 0.5)
+    assert(out.where(col("stratum") === "drop").count() == 0)
+    assert(out.where(col("stratum") === "keep").count() == 100)
+    // same call twice -> identical membership (no RNG state)
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Packing.stratifiedSample(docs, "id", "stratum", fracs, 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+}

@@ -48,6 +48,34 @@ class PlanQualitySpec extends SparkSpec {
       "lineitem scan is not pruned to the projected columns")
   }
 
+  /** Queries allowed to run a window with NO partition spec (all data to
+    * one task). Every entry is bounded by construction: month/year series
+    * (dozens-hundreds of rows after aggregation), distinct-month rank
+    * dimensions, the k-row post-limit rank, or a config-scale fixture. */
+  private val globalWindowAllowed = Set(
+    "q11_impute", "q12_interp", "q13_ffill", "q17_topk", "q20_cpi_deflate",
+    "q33_union_series", "q54_reconstruct", "q57_demand_assembly",
+    "q58_skim_probe", "q66_estimation_file", "q67_ratio_extrapolation",
+    "q73_master_route", "q74_annual_to_monthly", "q75_month_impute",
+    "q48_gtfs", "q69_map_matching", "q70_link_tt_stats", "q71_gtfs_daily",
+    "q72_gtfs_monthly")
+
+  test("partition-less windows only on bounded series (single-task sort canary)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    Queries.all.foreach { q =>
+      val plan = q.run(spark, sf).queryExecution.executedPlan
+      def hasGlobalWindow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collectFirst {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+          case a: AdaptiveSparkPlanExec if hasGlobalWindow(a.executedPlan) => a
+        }.isDefined
+      if (!globalWindowAllowed(q.name))
+        assert(!hasGlobalWindow(plan),
+          s"${q.name} plans a partition-less Window over unbounded input")
+    }
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global-window sort") {
     val plan = Queries.q17Topk.run(spark, sf)
       .queryExecution.executedPlan.toString
