@@ -2718,6 +2718,59 @@ object Queries {
         CAST(sum(n_chars) AS BIGINT) AS chars_kept
       FROM s WHERE h < frac * 1000000 GROUP BY 1"""))
 
+  /** IVF ANN over the label-mean coarse quantizer (q62's centroids,
+    * components rounded to 6dp so the quantizer is engine-exact), nprobe=2:
+    * corpus vectors live in their nearest cell, probes search their two
+    * nearest cells, exact cosine ranks within the candidates — the
+    * FAISS-style scale path where candidate count tracks cell population,
+    * not corpus size. */
+  val q81IvfAnn = Q(
+    "q81_ivf_ann",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val cent = e.select(col("label").as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("a"))
+        .select(col("cell"), transform(col("a"), x => x.getField("cv")).as("centroid"))
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", cent, k = 5, nprobe = 2)
+    },
+    Some("""WITH idx AS (
+        SELECT label AS cell, embedding,
+          unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings),
+      dims AS (
+        SELECT cell, pos,
+          round(avg(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)), 6) AS cv
+        FROM idx GROUP BY 1, 2),
+      cent AS (
+        SELECT cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY 1),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      ca AS (
+        SELECT vec_id, e, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY
+            list_sum(list_transform(range(1, len(e) + 1),
+              i -> pow(e[i] - centroid[i], 2))), cell) AS cr
+        FROM v, cent),
+      corpus AS (SELECT vec_id AS neighbor_id, e, cell FROM ca WHERE cr = 1),
+      pr AS (SELECT vec_id AS probe_id, e AS pe, cell
+             FROM ca WHERE cr <= 2 AND vec_id < 10),
+      sc AS (
+        SELECT pr.probe_id, c.neighbor_id,
+          list_cosine_similarity(c.e, pr.pe) AS cosf
+        FROM corpus c JOIN pr ON c.cell = pr.cell
+          AND c.neighbor_id <> pr.probe_id),
+      rk AS (
+        SELECT probe_id, neighbor_id, cosf,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY cosf DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT probe_id, rank, neighbor_id, round(cosf, 6) AS cos
+      FROM rk WHERE rank <= 5"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2738,5 +2791,5 @@ object Queries {
     q68TaxiSegmentation, q69MapMatching, q70LinkTtStats, q71GtfsDaily,
     q72GtfsMonthly, q73MasterRoute, q74AnnualToMonthly, q75MonthImpute,
     q76PartitionedSink, q77ModeLookup, q78DedupComponents,
-    q79SequencePacking, q80StratifiedSample)
+    q79SequencePacking, q80StratifiedSample, q81IvfAnn)
 }

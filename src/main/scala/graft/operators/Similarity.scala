@@ -91,6 +91,52 @@ object Similarity {
     * Approximate — verified in tests against bruteForceTopK recall, not an
     * SQL oracle.
     */
+  /** IVF ANN: a coarse-quantizer table (cell, centroid) partitions the
+    * corpus — every vector is assigned to its nearest centroid (squared
+    * L2, ties to the lowest cell id) — and each probe searches only its
+    * `nprobe` nearest cells. The centroid table is config-scale and
+    * broadcast twice (corpus assignment, probe assignment); the search
+    * join is an equi-join on cell, so the candidate set per probe is the
+    * cell population, not the corpus. Recall/latency trades via `nprobe`
+    * exactly as in a FAISS-style IVF index.
+    */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      probeIdCol: String, centroids: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    def assigned(df: DataFrame, outId: String, n: Int): DataFrame = {
+      val d2 = aggregate(
+        zip_with(col("__v"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v)
+      val w = Window.partitionBy(col(outId)).orderBy(col("__cd"), col("cell"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__cd", d2)
+        .withColumn("__cr", row_number().over(w))
+        .where(col("__cr") <= n)
+        .drop("centroid", "__cd", "__cr")
+    }
+    val c = assigned(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__cn")), "neighbor_id", 1)
+      .withColumnRenamed("__v", "__cv")
+    val p = assigned(
+      probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__pn")), "probe_id", nprobe)
+      .withColumnRenamed("__v", "__pv")
+    val scored = c.join(broadcast(p), Seq("cell"))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos",
+        when(col("__cn") * col("__pn") > 0,
+          dot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   def lshTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       probeIdCol: String, k: Int, planes: Int = 6, dims: Int = 64): DataFrame = {

@@ -23,7 +23,9 @@ class PlanQualitySpec extends SparkSpec {
     // trim-bounds attach: monthly series x one global (y0, yN) row
     "q74_annual_to_monthly",
     // wildcard-rule lookup: facts x broadcast rules table (4 rows)
-    "q77_mode_lookup")
+    "q77_mode_lookup",
+    // IVF assignment: vectors x broadcast centroid table (10 rows)
+    "q81_ivf_ann")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).

@@ -101,6 +101,29 @@ class TextDedupSimilaritySpec extends SparkSpec {
       s"planted dups lost by bucketing: ${planted diff bucketed}")
   }
 
+  test("ivfTopK: high recall on clustered vectors when cells match clusters") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; i <- 0 until 20) yield
+      (c * 100L + i, c, centers(c).map(v => v + rnd.nextGaussian().toFloat * 0.05f))
+    val df = rows.toDF("vec_id", "cl", "embedding")
+    // coarse quantizer = per-cluster means (what q81 builds from labels)
+    val cent = df.select(col("cl").as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("cv"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("a"))
+      .select(col("cell"), transform(col("a"), x => x.getField("cv")).as("centroid"))
+    val probes = df.where(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(df, probes, "vec_id", "embedding", "vec_id", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, probes, "vec_id", "embedding", "vec_id",
+        cent, k = 5, nprobe = 2)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"ivf recall $recall too low")
+  }
+
   test("lshTopK achieves decent recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(7)
     // 10 clusters of 20 vectors each, 16 dims
