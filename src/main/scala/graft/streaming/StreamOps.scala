@@ -36,4 +36,19 @@ object StreamOps {
     events
       .groupBy(window(col(tsCol), width).as("w"), col(typeCol))
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming exact dedup: keep the first document per content
+    * fingerprint seen within the watermark horizon; state for a
+    * fingerprint is evicted once the watermark passes it. This is the
+    * honest unbounded-stream contract — a global streaming dedup would
+    * grow state with corpus size forever; the batch job (Dedup.exact)
+    * owns the global pass, the stream bounds its memory by time.
+    */
+  def streamingDedup(
+      docs: DataFrame, tsCol: String, textCol: String,
+      horizon: String): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.functions.Text.fingerprint(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("fingerprint")
 }

@@ -96,6 +96,36 @@ class SinksStreamingSpec extends SparkSpec {
     assert(afterB2.contains((1L, 1L, 4.0)), s"timeout session missing: $afterB2")
   }
 
+  test("streaming dedup keeps one doc per fingerprint; cross-batch dups dropped") {
+    import graft.streaming.StreamOps
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    val batch1 = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "alpha doc"),
+      (ts("2024-01-01 10:01:00"), 2L, "beta doc"),
+      (ts("2024-01-01 10:02:00"), 3L, "Alpha   DOC")) // dup after normalize
+      .toDF("ts", "doc_id", "text")
+    batch1.write.mode("overwrite").parquet(dir)
+    val in = spark.readStream.schema(batch1.schema).parquet(dir)
+    val q = StreamOps.streamingDedup(in, "ts", "text", "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_out").start()
+    q.processAllAvailable()
+    // batch 2: another alpha dup (inside the horizon, dropped) + a new doc
+    Seq((ts("2024-01-01 10:05:00"), 4L, "alpha doc"),
+        (ts("2024-01-01 10:06:00"), 5L, "gamma doc"))
+      .toDF("ts", "doc_id", "text")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM sdedup_out")
+      .as[Long].collect().toSet
+    q.stop()
+    // exactly ONE of the intra-batch alpha dups survives (1 or 3 — batch
+    // order is not a contract), the cross-batch dup (4) is dropped by
+    // state, beta and gamma pass through
+    assert(kept.size == 3 && kept(2L) && kept(5L) && !kept(4L), s"got $kept")
+    assert((kept intersect Set(1L, 3L)).size == 1, s"got $kept")
+  }
+
   test("streaming session_window matches batch sessionization session counts") {
     val rows = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
