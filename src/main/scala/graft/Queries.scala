@@ -2771,6 +2771,44 @@ object Queries {
       SELECT probe_id, rank, neighbor_id, round(cosf, 6) AS cos
       FROM rk WHERE rank <= 5"""))
 
+  /** Repetition quality signals (the Gopher-class filters): type-token
+    * ratio and top-bigram share per document, with the repetitive flag a
+    * training-data pipeline would filter on. */
+  val q82Repetition = Q(
+    "q82_repetition",
+    (s, d) =>
+      Text.repetitionSignals(documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("ttr"), 6).as("ttr"),
+          round(col("top_bigram_share"), 6).as("top_bigram_share"),
+          (col("top_bigram_share") > 0.18).cast("int").as("repetitive")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      tk AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          CASE WHEN len(toks) > 0
+               THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS ttr
+        FROM t),
+      bg0 AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) >= 2
+            THEN list_transform(generate_series(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1])
+            ELSE [] END AS bgs
+        FROM t),
+      bgx AS (SELECT doc_id, unnest(bgs) AS bg FROM bg0),
+      bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2),
+      bga AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS share
+        FROM bgc GROUP BY 1)
+      SELECT tk.doc_id, tk.n_tokens, round(tk.ttr, 6) AS ttr,
+        round(COALESCE(bga.share, 0.0), 6) AS top_bigram_share,
+        CAST(COALESCE(bga.share, 0.0) > 0.18 AS INT) AS repetitive
+      FROM tk LEFT JOIN bga ON tk.doc_id = bga.doc_id"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2791,5 +2829,5 @@ object Queries {
     q68TaxiSegmentation, q69MapMatching, q70LinkTtStats, q71GtfsDaily,
     q72GtfsMonthly, q73MasterRoute, q74AnnualToMonthly, q75MonthImpute,
     q76PartitionedSink, q77ModeLookup, q78DedupComponents,
-    q79SequencePacking, q80StratifiedSample, q81IvfAnn)
+    q79SequencePacking, q80StratifiedSample, q81IvfAnn, q82Repetition)
 }

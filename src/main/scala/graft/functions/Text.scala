@@ -162,6 +162,37 @@ object Text {
     toks.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Repetition quality signals (the Gopher-class filters): type-token
+    * ratio (distinct tokens / tokens — low = repetitive vocabulary) and
+    * top-bigram share (occurrences of the most frequent word bigram /
+    * total bigrams — high = boilerplate loops). Explode + two-level
+    * aggregation behind one shuffle per signal; map-side partial
+    * aggregation collapses each doc's tokens before the exchange.
+    * Returns (id, n_tokens, ttr, top_bigram_share); docs with < 2 tokens
+    * get a 0.0 bigram share.
+    */
+  def repetitionSignals(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"))
+      .withColumn("ttr",
+        when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens")).otherwise(0.0))
+    val bigrams = df.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), 2)).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum("c").as("total_bg"), max("c").as("top_bg"))
+      .withColumn("top_bigram_share",
+        col("top_bg").cast("double") / col("total_bg"))
+    toks.join(bigrams, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("ttr"),
+        coalesce(col("top_bigram_share"), lit(0.0)).as("top_bigram_share"))
+  }
+
   /** A 64-bit stable hash from the first 15 hex digits of md5 — engine-
     * portable (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`). Used for
     * minhash; NOT a crypto hash. */
