@@ -2809,6 +2809,80 @@ object Queries {
         CAST(COALESCE(bga.share, 0.0) > 0.18 AS INT) AS repetitive
       FROM tk LEFT JOIN bga ON tk.doc_id = bga.doc_id"""))
 
+  /** S7 — the Dynameq-style sectioned network export read into link
+    * records: NODES/LINKS sections with `*`-header lines, endpoint
+    * coordinates joined from nodes, free-flow seconds derived from
+    * length over free-flow speed (HwyNetwork.py:202-224's read +
+    * initializeEdgeCostsWithFFTT, re-expressed as a sectioned-text
+    * source + two broadcast joins). */
+  val q83NetworkIngest = Q(
+    "q83_network_ingest",
+    (s, d) => {
+      val path = "/root/repo/tmp/net83/network_base.dqt"
+      new java.io.File(path).getParentFile.mkdirs()
+      val text =
+        """<DYNAMEQ>
+          |<VERSION_1.8>
+          |<BASE_NETWORK_FILE>
+          |NODES
+          |* id x y
+          |1 0 0
+          |2 2640 0
+          |3 5280 0
+          |4 2640 2640
+          |LINKS
+          |* id start end length fspeed
+          |1 1 2 0.5 30
+          |2 2 3 0.5 15
+          |3 2 4 0.5 20
+          |4 4 3 0.74 37
+          |""".stripMargin
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        text.getBytes("UTF-8"))
+      graft.sources.NetworkFile.roadLinks(
+          graft.sources.NetworkFile.readSections(s, path))
+        .select(col("link_id"), col("ax"), col("ay"), col("bx"), col("by"),
+          col("length_mi"), round(col("ff_sec"), 6).as("ff_sec"))
+    },
+    Some("""SELECT * FROM (VALUES
+        (1, 0.0, 0.0, 2640.0, 0.0, 0.5, 60.0),
+        (2, 2640.0, 0.0, 5280.0, 0.0, 0.5, 120.0),
+        (3, 2640.0, 0.0, 2640.0, 2640.0, 0.5, 90.0),
+        (4, 2640.0, 2640.0, 5280.0, 0.0, 0.74, 72.0))
+      t(link_id, ax, ay, bx, by, length_mi, ff_sec)"""))
+
+  /** Multimodal frame sampling: the frame grid (ceil(duration/interval)
+    * capped) is relational explode over typed metadata; the per-frame
+    * decode is the honest stub (16-byte slice checksum). Synthetic
+    * metadata: duration_ms = 10 x n_chars. The oracle recomputes every
+    * frame's slice checksum from the blob hex. */
+  val q84FrameSample = Q(
+    "q84_frame_sample",
+    (s, d) => {
+      val media = documents(s, d).select(col("doc_id").as("id"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        (col("n_chars") * 10).as("duration_ms"))
+      graft.multimodal.Binary.sampleFrames(media, intervalMs = 1000L, maxFrames = 4)
+        .toDF()
+    },
+    Some("""WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx, n_chars FROM documents),
+      g AS (
+        SELECT doc_id, hx, len(hx) // 2 AS nb,
+          unnest(range(0, CAST(least(ceil(n_chars * 10 / 1000.0), 4) AS BIGINT))) AS idx
+        FROM b WHERE ceil(n_chars * 10 / 1000.0) > 0),
+      o AS (
+        SELECT doc_id, hx, nb, idx, (idx * 16) % nb AS f_off FROM g),
+      f AS (
+        SELECT doc_id, idx, f_off, least(f_off + 16, nb) AS f_end, hx FROM o)
+      SELECT doc_id AS id, CAST(idx AS INT) AS frame_idx,
+        idx * 1000 AS ts_ms,
+        CAST(f_end - f_off AS INT) AS frame_bytes,
+        CAST(COALESCE(list_sum(list_transform(range(f_off, f_end),
+            i -> ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)), 0) % 997
+          AS BIGINT) AS frame_checksum
+      FROM f"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2829,5 +2903,6 @@ object Queries {
     q68TaxiSegmentation, q69MapMatching, q70LinkTtStats, q71GtfsDaily,
     q72GtfsMonthly, q73MasterRoute, q74AnnualToMonthly, q75MonthImpute,
     q76PartitionedSink, q77ModeLookup, q78DedupComponents,
-    q79SequencePacking, q80StratifiedSample, q81IvfAnn, q82Repetition)
+    q79SequencePacking, q80StratifiedSample, q81IvfAnn, q82Repetition,
+    q83NetworkIngest, q84FrameSample)
 }

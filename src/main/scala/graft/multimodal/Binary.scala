@@ -50,6 +50,38 @@ object Binary {
     }
   }
 
+  final case class FrameRef(id: Long, frame_idx: Int, ts_ms: Long,
+      frame_bytes: Int, frame_checksum: Long)
+
+  /** Frame sampling over opaque video/audio blobs: the frame GRID is
+    * derived relationally from typed metadata — `explode(sequence)` over
+    * ceil(duration/interval) capped at `maxFrames`, so Catalyst prunes
+    * and distributes it like any other expression — and ONLY the
+    * per-frame decode is procedural (stubbed here: a 16-byte slice at
+    * the frame's offset stands in for the decoded frame, same checksum
+    * as decodeStub; a real codec plugs into the same mapPartitions
+    * signature). All frames of a blob stay in one partition-local pass.
+    */
+  def sampleFrames(
+      media: DataFrame, intervalMs: Long, maxFrames: Int): Dataset[FrameRef] = {
+    import media.sparkSession.implicits._
+    val grid = media
+      .withColumn("n_frames",
+        least(ceil(col("duration_ms") / intervalMs), lit(maxFrames)).cast("int"))
+      .where(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
+      .select(col("id"), col("bytes"), col("frame_idx"))
+      .as[(Long, Array[Byte], Int)]
+    grid.mapPartitions { it =>
+      it.map { case (id, bytes, idx) =>
+        val off = (idx * 16) % math.max(bytes.length, 1)
+        val slice = bytes.slice(off, math.min(off + 16, bytes.length))
+        val (ck, _) = decodeStub(slice)
+        FrameRef(id, idx, idx * intervalMs, slice.length, ck)
+      }
+    }
+  }
+
   /** documents.text -> Blob dataset (binary column materialization). */
   def documentBlobs(docs: DataFrame, idCol: String, textCol: String): Dataset[Blob] = {
     import docs.sparkSession.implicits._
