@@ -2883,6 +2883,76 @@ object Queries {
           AS BIGINT) AS frame_checksum
       FROM f"""))
 
+  /** PII-style redaction: the documents get deterministic synthetic
+    * contact strings appended (the corpus itself is clean word soup),
+    * then emails and phone-shaped tokens are scrubbed and counted; the
+    * scrubbed text is fingerprinted so the oracle checks the actual
+    * replacement output, not just the counts. */
+  val q85PiiRedact = Q(
+    "q85_pii_redact",
+    (s, d) => {
+      val emailPat = "[a-z0-9.+-]+@[a-z0-9.-]+"
+      val phonePat = "[0-9]{3}-[0-9]{4}"
+      val aug = documents(s, d).withColumn("aug",
+        concat(col("text"), lit(" contact-"), col("doc_id"), lit("@ex.com ph 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      aug
+        .withColumn("n_emails", Text.matchCount(col("aug"), emailPat))
+        .withColumn("n_phones", Text.matchCount(col("aug"), phonePat))
+        .withColumn("scrubbed",
+          Text.redact(Text.redact(col("aug"), emailPat, "[EMAIL]"),
+            phonePat, "[PHONE]"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("scrubbed")).as("scrubbed_md5"))
+    },
+    Some("""WITH a AS (
+        SELECT doc_id,
+          text || ' contact-' || CAST(doc_id AS VARCHAR)
+            || '@ex.com ph 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(aug, '[a-z0-9.+-]+@[a-z0-9.-]+')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        md5(regexp_replace(regexp_replace(aug,
+          '[a-z0-9.+-]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+          '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
+      FROM a"""))
+
+  /** The dedup loop CLOSED: corpus minus every non-canonical member of a
+    * near-dup component (left-anti against the q78 components where the
+    * doc is not its component's minimum) — what a user actually ships to
+    * training. Reports the kept corpus per source. */
+  val q86DedupSweep = Q(
+    "q86_dedup_sweep",
+    (s, d) => {
+      val pairs = Dedup.minHashLshPairs(documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 32, numBands = 8, threshold = 0.5)
+      val drop = Dedup.connectedComponents(pairs)
+        .where(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      documents(s, d).join(drop, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+    },
+    Some(minhashPairsSql +
+      """,
+      p AS (
+        SELECT id1, id2 FROM cand
+        WHERE len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 >= 0.5),
+      e AS (SELECT id1 AS u, id2 AS v FROM p
+            UNION SELECT id2, id1 FROM p),
+      reach(u, v) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+      drop AS (
+        SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(v))
+      SELECT d.source, count(*) AS n_kept,
+        CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+      FROM documents d LEFT JOIN drop ON d.doc_id = drop.doc_id
+      WHERE drop.doc_id IS NULL
+      GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2904,5 +2974,5 @@ object Queries {
     q72GtfsMonthly, q73MasterRoute, q74AnnualToMonthly, q75MonthImpute,
     q76PartitionedSink, q77ModeLookup, q78DedupComponents,
     q79SequencePacking, q80StratifiedSample, q81IvfAnn, q82Repetition,
-    q83NetworkIngest, q84FrameSample)
+    q83NetworkIngest, q84FrameSample, q85PiiRedact, q86DedupSweep)
 }

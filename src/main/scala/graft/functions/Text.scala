@@ -193,6 +193,17 @@ object Text {
         coalesce(col("top_bigram_share"), lit(0.0)).as("top_bigram_share"))
   }
 
+  /** PII-style scrubbing: replace every match of `pattern` with `token`
+    * and count what was redacted (training-data hygiene; patterns kept to
+    * portable regex classes that mean the same under Java regex and RE2).
+    * Spark's regexp_replace is global by default — the DuckDB mirror
+    * needs the 'g' flag. */
+  def redact(c: Column, pattern: String, token: String): Column =
+    regexp_replace(c, pattern, token)
+
+  def matchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
   /** A 64-bit stable hash from the first 15 hex digits of md5 — engine-
     * portable (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`). Used for
     * minhash; NOT a crypto hash. */
