@@ -222,21 +222,28 @@ object Dedup {
     val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
       .unionByName(pairs.select(col("id2").as("u"), col("id1").as("v")))
       .distinct().cache()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
-    labels.count() // materialize before iterating
-    var changed = 1L
+    // seed with min(self, neighbors) — one propagation round for free
+    var labels = edges
+      .select(col("u").as("id"), least(col("u"), col("v")).as("component"))
+      .groupBy("id").agg(min("component").as("component"))
+      .cache()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    // min-propagation strictly DECREASES the label total until the fixed
+    // point, so convergence is one cheap aggregation on the cached frame
+    // (materializing it in the same job) instead of a join + count
+    var prevSum = labelSum(labels)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      // propagate each node's label to its neighbors, keep the minimum
+    while (!converged && i < maxIter) {
       val prop = edges.join(labels, edges("v") === labels("id"))
         .select(edges("u").as("id"), col("component"))
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("component").as("component"))
         .cache()
-      // one job: materializes `next` AND answers convergence
-      changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
-        .where(col("component") < col("__old")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       i += 1
