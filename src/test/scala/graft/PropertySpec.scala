@@ -81,4 +81,64 @@ class PropertySpec extends SparkSpec {
       out.values.flatten.foreach(v => assert(v >= lo - 1e-9 && v <= hi + 1e-9))
     }
   }
+
+  /** Random GPS traces for the W5 parity property: integer-second gaps
+    * and integer positions keep every comparison away from FP noise. */
+  private val taxiTrace = Gen.nonEmptyListOf(for {
+    dtSec <- Gen.oneOf(5, 10, 60, 200, 400) // spans the gap threshold
+    dx <- Gen.oneOf(0, 3, 500, 2000, 9000)  // spans speed + jump thresholds
+    metered <- Gen.oneOf(true, false)
+  } yield (dtSec, dx, metered))
+
+  test("W5 parity: windowed segmentation == the sequential reference fold") {
+    forAll(taxiTrace, n = 8) { steps =>
+      // build the trace: cumulative times/positions from the deltas
+      var t = 0L; var x = 0.0
+      val pts = steps.zipWithIndex.map { case ((dt, dx, m), i) =>
+        if (i > 0) { t += dt; x += dx }
+        (i.toLong, t, x, if (m) "M" else "E")
+      }
+      // the reference's three passes, literally (TaxiDataHelper.py:203-309)
+      val n = pts.length
+      val feet = Array.tabulate(n)(i => if (i == 0) 0.0 else pts(i)._3 - pts(i - 1)._3)
+      val secs = Array.tabulate(n)(i => if (i == 0) 0.0 else (pts(i)._2 - pts(i - 1)._2).toDouble)
+      val speed = Array.tabulate(n)(i =>
+        if (i == 0 || secs(i) == 0) Double.MaxValue else feet(i) / secs(i) * 0.681818)
+      val fst = new Array[Double](n)
+      var acc = 0.0
+      for (i <- 1 until n) {
+        if (speed(i) < 1.0) acc += secs(i) else acc = 0.0
+        fst(i) = acc
+      }
+      val bst = new Array[Double](n)
+      acc = 0.0
+      for (i <- (0 until n - 1).reverse) {
+        if (speed(i + 1) < 1.0) acc += secs(i + 1) else acc = 0.0
+        bst(i) = acc
+      }
+      val trip = new Array[Long](n)
+      var id = 1L
+      for (i <- 0 until n) {
+        if (i > 0 && (pts(i)._4 != pts(i - 1)._4 || secs(i) > 300.0 ||
+            feet(i) > 7500.0 || fst(i) > 180.0 ||
+            (bst(i) > 180.0 && fst(i) > 0))) id += 1
+        trip(i) = id
+      }
+      // the windowed operator on the same trace
+      val df = pts.toDF("pt", "t", "x", "status")
+        .withColumn("ts", to_timestamp(col("t")))
+        .withColumn("y", lit(0.0))
+      val got = graft.pipelines.Taxi.segmentPoints(
+          df, Seq.empty, "ts", "pt", "x", "y", "status")
+        .orderBy("pt")
+        .select("trip_id", "fwd_stationary", "bwd_stationary")
+        .as[(Long, Double, Double)].collect()
+      assert(got.map(_._1).toSeq == trip.toSeq,
+        s"trip ids diverge\nseq:    ${trip.toSeq}\nwindow: ${got.map(_._1).toSeq}")
+      (0 until n).foreach { i =>
+        assert(math.abs(got(i)._2 - fst(i)) < 1e-9 && math.abs(got(i)._3 - bst(i)) < 1e-9,
+          s"stationary times diverge at $i: got ${got(i)}, want (${fst(i)}, ${bst(i)})")
+      }
+    }
+  }
 }
