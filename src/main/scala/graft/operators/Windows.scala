@@ -164,11 +164,17 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obs = col(obsCol)
     // observed rows keep their values VERBATIM (even legitimate nulls);
-    // only obs==0 rows take the carried value
+    // obs==0 rows take the LATEST OBSERVED month's value — including an
+    // observed null (the sequential chain copies month-to-month, so an
+    // observed-null month propagates null, it is not skipped). The struct
+    // wrapper makes the carrier non-null for every observed row, so
+    // last(ignoreNulls) anchors on recency-of-observation, not
+    // non-nullness-of-value.
     val filled = valueCols.foldLeft(d) { (acc, c) =>
       acc.withColumn(c,
         when(obs > 0, col(c)).otherwise(
-          last(when(obs > 0, col(c)), ignoreNulls = true).over(runW)))
+          last(when(obs > 0, struct(col(c).as("v"))), ignoreNulls = true)
+            .over(runW).getField("v")))
     }
     val anchorObs = last(when(obs > 0, obs), ignoreNulls = true).over(runW)
     val runStartsAtFirstMonth =

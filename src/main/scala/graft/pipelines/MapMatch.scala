@@ -63,8 +63,12 @@ object MapMatch {
     * seconds s..e inclusive, plus the link sequence. Guarded: this is the
     * reference's in-memory network regime, not a data-scale structure.
     */
-  def linkSkim(links: Seq[Link], maxLinks: Int = 20000)
+  def linkSkim(links: Seq[Link], maxLinks: Int = 3000)
       : Map[(Long, Long), (Double, Vector[Long])] = {
+    // the bound reflects what dense APSP + materialized path vectors can
+    // actually do on a driver (n^3 relax steps, up to n^2 stored paths):
+    // ~3k links = ~27e9 relaxations and a few GB of paths, the ceiling of
+    // the reference's own in-memory regime — NOT a data-scale structure
     require(links.size <= maxLinks,
       s"linkSkim is a driver-side dense APSP for config-scale networks; " +
         s"got ${links.size} links > $maxLinks")
@@ -152,9 +156,11 @@ object MapMatch {
     rows.groupByKey(_._1).flatMapGroups { (trip, it) =>
       val skimM = bcSkim.value
       val linkM = bcLinks.value
-      // points in time order; candidates in rank order
+      // points in time order with the point id as tie-break (duplicate
+      // GPS timestamps are common; hash-map order must not leak into the
+      // decoded path); candidates in rank order
       val pts = it.toArray.groupBy(r => (r._2, r._3)).toArray
-        .sortBy(_._1._2)
+        .sortBy { case ((pt, ts), _) => (ts, pt) }
         .map { case ((pt, ts), rs) =>
           (pt, ts, rs.sortBy(_._7).map(r => State(r._4, r._5, r._6)))
         }
@@ -184,13 +190,23 @@ object MapMatch {
           })
         (1 until nObs).iterator.map { i =>
           val a = pts(i - 1)._3(path(i - 1)); val b = pts(i)._3(path(i))
-          val (links, endR) =
-            if (a.linkId == b.linkId)
-              (Vector(a.linkId), math.max(a.offsetRatio, b.offsetRatio))
-            else (skimM((a.linkId, b.linkId))._2, b.offsetRatio)
-          Leg(trip, i, pts(i - 1)._2, pts(i)._2, links,
-            a.offsetRatio, endR,
-            moved = !(a.linkId == b.linkId && endR == a.offsetRatio))
+          if (a.linkId == b.linkId) {
+            val endR = math.max(a.offsetRatio, b.offsetRatio)
+            Leg(trip, i, pts(i - 1)._2, pts(i)._2, Vector(a.linkId),
+              a.offsetRatio, endR, moved = endR != a.offsetRatio)
+          } else skimM.get((a.linkId, b.linkId)) match {
+            case Some((_, links)) =>
+              Leg(trip, i, pts(i - 1)._2, pts(i)._2, links,
+                a.offsetRatio, b.offsetRatio, moved = true)
+            case None =>
+              // no finite path between ANY candidate pair at this step
+              // (Viterbi ties resolved to index 0 over all-infinite
+              // costs): the reference's path==None `continue` — emit an
+              // unmoved leg so allocation skips it rather than crashing
+              // the stage (TaxiDataHelper.py:425-427)
+              Leg(trip, i, pts(i - 1)._2, pts(i)._2, Vector(a.linkId),
+                a.offsetRatio, a.offsetRatio, moved = false)
+          }
         }
       }
     }
