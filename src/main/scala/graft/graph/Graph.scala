@@ -71,9 +71,11 @@ object Graph {
       else {
         val prevKnown = known
         val prevFrontier = frontier
-        known = known.unionByName(newPairs)
-          .groupBy("src", "dst").agg(min("hops").as("hops"))
-          .cache()
+        // newPairs is left_anti-disjoint from known and already min'd
+        // within itself, so the union IS the new min state — re-aggregating
+        // here would shuffle the whole known set (the largest frame, O(V^2)
+        // pairs) once per iteration for nothing
+        known = known.unionByName(newPairs).cache()
         known.count() // materialize before releasing the lineage inputs
         prevKnown.unpersist()
         if (prevFrontier ne prevKnown) prevFrontier.unpersist()

@@ -219,8 +219,15 @@ object Dedup {
     * al.) halves diameter per round and would slot in here.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
-      .unionByName(pairs.select(col("id2").as("u"), col("id1").as("v")))
+    // symmetrize by exploding each pair into both directions — a
+    // union(pairs, pairs.reversed) would put the upstream candidate
+    // pipeline (minhash + banding, the expensive part) in the lineage
+    // TWICE and evaluate it twice before the cache (measured ~2x the
+    // wall-clock of this whole operator at sf0.1)
+    val edges = pairs.select(explode(array(
+        struct(col("id1").as("u"), col("id2").as("v")),
+        struct(col("id2").as("u"), col("id1").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().cache()
     // seed with min(self, neighbors) — one propagation round for free
     var labels = edges
@@ -231,9 +238,11 @@ object Dedup {
       df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
     // min-propagation strictly DECREASES the label total until the fixed
     // point, so convergence is one cheap aggregation on the cached frame
-    // (materializing it in the same job) instead of a join + count
+    // (materializing it in the same job) instead of a join + count.
+    // An empty edge set sums to null — that's the trivially-converged
+    // empty result, not a frame to iterate on.
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = prevSum == null
     var i = 0
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, edges("v") === labels("id"))
@@ -249,6 +258,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // a silent exit at maxIter would hand back partially-propagated (wrong)
+    // canonical ids for components deeper than the iteration budget
+    require(converged,
+      s"connectedComponents did not converge within $maxIter iterations; " +
+        "component diameter exceeds the budget — raise maxIter or switch " +
+        "to star-contraction for long-chain graphs")
     labels
   }
 }

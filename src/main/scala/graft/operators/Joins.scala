@@ -95,6 +95,13 @@ object Joins {
     * no window. `matchCond` encodes the rule predicate — null rule fields
     * as wildcards, e.g.
     *   (rules("agency").isNull || rules("agency") === facts("agency")).
+    *
+    * PRECONDITION: `factKeys` must uniquely identify fact rows. Non-key
+    * fact columns are carried through the groupBy with first(), so if two
+    * distinct fact rows share a key tuple they silently collapse to one
+    * output row with one arbitrary row's attributes. Callers with
+    * non-unique keys must pre-aggregate (or add a row id to factKeys);
+    * LookupCascadeSpec asserts this contract.
     */
   def lookupCascade(
       facts: DataFrame, factKeys: Seq[String], rules: DataFrame,

@@ -81,7 +81,13 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
-    signs.reduce(_ + _)
+    // a dims mismatch null-pads the zip_with, nulls the projection, and
+    // would drop every vector into bucket 0 — turning the LSH equi-join
+    // into a full self-join with no error. Fail loudly instead.
+    when(size(vec) === dims, signs.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"hyperplaneSketch: expected $dims-dim vector, got "),
+        size(vec).cast("string"))))
   }
 
   /** IVF-style ANN: hyperplane sign buckets act as the coarse quantizer

@@ -193,9 +193,15 @@ object Gtfs {
     * fare/headway means. One shuffle: countDistinct forces an expand, but
     * the group key (date) keeps partial aggregation effective.
     */
-  def dailySystemTotals(schedule: DataFrame, dates: DataFrame): DataFrame =
-    schedule.join(dates, "service_id")
-      .groupBy("date", "dow")
+  def dailySystemTotals(schedule: DataFrame, dates: DataFrame): DataFrame = {
+    // one dow per DATE, not per service period: a date served by periods
+    // of different classes (holiday SUN service alongside weekday) must
+    // emit ONE system row. The reference's override loop resolves the
+    // highest recode across active periods (GTFSHelper.py:229-246) —
+    // max() over the active periods reproduces it.
+    val dowPerDate = dates.groupBy("date").agg(max(col("dow")).as("dow"))
+    schedule.join(dates.select("service_id", "date"), "service_id")
+      .groupBy("date")
       .agg(countDistinct(col("trip_id")).as("TRIPS"),
         countDistinct(col("stop_id")).as("STOPS"),
         count(lit(1)).as("TRIP_STOPS"),
@@ -207,6 +213,11 @@ object Gtfs {
         sum(col("TOTTIME_S")).as("TOTTIME_S"),
         avg(col("RUNSPEED_S")).as("RUNSPEED_S"),
         avg(col("TOTSPEED_S")).as("TOTSPEED_S"))
+      .join(broadcast(dowPerDate), "date")
+      .select(Seq("date", "dow", "TRIPS", "STOPS", "TRIP_STOPS", "FARE",
+        "HEADWAY_S", "SERVMILES_S", "DWELL_S", "RUNTIME_S", "TOTTIME_S",
+        "RUNSPEED_S", "TOTSPEED_S").map(col): _*)
+  }
 
   /** A9 — monthly system totals: means of the daily rows per (month, dow)
     * (GTFSHelper.py:287-321). */

@@ -64,4 +64,28 @@ class GtfsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("negative service miles"))
   }
+
+  test("dailySystemTotals: one system row per date across mixed service classes") {
+    // Sat Jan 6 2024 is served by BOTH the holiday SUN service and a
+    // special weekday-class service: the reference resolves ONE dow per
+    // date (the highest recode wins, GTFSHelper.py:229-246) and emits a
+    // single system row spanning all active periods' trips.
+    val cal = "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date\n" +
+      "SUN,0,0,0,0,0,1,0,20240106,20240106\nWKDY,0,0,0,0,0,1,0,20240106,20240106\n"
+    val trips2 = "trip_id,route_id,service_id,direction_id\n" +
+      "t1,R1,SUN,0\nt2,R1,WKDY,0\n"
+    val st = "trip_id,stop_id,stop_sequence,arrival_time,departure_time\n" +
+      "t1,S1,1,08:00:00,08:00:00\nt1,S2,2,08:04:00,08:05:00\n" +
+      "t2,S1,1,09:00:00,09:00:00\nt2,S2,2,09:04:00,09:05:00\n"
+    val feed = writeFeed("/root/repo/tmp/gtfs_t4",
+      Seq("routes.txt" -> routes, "trips.txt" -> trips2,
+        "stop_times.txt" -> st, "calendar.txt" -> cal))
+    val daily = Gtfs.dailySystemTotals(
+      Gtfs.tripStopScheduleFull(feed), Gtfs.serviceDates(feed))
+      .select(col("date").cast("string"), col("dow"), col("TRIPS"),
+        col("TRIP_STOPS"))
+      .as[(String, Int, Long, Long)].collect().toSeq
+    // one row, dow = max(SUN=3, weekday=1) = 3, trips/trip-stops span both
+    assert(daily == Seq(("2024-01-06", 3, 2L, 4L)))
+  }
 }
