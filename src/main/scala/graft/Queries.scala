@@ -2953,6 +2953,90 @@ object Queries {
       WHERE drop.doc_id IS NULL
       GROUP BY 1"""))
 
+  /** Shared DuckDB fragment: the whitespace tokenizer as a list column,
+    * guarding the ['']-for-empty-string quirk (mirrors Text.tokens). */
+  private val duckToksSql =
+    """SELECT doc_id,
+      CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN CAST([] AS VARCHAR[])
+           ELSE string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+      END AS toks
+    FROM documents"""
+
+  /** Sliding-window token chunking with overlap (64-token chunks every 48
+    * tokens) — the pretraining document splitter. Map-only at any scale:
+    * the only explode is per-row, there is NO shuffle in this plan. */
+  val q87Chunking = Q(
+    "q87_chunking",
+    (s, d) =>
+      graft.operators.Corpus.chunk(documents(s, d), "doc_id", "text",
+          chunkTokens = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          col("chunk_text")),
+    Some(s"""WITH t AS ($duckToksSql),
+      c AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+        FROM t WHERE len(toks) > 0)
+      SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+        CAST(len(toks[start + 1 : start + 64]) AS INT) AS n_chunk_tokens,
+        array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+      FROM c"""))
+
+  /** Train/test contamination detection: distinct word-8-gram overlap of
+    * each test doc (doc_id % 20 == 0) against the train split — the
+    * decontamination join. The planted near-duplicates light up as
+    * contaminated; clean docs sit near 0. */
+  val q88Contamination = Q(
+    "q88_contamination",
+    (s, d) =>
+      graft.operators.Corpus.contamination(documents(s, d), "doc_id", "text",
+        col("doc_id") % 20 === 0, n = 8),
+    Some(s"""WITH t AS ($duckToksSql),
+      s0 AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        FROM t WHERE len(toks) >= 8),
+      s AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i : i + 7], ' ') AS shingle
+        FROM s0),
+      te AS (SELECT doc_id AS test_id, shingle FROM s WHERE doc_id % 20 = 0),
+      tr AS (SELECT shingle, doc_id AS train_id FROM s WHERE doc_id % 20 <> 0),
+      tot AS (SELECT test_id, count(*) AS total_ngrams FROM te GROUP BY 1),
+      h AS (
+        SELECT test_id, count(DISTINCT shingle) AS contaminated_ngrams,
+          count(DISTINCT train_id) AS n_contaminating_docs
+        FROM te JOIN tr USING (shingle) GROUP BY 1)
+      SELECT t.test_id, t.total_ngrams,
+        CAST(COALESCE(h.contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams,
+        CAST(COALESCE(h.n_contaminating_docs, 0) AS BIGINT) AS n_contaminating_docs,
+        round(CAST(COALESCE(h.contaminated_ngrams, 0) AS DOUBLE) / t.total_ngrams, 6)
+          AS contamination_ratio
+      FROM tot t LEFT JOIN h USING (test_id)"""))
+
+  /** Corpus top-K vocabulary + per-doc out-of-vocabulary rate — the
+    * vocabulary-coverage quality filter. Top-K = bounded
+    * TakeOrderedAndProject broadcast back; per-doc OOV via one exploded
+    * left join. */
+  val q89VocabOov = Q(
+    "q89_vocab_oov",
+    (s, d) =>
+      graft.operators.Corpus.vocabOov(documents(s, d), "doc_id", "text",
+        topK = 20),
+    Some(s"""WITH t AS ($duckToksSql),
+      w AS (SELECT unnest(toks) AS tok FROM t),
+      v AS (SELECT tok FROM w GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20),
+      d AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      j AS (SELECT d.doc_id, d.tok, v.tok AS vt FROM d LEFT JOIN v ON d.tok = v.tok),
+      agg AS (
+        SELECT doc_id, count(*) AS n_tokens,
+          count(CASE WHEN vt IS NULL THEN 1 END) AS oov_tokens
+        FROM j GROUP BY 1)
+      SELECT t.doc_id,
+        CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(a.oov_tokens, 0) AS BIGINT) AS oov_tokens,
+        CASE WHEN COALESCE(a.n_tokens, 0) > 0
+             THEN round(CAST(a.oov_tokens AS DOUBLE) / a.n_tokens, 6)
+             ELSE 0.0 END AS oov_ratio
+      FROM t LEFT JOIN agg a USING (doc_id)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -2974,5 +3058,6 @@ object Queries {
     q72GtfsMonthly, q73MasterRoute, q74AnnualToMonthly, q75MonthImpute,
     q76PartitionedSink, q77ModeLookup, q78DedupComponents,
     q79SequencePacking, q80StratifiedSample, q81IvfAnn, q82Repetition,
-    q83NetworkIngest, q84FrameSample, q85PiiRedact, q86DedupSweep)
+    q83NetworkIngest, q84FrameSample, q85PiiRedact, q86DedupSweep,
+    q87Chunking, q88Contamination, q89VocabOov)
 }

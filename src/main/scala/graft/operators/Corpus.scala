@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines: sliding-
+  * window chunking, train/test contamination detection, vocabulary
+  * out-of-vocabulary scoring. All relational, no UDFs; each op's shape is
+  * chosen for 100 TB (per-row explode with no shuffle, shingle-key joins
+  * with map-side partial aggregation, bounded top-k vocab broadcast).
+  */
+object Corpus {
+
+  /** Sliding-window token chunking with overlap — the standard
+    * pretraining document splitter (context-window packing's upstream
+    * twin). Each document becomes ceil((n - overlap) / stride) chunks of
+    * up to `chunkTokens` tokens, starting every `stride` tokens. Per-row
+    * explode only: NO shuffle at any scale; chunking 100 TB is a map-only
+    * job. Zero-token documents produce zero chunks.
+    *
+    * Returns (idCol, chunk_id, n_chunk_tokens, chunk_text).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      "need 1 <= stride <= chunkTokens (stride > chunk would drop tokens)")
+    // materialize the token array once per doc BEFORE the explode — the
+    // slice below then reads an attribute, not a re-evaluated regex tree
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+    toks
+      .select(col(idCol),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "start")),
+        col("__toks"))
+      .withColumn("chunk_toks",
+        slice(col("__toks"), col("start") + 1, lit(chunkTokens)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("chunk_toks")).as("n_chunk_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+  }
+
+  /** Train/test contamination detection — the decontamination primitive:
+    * for every test document, how many of its distinct word n-grams also
+    * appear anywhere in the train split, and in how many train docs.
+    * Shingle both splits, equi-join on the shingle, two aggregations with
+    * map-side partial agg. At 100 TB the join key should be
+    * `Text.md5Hash64(shingle)` to fix the shuffle-key width — same
+    * banding-vs-hash trade as MinHash LSH (Dedup.minHashLshPairs);
+    * the raw-string key here keeps the DuckDB oracle 1:1.
+    *
+    * `isTest` partitions df (e.g. col("doc_id") % 20 === 0). Returns
+    * (test_id, total_ngrams, contaminated_ngrams, n_contaminating_docs,
+    * contamination_ratio) — one row per test doc with >= 1 n-gram.
+    */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    isTest: org.apache.spark.sql.Column, n: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), isTest.as("is_test"),
+        explode(array_distinct(Text.wordShingles(col(textCol), n))).as("shingle"))
+    val test = sh.where(col("is_test")).select(col("id").as("test_id"), col("shingle"))
+    val train = sh.where(!col("is_test")).select(col("shingle"), col("id").as("train_id"))
+    val totals = test.groupBy("test_id")
+      .agg(count(lit(1)).as("total_ngrams")) // shingles are distinct per doc
+    val hits = test.join(train, "shingle")
+      .groupBy("test_id")
+      .agg(countDistinct(col("shingle")).as("contaminated_ngrams"),
+        countDistinct(col("train_id")).as("n_contaminating_docs"))
+    totals.join(hits, Seq("test_id"), "left")
+      .select(col("test_id"), col("total_ngrams"),
+        coalesce(col("contaminated_ngrams"), lit(0L)).as("contaminated_ngrams"),
+        coalesce(col("n_contaminating_docs"), lit(0L)).as("n_contaminating_docs"),
+        round(coalesce(col("contaminated_ngrams"), lit(0L)).cast("double") /
+          col("total_ngrams"), 6).as("contamination_ratio"))
+  }
+
+  /** Corpus vocabulary + per-document out-of-vocabulary rate — the
+    * vocabulary-coverage quality filter. The top-K vocab is a global
+    * word count then a bounded orderBy(count desc, word).limit(K)
+    * (TakeOrderedAndProject — no single-partition window at any corpus
+    * size, K rows on the driver), broadcast back as a left join. Docs
+    * with zero tokens report oov_ratio 0.
+    *
+    * Returns (idCol, n_tokens, oov_tokens, oov_ratio).
+    */
+  def vocabOov(df: DataFrame, idCol: String, textCol: String,
+               topK: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode_outer(Text.tokens(col(textCol))).as("tok"))
+    val vocab = toks.where(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(topK)
+      .select(col("tok").as("__v"))
+    toks.join(broadcast(vocab), col("tok") === col("__v"), "left")
+      .groupBy("id")
+      .agg(count(col("tok")).as("n_tokens"),
+        count(when(col("tok").isNotNull && col("__v").isNull, 1)).as("oov_tokens"))
+      .select(col("id").as(idCol), col("n_tokens"), col("oov_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("oov_tokens").cast("double") / col("n_tokens"), 6))
+          .otherwise(0.0).as("oov_ratio"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the corpus-prep operators beyond the q87-q89
+  * oracles: chunk boundary arithmetic, contamination split hygiene,
+  * OOV edge cases, and the chunker's no-shuffle plan guarantee.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk: boundary arithmetic — overlap, short tail, exact fit, empty") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: chunks at 0,4,8
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, (1 to 8).map(i => s"x$i").mkString(" ")),  // exact two strides
+      (4L, ""), (5L, "   ")                           // zero-token docs vanish
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunk(docs, "doc_id", "text", chunkTokens = 6, stride = 4)
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().toSeq.sorted
+    assert(out == Seq(
+      (1L, 0, 6, "t1 t2 t3 t4 t5 t6"),
+      (1L, 1, 6, "t5 t6 t7 t8 t9 t10"),
+      (1L, 2, 2, "t9 t10"),
+      (2L, 0, 3, "a b c"),
+      (3L, 0, 6, "x1 x2 x3 x4 x5 x6"),
+      (3L, 1, 4, "x5 x6 x7 x8")))
+  }
+
+  test("chunk: every token lands in at least one chunk (stride <= chunk)") {
+    val docs = Seq((1L, (1 to 97).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val covered = Corpus.chunk(docs, "doc_id", "text", 16, 11)
+      .select(explode(split(col("chunk_text"), " ")).as("tok"))
+      .distinct().count()
+    assert(covered == 97L)
+  }
+
+  test("chunk: the plan has no shuffle — map-only at any scale") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Corpus.chunk(docs, "doc_id", "text", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunk plan shuffles:\n$plan")
+  }
+
+  test("contamination: planted overlap found, self-split never contaminates") {
+    val eight = "q w e r t y u i"
+    val docs = Seq(
+      (0L, s"$eight unique tail zero"),   // test (0 % 2 == 0)
+      (2L, "totally different words here with no overlap at all"), // test
+      (1L, s"$eight another train doc"),  // train: shares the 8-gram
+      (3L, s"$eight third train copy")    // train: shares the same 8-gram
+    ).toDF("doc_id", "text")
+    val out = Corpus.contamination(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0, n = 8)
+      .as[(Long, Long, Long, Long, Double)].collect().toMap2
+    assert(out(0L)._2 == 1L && out(0L)._3 == 2L) // one shared 8-gram, 2 sources
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0L && out(2L)._4 == 0.0)
+  }
+
+  test("vocabOov: OOV rate against the top-K vocabulary; empty doc is 0") {
+    val docs = Seq(
+      (1L, "a a a b b c"), // with topK=2 vocab {a,b}: c is OOV -> 1/6
+      (2L, "a b a b"),     // fully in-vocab
+      (3L, "")             // zero tokens
+    ).toDF("doc_id", "text")
+    val out = Corpus.vocabOov(docs, "doc_id", "text", topK = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((6L, 1L, 0.166667)))
+    assert(out(2L) == ((4L, 0L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
+  private implicit class Tup5Ops(rows: Array[(Long, Long, Long, Long, Double)]) {
+    def toMap2: Map[Long, (Long, Long, Long, Double)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+}
