@@ -3037,6 +3037,75 @@ object Queries {
              ELSE 0.0 END AS oov_ratio
       FROM t LEFT JOIN agg a USING (doc_id)"""))
 
+  /** J4 with NO equi key — overlapping 60-day windows around each order
+    * month, lineitems matched purely by ship-date range. The naive plan is
+    * a BroadcastNestedLoopJoin (facts x windows); intervalJoinBucketed
+    * turns it into a shuffled equi-join on 30-day overlap buckets
+    * (PlanQualitySpec's nested-loop canary holds this query to it). */
+  val q90IntervalBucketed = Q(
+    "q90_interval_bucketed",
+    (s, d) => {
+      val wins = orders(s, d)
+        .select(date_trunc("MONTH", col("o_orderdate")).as("window_month"))
+        .distinct()
+        .withColumn("start_day", unix_date(col("window_month").cast("date")) - 15)
+        .withColumn("end_day", unix_date(col("window_month").cast("date")) + 45)
+      val fact = lineitem(s, d)
+        .select(unix_date(col("l_shipdate").cast("date")).as("ship_day"),
+          revDec.as("r"))
+      graft.operators.Joins.intervalJoinBucketed(fact, wins,
+          col("ship_day"), col("start_day"), col("end_day"), bucketWidth = 30)
+        .groupBy("window_month")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("r")), 2).cast("double").as("revenue"))
+    },
+    Some("""WITH w AS (
+        SELECT DISTINCT date_trunc('month', o_orderdate) AS window_month
+        FROM orders),
+      wd AS (
+        SELECT window_month,
+          datediff('day', DATE '1970-01-01', CAST(window_month AS DATE)) - 15 AS start_day,
+          datediff('day', DATE '1970-01-01', CAST(window_month AS DATE)) + 45 AS end_day
+        FROM w),
+      f AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+          CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1.00 - CAST(l_discount AS DECIMAL(4,2))) AS r
+        FROM lineitem)
+      SELECT window_month, count(*) AS n,
+        CAST(round(sum(r), 2) AS DOUBLE) AS revenue
+      FROM f JOIN wd ON f.ship_day >= wd.start_day AND f.ship_day < wd.end_day
+      GROUP BY 1"""))
+
+  /** The skew-safe salted join under the oracle: lineitem's 3-value
+    * l_returnflag is the canonical skewed key (a third of the fact table
+    * per key — one straggler task per key in a plain shuffle join).
+    * saltedJoin shards each key across 8 deterministic salt buckets and
+    * replicates the dim side. This dim is broadcast-sized (salting exists
+    * for when it is NOT and the keys skew); the query pins the machinery's
+    * semantics == plain join. */
+  val q91SaltedJoin = Q(
+    "q91_salted_join",
+    (s, d) => {
+      import s.implicits._
+      val dim = Seq(("A", "accepted"), ("N", "new"), ("R", "returned"))
+        .toDF("l_returnflag", "flag_desc")
+      graft.operators.Joins.saltedJoin(
+          lineitem(s, d).select("l_returnflag", "l_quantity",
+            "l_orderkey", "l_linenumber"),
+          dim, Seq("l_returnflag"),
+          saltFrom = Seq(col("l_orderkey"), col("l_linenumber")), buckets = 8)
+        .groupBy("flag_desc")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+    Some("""WITH dimt(l_returnflag, flag_desc) AS (
+        SELECT * FROM (VALUES
+          ('A', 'accepted'), ('N', 'new'), ('R', 'returned')))
+      SELECT flag_desc, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN dimt USING (l_returnflag)
+      GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -3059,5 +3128,6 @@ object Queries {
     q76PartitionedSink, q77ModeLookup, q78DedupComponents,
     q79SequencePacking, q80StratifiedSample, q81IvfAnn, q82Repetition,
     q83NetworkIngest, q84FrameSample, q85PiiRedact, q86DedupSweep,
-    q87Chunking, q88Contamination, q89VocabOov)
+    q87Chunking, q88Contamination, q89VocabOov, q90IntervalBucketed,
+    q91SaltedJoin)
 }

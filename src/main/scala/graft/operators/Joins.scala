@@ -24,6 +24,38 @@ object Joins {
     fact.join(d, equi.map(_ && range).getOrElse(range), joinType)
   }
 
+  /** J4 at scale, NO equi key: point-in-interval join via overlap
+    * bucketing. Vanilla Spark plans a keyless range join as a
+    * BroadcastNestedLoopJoin — every fact row against every interval, the
+    * classic 100 TB cliff. Instead: each interval explodes to one row per
+    * `bucketWidth`-sized bucket it overlaps, each fact maps to exactly ONE
+    * bucket, and the join becomes a plain shuffled equi-join on the bucket
+    * id refined by the exact range predicate. No duplicate matches (a
+    * fact meets an interval only in the fact's own bucket), no nested
+    * loop at any scale. Pick `bucketWidth` near the typical interval
+    * length: cost is intervals x (length/width + 1) replication vs more
+    * facts per bucket. Positions are numeric (cast dates to epoch days);
+    * `dimEnd` exclusive; empty intervals (end <= start) match nothing.
+    */
+  def intervalJoinBucketed(
+      fact: DataFrame, dim: DataFrame, factPos: Column,
+      dimStart: Column, dimEnd: Column, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be positive")
+    val d = dim
+      .where(dimEnd > dimStart) // sequence() would DESCEND on an empty interval
+      .withColumn("__ivl_start", dimStart.cast("long"))
+      .withColumn("__ivl_end", dimEnd.cast("long"))
+      .withColumn("__bucket", explode(sequence(
+        floor(dimStart.cast("double") / bucketWidth).cast("long"),
+        floor((dimEnd.cast("double") - 1) / bucketWidth).cast("long"))))
+    val f = fact
+      .withColumn("__pos", factPos.cast("long"))
+      .withColumn("__bucket", floor(factPos.cast("double") / bucketWidth).cast("long"))
+    f.join(d, Seq("__bucket"))
+      .where(col("__pos") >= col("__ivl_start") && col("__pos") < col("__ivl_end"))
+      .drop("__bucket", "__pos", "__ivl_start", "__ivl_end")
+  }
+
   /** As-of join (backward): for each left row, the latest right row with
     * rightTs <= leftTs within the same key. The reference does this
     * per-date in driver loops; a 100 TB engine cannot. This is the

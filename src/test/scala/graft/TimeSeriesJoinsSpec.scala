@@ -92,4 +92,26 @@ class TimeSeriesJoinsSpec extends SparkSpec {
       .orderBy("id").select("label").collect()
     assert(out(0).getString(0) == "window1" && out(1).isNullAt(0))
   }
+
+  test("intervalJoinBucketed == brute-force range join, incl. boundaries and negatives") {
+    // intervals straddle bucket boundaries, overlap each other, sit at
+    // negative positions, and include an empty one (end <= start)
+    val dim = Seq(
+      (-25L, 35L, "wide"), (0L, 10L, "low"), (9L, 11L, "straddle"),
+      (30L, 30L, "empty"), (100L, 130L, "high")
+    ).toDF("s", "e", "label")
+    val fact = Seq(-26L, -25L, -1L, 0L, 9L, 10L, 29L, 34L, 35L, 99L, 100L, 129L, 130L)
+      .toDF("pos")
+    val got = Joins.intervalJoinBucketed(fact, dim, col("pos"), col("s"), col("e"), 10L)
+      .select("pos", "label").as[(Long, String)].collect().toSeq.sorted
+    val want = (for {
+      p <- Seq(-26L, -25L, -1L, 0L, 9L, 10L, 29L, 34L, 35L, 99L, 100L, 129L, 130L)
+      (s, e, l) <- Seq((-25L, 35L, "wide"), (0L, 10L, "low"), (9L, 11L, "straddle"),
+        (30L, 30L, "empty"), (100L, 130L, "high"))
+      if p >= s && p < e
+    } yield (p, l)).sorted
+    assert(got == want)
+    // no duplicate (fact, interval) matches despite multi-bucket intervals
+    assert(got.size == got.distinct.size)
+  }
 }
