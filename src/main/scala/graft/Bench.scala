@@ -51,13 +51,25 @@ object Bench {
       spark.catalog.clearCache()
       q.name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // the harness keeps only the LAST 2000 chars of stdout, so the JSON
+    // line must fit that window or its opening brace gets clipped and the
+    // whole run parses as null (rounds 1-2 did). Short keys (q01 not
+    // q01_ruleagg_basic) + 3-decimal seconds keep ~140 queries under the
+    // limit; the full-name map goes to BENCH_DETAIL.json alongside.
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // n_queries/mean give cross-round comparability: the catalog grows
     // every round, so raw total seconds alone would read as a regression
     val mean = if (results.nonEmpty) total / results.size else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_per_query":$mean,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"mean_per_query":${r3(mean)},"queries":$qs,"sf":"$sfDir"}"""
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{\"queries\":{", ",", s"},\"total\":${r3(total)},\"sf\":\"$sfDir\"}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

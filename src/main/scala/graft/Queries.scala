@@ -3106,6 +3106,158 @@ object Queries {
       FROM lineitem JOIN dimt USING (l_returnflag)
       GROUP BY 1"""))
 
+  /** Connected components again, by alternating large-star/small-star
+    * contraction (Kiveris et al., SoCC'14) — the O(log n)-round scale
+    * path for graphs whose diameter exceeds min-label propagation's
+    * round budget (chains, lattices; see Dedup.connectedComponentsStar).
+    * Same pair set and the same transitive-closure oracle as q78, so the
+    * two algorithms are proven to agree with each other AND with DuckDB's
+    * recursive CTE on real candidate data. */
+  val q92ComponentsStar = Q(
+    "q92_components_star",
+    (s, d) => {
+      val pairs = Dedup.minHashLshPairs(documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 32, numBands = 8, threshold = 0.5)
+      Dedup.connectedComponentsStar(pairs)
+        .select(col("id").as("doc_id"), col("component").as("canonical_id"))
+    },
+    Some(minhashPairsSql +
+      """,
+      p AS (
+        SELECT id1, id2 FROM cand
+        WHERE len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 >= 0.5),
+      e AS (SELECT id1 AS u, id2 AS v FROM p
+            UNION SELECT id2, id1 FROM p),
+      reach(u, v) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+      SELECT u AS doc_id, min(v) AS canonical_id
+      FROM reach GROUP BY u"""))
+
+  /** One Lloyd round in DuckDB: assignment (argmin of 6-dp-rounded
+    * squared L2, ties to the lowest cluster), then per-(cluster, dim)
+    * decimal-exact means rounded to 6 dp, empty clusters keeping their
+    * previous centroid — the exact recurrence Clustering.kmeansAssign
+    * runs, so the two engines stay bit-identical round by round. */
+  private def kmeansRoundSql(cPrev: String, n: Int): String = s"""
+      a$n AS (
+        SELECT p.vec_id,
+          min(struct_pack(d := round(list_aggregate(list_transform(range(1, 65),
+              i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])), 'sum'), 6),
+            c := c.cid)) AS best
+        FROM p CROSS JOIN $cPrev c GROUP BY p.vec_id),
+      m$n AS (
+        SELECT a.best.c AS cid, d.i,
+          round(CAST(sum(CAST(p.v[d.i] AS DECIMAL(28,12))) AS DOUBLE)
+            / count(*), 6) AS x
+        FROM a$n a JOIN p USING (vec_id), (SELECT unnest(range(1, 65)) AS i) d
+        GROUP BY 1, 2),
+      c$n AS (
+        SELECT c.cid, COALESCE(mm.cv, c.cv) AS cv
+        FROM $cPrev c LEFT JOIN
+          (SELECT cid, list(x ORDER BY i) AS cv FROM m$n GROUP BY cid) mm
+          ON mm.cid = c.cid)"""
+
+  /** Deterministic distributed k-means (2 Lloyd rounds, k=8) over the
+    * embeddings table — the SemDeDup/topic-bucketing clustering pre-pass.
+    * Assignment is a map-side argmin against a literal centroid matrix
+    * (no join, no vector shuffle); updates are decimal-exact partial
+    * sums. The oracle replays the identical recurrence in DuckDB and the
+    * per-vector assignments hash-match. */
+  val q93Kmeans = Q(
+    "q93_kmeans",
+    (s, d) =>
+      graft.operators.Clustering.kmeansAssign(
+        embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2),
+    Some(s"""WITH p AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      k0 AS (SELECT vec_id, v FROM p ORDER BY vec_id LIMIT 8),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM k0),
+      ${kmeansRoundSql("c0", 1)},
+      ${kmeansRoundSql("c1", 2)},
+      a3 AS (
+        SELECT p.vec_id,
+          min(struct_pack(d := round(list_aggregate(list_transform(range(1, 65),
+              i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])), 'sum'), 6),
+            c := c.cid)) AS best
+        FROM p CROSS JOIN c2 c GROUP BY p.vec_id)
+      SELECT vec_id, CAST(best.c AS BIGINT) AS cluster FROM a3"""))
+
+  /** Temperature-based source mixing (p_s ~ n_s^alpha, the
+    * multilingual-corpus sampling rule): raw share, flattened weight,
+    * implied epochs per source at a 1M-row budget. One partial-agg
+    * groupBy + a one-row broadcast total. */
+  val q94SourceMix = Q(
+    "q94_source_mix",
+    (s, d) => graft.operators.Packing.temperatureMix(
+      documents(s, d), "source", alpha = 0.3, budget = 1000000L),
+    Some("""WITH c AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      t AS (SELECT sum(n_docs) AS tot, sum(pow(n_docs, 0.3)) AS ptot FROM c)
+      SELECT source, n_docs,
+        round(n_docs / tot, 6) AS raw_share,
+        round(pow(n_docs, 0.3) / ptot, 6) AS weight,
+        round(pow(n_docs, 0.3) / ptot * 1000000 / n_docs, 6) AS epochs
+      FROM c, t"""))
+
+  /** Deterministic corpus shuffle as (shard, position): md5-hash sharding
+    * + per-shard rank — the reproducible pre-training shuffle with NO
+    * global sort (a corpus-wide row_number would serialize into one
+    * task; per-shard windows scale with the shard count, and
+    * (shard, pos) is a total order). */
+  val q95CorpusShuffle = Q(
+    "q95_corpus_shuffle",
+    (s, d) => graft.operators.Packing.shuffleShard(
+        documents(s, d), "doc_id", shards = 16)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("pos").cast("long").as("pos")),
+    Some("""WITH h AS (
+        SELECT doc_id,
+          ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents)
+      SELECT doc_id, h % 16 AS shard,
+        row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS pos
+      FROM h"""))
+
+  /** SemDeDup (Abbas et al. 2023): k-means bucketing then within-cluster
+    * cosine dedup, keep-lowest-id. The clustering bounds the quadratic —
+    * the pairwise compare is an equi-join on cluster id, never a
+    * corpus-wide cross product. Oracle replays the identical kmeans
+    * recurrence (same CTEs as q93) and the same greedy drop rule. */
+  val q96SemDedup = Q(
+    "q96_semdedup",
+    (s, d) =>
+      graft.operators.Clustering.semDeDup(
+        embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2,
+        threshold = 0.4),
+    Some(s"""WITH p AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      k0 AS (SELECT vec_id, v FROM p ORDER BY vec_id LIMIT 8),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM k0),
+      ${kmeansRoundSql("c0", 1)},
+      ${kmeansRoundSql("c1", 2)},
+      a3 AS (
+        SELECT p.vec_id,
+          min(struct_pack(d := round(list_aggregate(list_transform(range(1, 65),
+              i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])), 'sum'), 6),
+            c := c.cid)) AS best
+        FROM p CROSS JOIN c2 c GROUP BY p.vec_id),
+      j AS (
+        SELECT a.vec_id, CAST(a.best.c AS BIGINT) AS cluster, p.v
+        FROM a3 a JOIN p USING (vec_id)),
+      drp AS (
+        SELECT DISTINCT b.vec_id
+        FROM j a JOIN j b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+      SELECT vec_id, cluster,
+        vec_id NOT IN (SELECT vec_id FROM drp) AS kept
+      FROM j"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -3129,5 +3281,6 @@ object Queries {
     q79SequencePacking, q80StratifiedSample, q81IvfAnn, q82Repetition,
     q83NetworkIngest, q84FrameSample, q85PiiRedact, q86DedupSweep,
     q87Chunking, q88Contamination, q89VocabOov, q90IntervalBucketed,
-    q91SaltedJoin)
+    q91SaltedJoin, q92ComponentsStar, q93Kmeans, q94SourceMix,
+    q95CorpusShuffle, q96SemDedup)
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column — the clustering
+  * pre-pass for SemDeDup-style semantic dedup and topic bucketing of a
+  * training corpus.
+  *
+  * Deterministic and engine-portable by construction (no RNG state):
+  *  - init: the embeddings of the k smallest ids;
+  *  - assignment: squared-L2 argmin against a LITERAL centroid matrix —
+  *    a pure map-side projection (no join, no shuffle of the vectors),
+  *    tie-broken by cluster id on the 6-dp-rounded distance;
+  *  - update: per-(cluster, dim) sums in DECIMAL(28,12) (exact, so the
+  *    result is independent of partitioning/accumulation order), means
+  *    rounded to 6 dp at each round boundary — two engines replaying the
+  *    recurrence stay bit-identical;
+  *  - centroids live on the driver between rounds (k x dims doubles,
+  *    config-scale) and ship back as literals.
+  *
+  * Scale shape per round: one full pass over the points (k x dims fused
+  * multiply-adds per row, whole-stage codegen) and one shuffle of
+  * (partitions x k x dims) partial sums — the vectors themselves never
+  * move. At 100 TB you would persist the projected points between
+  * rounds; at bench scale the parquet re-scan is cheaper than the cache
+  * churn.
+  *
+  * Reference context: the reference has no clustering operator — this is
+  * part of the training-data extension surface (BASELINE.json).
+  */
+object Clustering {
+
+  /** Argmin-cluster column for a literal centroid matrix. */
+  private def assignColumn(vec: Column, cents: IndexedSeq[Seq[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (cv, cid) =>
+      val w = array(cv.map(lit): _*)
+      val d = aggregate(
+        zip_with(vec, w, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(round(d, 6).as("d"), lit(cid).as("c"))
+    }
+    least(scored: _*).getField("c")
+  }
+
+  /** Runs `iters` Lloyd rounds and returns the final (id, cluster)
+    * assignment. `dims` must match the vector length (mismatches
+    * null-pad the zip_with and would mis-assign silently — the caller's
+    * schema is the contract, as with hyperplaneSketch). An empty cluster
+    * keeps its previous centroid.
+    */
+  def kmeansAssign(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 2, "k-means needs k >= 2")
+    val pts = points.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    // deterministic init: k smallest ids — a bounded k-row collect
+    var cents: IndexedSeq[Seq[Double]] = pts.orderBy(col("__id")).limit(k)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    for (_ <- 1 to iters) {
+      // exact decimal sums -> partition-order-independent means
+      val rows = pts.withColumn("cluster", assignColumn(col("__v"), cents))
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("m"))
+        .collect()
+      val byCluster = rows.groupBy(_.getInt(0))
+      cents = (0 until k).map { cid =>
+        byCluster.get(cid)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          .getOrElse(cents(cid))
+      }
+    }
+    pts.withColumn("cluster", assignColumn(col("__v"), cents))
+      .select(col("__id").as(idCol), col("cluster").cast("long").as("cluster"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    * embeddings, then inside each cluster drop every vector that has a
+    * LOWER-id cluster-mate with cosine similarity >= `threshold`
+    * (keep-first, deterministic — the paper keeps an arbitrary member of
+    * each semantic-dup group). Returns every input id with its cluster
+    * and a `kept` flag.
+    *
+    * Scale shape: the clustering pre-pass is what makes semantic dedup
+    * tractable — the pairwise compare is an EQUI-join on cluster id
+    * (one shuffle, cluster-bounded quadratic: sum of n_c^2, controlled
+    * by k), never a corpus-wide cross product. At 100 TB you raise k so
+    * the expected cluster size stays in the thousands; the compare cost
+    * then grows linearly with the corpus.
+    */
+  def semDeDup(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val assigned = kmeansAssign(points, idCol, vecCol, k, iters)
+    val withVec = points
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .join(assigned.withColumnRenamed(idCol, "__id"), "__id")
+    // norms once per vector BELOW the join, not per pair (q44 pattern)
+    val side = withVec.withColumn("__n", Similarity.norm(col("__v")))
+    val a = side.select(col("__id").as("id1"), col("__v").as("v1"),
+      col("__n").as("n1"), col("cluster"))
+    val b = side.select(col("__id").as("id2"), col("__v").as("v2"),
+      col("__n").as("n2"), col("cluster"))
+    val nn = col("n1") * col("n2")
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("id1") < col("id2"))
+      .where(when(nn > 0, Similarity.dot(col("v1"), col("v2")) / nn)
+        >= threshold)
+      .select(col("id2").as("__id")).distinct()
+    withVec.join(dropped.withColumn("__drop", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cluster"),
+        coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
+}

@@ -222,18 +222,23 @@ object Dedup {
     // symmetrize by exploding each pair into both directions — a
     // union(pairs, pairs.reversed) would put the upstream candidate
     // pipeline (minhash + banding, the expensive part) in the lineage
-    // TWICE and evaluate it twice before the cache (measured ~2x the
+    // TWICE and evaluate it twice before materialization (measured ~2x the
     // wall-clock of this whole operator at sf0.1)
+    // localCheckpoint (eager), not cache: cache shortcuts EXECUTION but
+    // the logical plan still nests every previous iteration, so the
+    // plan (and AQE's explain string) grows geometrically with rounds —
+    // measured as an OOM in explainString by round ~15 and a 10x
+    // re-analysis tax on q78. Checkpointing cuts the lineage to a leaf.
     val edges = pairs.select(explode(array(
         struct(col("id1").as("u"), col("id2").as("v")),
         struct(col("id2").as("u"), col("id1").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     // seed with min(self, neighbors) — one propagation round for free
     var labels = edges
       .select(col("u").as("id"), least(col("u"), col("v")).as("component"))
       .groupBy("id").agg(min("component").as("component"))
-      .cache()
+      .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
     // min-propagation strictly DECREASES the label total until the fixed
@@ -249,21 +254,102 @@ object Dedup {
         .select(edges("u").as("id"), col("component"))
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("component").as("component"))
-        .cache()
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist()
       labels = next
       i += 1
     }
-    edges.unpersist()
     // a silent exit at maxIter would hand back partially-propagated (wrong)
     // canonical ids for components deeper than the iteration budget
     require(converged,
       s"connectedComponents did not converge within $maxIter iterations; " +
-        "component diameter exceeds the budget — raise maxIter or switch " +
-        "to star-contraction for long-chain graphs")
+        "component diameter exceeds the budget — raise maxIter or use " +
+        "connectedComponentsStar for long-chain graphs")
     labels
+  }
+
+  /** Connected components by alternating star contraction (the
+    * large-star/small-star method of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): converges in
+    * O(log n) ROUNDS REGARDLESS OF COMPONENT DIAMETER, vs the
+    * O(diameter) rounds of min-label propagation above. Use this for
+    * graphs that are not dedup-shaped (chains, lattices, adversarial
+    * structure); for shallow near-dup clusters plain propagation does
+    * fewer shuffles per round and wins.
+    *
+    * Each round is two relational passes over the edge list:
+    *  - large-star: per node u, link every neighbor v > u to
+    *    m = min(N(u) ∪ u) — halves the depth of tall branches;
+    *  - small-star: per node u, link every neighbor v <= u (and u) to m —
+    *    flattens what large-star left.
+    * The fixed point is a forest of stars rooted at each component's
+    * minimum id; output = (id, component) including the roots.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    // canonical undirected edge set as parent links child -> parent
+    // (child > parent); self-loops drop
+    // each round's operators reference the edge frame SEVERAL times
+    // (symmetrize, per-node minima, relink), so without lineage
+    // truncation the logical plan grows ~4x per round and analysis OOMs
+    // around round 7 — localCheckpoint materializes the round AND cuts
+    // the plan back to a leaf (cache alone only shortcuts execution)
+    var edges = pairs
+      .select(greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum((col("u") * 31 + col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      // symmetric neighborhood; m = min over (neighbors ∪ self)
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(m, "u")
+        .where(col("v") > col("u")) // strictly larger neighbors re-link to m
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is child->parent (u > v) after largeStar; per child u link all
+      // its parents AND itself to the minimum parent
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      val relinked = e.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = m.select(col("u"), col("m").as("v"))
+      relinked.unionByName(self)
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    var (prevN, prevSum) = checksum(edges)
+    var converged = prevN == 0
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val (n, s) = checksum(next)
+      converged = n == prevN && s == prevSum
+      prevN = n; prevSum = s
+      edges.unpersist()
+      edges = next
+      i += 1
+    }
+    require(converged || prevN == 0,
+      s"connectedComponentsStar did not converge within $maxIter rounds")
+    // stars: u -> root v; roots appear as their own component
+    val members = edges.select(col("u").as("id"), col("v").as("component"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .withColumn("component", col("id"))
+    val out = members.unionByName(roots)
+      .groupBy("id").agg(min("component").as("component"))
+    edges.unpersist()
+    out
   }
 }

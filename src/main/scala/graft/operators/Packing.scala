@@ -65,4 +65,45 @@ object Packing {
       .withColumn("__frac", coalesce(col("frac"), lit(defaultFrac)))
       .where(sampleHash(col(idCol), col("__frac"), salt))
       .drop("frac", "__frac")
+
+  /** Temperature-based source mixing (the multilingual-corpus sampling
+    * rule: p_s proportional to n_s^alpha): per stratum the raw share, the
+    * temperature-flattened sampling weight, and the implied epochs over
+    * that stratum when the mixed corpus is resampled to `budget` rows.
+    * alpha=1 keeps natural proportions; alpha->0 flattens to uniform.
+    * One partial-aggregated groupBy; the normalizing total is a
+    * one-row cross join (config-scale, broadcast).
+    */
+  def temperatureMix(
+      df: DataFrame, stratumCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__pw", pow(col("n_docs").cast("double"), lit(alpha)))
+    val totals = counts.agg(
+      sum(col("n_docs")).as("__tot"), sum(col("__pw")).as("__ptot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(stratumCol), col("n_docs"),
+        round(col("n_docs") / col("__tot"), 6).as("raw_share"),
+        round(col("__pw") / col("__ptot"), 6).as("weight"),
+        round(col("__pw") / col("__ptot") * budget / col("n_docs"), 6)
+          .as("epochs"))
+  }
+
+  /** Deterministic corpus shuffle as (shard, position): the md5-derived
+    * hash spreads rows uniformly over `shards` shards and orders them
+    * within each shard — the reproducible global shuffle every training
+    * run needs, WITHOUT a global rank (a single row_number over the
+    * corpus would serialize into one task; per-shard windows are
+    * embarrassingly parallel, and (shard asc, pos asc) IS a total
+    * order). */
+  def shuffleShard(
+      df: DataFrame, idCol: String, shards: Int, salt: Int = 0): DataFrame = {
+    val h = Text.md5Hash64(col(idCol).cast("string"), salt)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w) - 1)
+      .drop("__h")
+  }
 }

@@ -48,4 +48,42 @@ class PackingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("temperatureMix: alpha=1 keeps natural shares, alpha->0 flattens") {
+    val docs = ((0 until 90).map(i => (i.toLong, "big")) ++
+      (0 until 10).map(i => (100L + i, "small"))).toDF("id", "source")
+    val natural = Packing.temperatureMix(docs, "source", alpha = 1.0, budget = 100L)
+      .select("source", "weight").as[(String, Double)].collect().toMap
+    assert(math.abs(natural("big") - 0.9) < 1e-9)
+    val flat = Packing.temperatureMix(docs, "source", alpha = 0.0001, budget = 100L)
+      .select("source", "weight").as[(String, Double)].collect().toMap
+    assert(math.abs(flat("big") - 0.5) < 0.01)
+    // weights always normalize; epochs = weight * budget / n
+    val m = Packing.temperatureMix(docs, "source", alpha = 0.3, budget = 1000L)
+      .select("source", "n_docs", "weight", "epochs")
+      .as[(String, Long, Double, Double)].collect()
+    assert(math.abs(m.map(_._3).sum - 1.0) < 1e-5)
+    m.foreach { case (_, n, w, e) =>
+      assert(math.abs(e - BigDecimal(w * 1000 / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-4)
+    }
+  }
+
+  test("shuffleShard: deterministic total order, balanced shards, dense pos") {
+    val docs = (0 until 256).map(_.toLong).toDF("id")
+    val out = Packing.shuffleShard(docs, "id", shards = 8)
+      .select("id", "shard", "pos").as[(Long, Long, Int)].collect()
+    assert(out.length == 256)
+    // every shard's positions are dense 0..n-1
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length))
+    }
+    // reproducible across invocations
+    val again = Packing.shuffleShard(docs, "id", shards = 8)
+      .select("id", "shard", "pos").as[(Long, Long, Int)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // hash spreading: no shard hogs the corpus (256 rows over 8 shards)
+    val sizes = out.groupBy(_._2).map(_._2.length)
+    assert(sizes.max < 64 && sizes.min > 8)
+  }
 }
