@@ -45,45 +45,37 @@ object Graph {
     (dist, pred)
   }
 
-  /** All-pairs minimum hop counts by iterative frontier joins (directed
-    * edges). Each iteration is one join + union + min-aggregate; AQE
-    * handles the shrinking frontier. Converges in diameter iterations.
+  /** All-pairs minimum hop counts, capped at `maxHops`, by min-plus
+    * squaring (pointer doubling): after round i, `known` holds the exact
+    * min-hop distance for every pair at distance <= 2^i (a shortest path
+    * of length <= 2^i splits into two shortest halves of length
+    * <= 2^(i-1), both already known). ceil(log2(maxHops)) rounds total —
+    * O(log n) scheduler round-trips instead of O(diameter) — and exactly
+    * ONE job per round: the eager `localCheckpoint` both materializes the
+    * round and cuts lineage, so there is no per-round cache + count +
+    * left-anti job storm and no geometric plan growth.
+    *
+    * The per-round `hops <= maxHops` filter keeps the state bounded to
+    * the pairs the caller asked for (and is what makes the doubling join
+    * safe: both sides are already capped).
     */
   def bfsHops(edges: DataFrame, maxHops: Int): DataFrame = {
     // edges: (src, dst)
     var known = edges.select(col("src"), col("dst"), lit(1L).as("hops"))
       .groupBy("src", "dst").agg(min("hops").as("hops"))
-      .cache()
-    var frontier = known
-    var i = 1
-    var done = false
-    while (i < maxHops && !done) {
-      val expanded = frontier.alias("f")
-        .join(edges.alias("e"), col("f.dst") === col("e.src"))
-        .select(col("f.src").as("src"), col("e.dst").as("dst"),
-          (col("f.hops") + 1).as("hops"))
-      val newPairs = expanded.join(known, Seq("src", "dst"), "left_anti")
+      .localCheckpoint()
+    var reach = 1L
+    while (reach < maxHops) {
+      val doubled = known.alias("a")
+        .join(known.alias("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"),
+          (col("a.hops") + col("b.hops")).as("hops"))
+      known = known.unionByName(doubled)
         .groupBy("src", "dst").agg(min("hops").as("hops"))
-        .cache()
-      // count() both materializes the cache and answers the emptiness
-      // check — isEmpty would be a separate job per iteration
-      if (newPairs.count() == 0) { newPairs.unpersist(); done = true }
-      else {
-        val prevKnown = known
-        val prevFrontier = frontier
-        // newPairs is left_anti-disjoint from known and already min'd
-        // within itself, so the union IS the new min state — re-aggregating
-        // here would shuffle the whole known set (the largest frame, O(V^2)
-        // pairs) once per iteration for nothing
-        known = known.unionByName(newPairs).cache()
-        known.count() // materialize before releasing the lineage inputs
-        prevKnown.unpersist()
-        if (prevFrontier ne prevKnown) prevFrontier.unpersist()
-        frontier = newPairs
-      }
-      i += 1
+        .where(col("hops") <= maxHops)
+        .localCheckpoint()
+      reach *= 2
     }
-    if (frontier ne known) frontier.unpersist() // last frontier is spent
     known
   }
 }

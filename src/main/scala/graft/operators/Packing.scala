@@ -71,8 +71,12 @@ object Packing {
     * temperature-flattened sampling weight, and the implied epochs over
     * that stratum when the mixed corpus is resampled to `budget` rows.
     * alpha=1 keeps natural proportions; alpha->0 flattens to uniform.
-    * One partial-aggregated groupBy; the normalizing total is a
-    * one-row cross join (config-scale, broadcast).
+    * One partial-aggregated groupBy; the normalizing total is attached
+    * as a ONE-ROW broadcast nested-loop join — with a single-row build
+    * side that IS the optimal plan (no hash table, no shuffle), and the
+    * plan canary allowlists it on exactly that ground (a constant-key
+    * equi-join variant gets constant-folded back to the same nested
+    * loop by Catalyst anyway).
     */
   def temperatureMix(
       df: DataFrame, stratumCol: String, alpha: Double,

@@ -95,11 +95,21 @@ object MapMatch {
     out.toMap
   }
 
-  /** G1 — candidate link states per GPS point, relationally: project each
-    * point onto each network link (network broadcast — config-scale),
-    * keep the `n` nearest within `distLimit`, ranked by (distance,
-    * link_id) for a total order (HwyNetwork.py:297-330: offset t along
-    * the segment clamped to [0,1], perpendicular distance).
+  /** G1 — candidate link states per GPS point, relationally: each point
+    * is projected only onto the links sharing its `distLimit`-sized grid
+    * cell, then the `n` nearest within `distLimit` are kept, ranked by
+    * (distance, link_id) for a total order (HwyNetwork.py:297-330: offset
+    * t along the segment clamped to [0,1], perpendicular distance).
+    *
+    * Grid pruning (the Spark-shaped version of the reference's rtree bbox
+    * probe, HwyNetwork.py:370-388): every link is replicated on the
+    * driver to each cell overlapped by its bbox expanded by `distLimit`.
+    * A point within `distLimit` of a segment lies inside that expanded
+    * bbox, so its own cell is in the link's replication set — the
+    * (cell_x, cell_y) equi-join is therefore EXACT (a superset of the
+    * true candidates, refined by the distance filter) and plans as a
+    * BroadcastHashJoin: per-point work is the links near its cell, not
+    * the whole network.
     * `points` must carry (tripCol, ptCol, tsCol, xCol, yCol).
     */
   def candidateStates(
@@ -108,8 +118,15 @@ object MapMatch {
       n: Int = ProjectNumLinks, distLimit: Double = ProjectDistLimit): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val linkDf = links.map(l => (l.linkId, l.ax, l.ay, l.bx, l.by, l.len))
-      .toDF("link_id", "ax", "ay", "bx", "by", "len")
+    val cell = distLimit
+    val linkDf = links.flatMap { l =>
+      val x0 = math.floor((math.min(l.ax, l.bx) - distLimit) / cell).toLong
+      val x1 = math.floor((math.max(l.ax, l.bx) + distLimit) / cell).toLong
+      val y0 = math.floor((math.min(l.ay, l.by) - distLimit) / cell).toLong
+      val y1 = math.floor((math.max(l.ay, l.by) + distLimit) / cell).toLong
+      for (cx <- x0 to x1; cy <- y0 to y1)
+        yield (l.linkId, l.ax, l.ay, l.bx, l.by, l.len, cx, cy)
+    }.toDF("link_id", "ax", "ay", "bx", "by", "len", "__gcx", "__gcy")
     val t0 = (((col(xCol) - col("ax")) * (col("bx") - col("ax")) +
                (col(yCol) - col("ay")) * (col("by") - col("ay"))) /
               (col("len") * col("len")))
@@ -119,13 +136,16 @@ object MapMatch {
     val dist = sqrt(pow(col(xCol) - px, 2) + pow(col(yCol) - py, 2))
     val w = Window.partitionBy(col(tripCol), col(ptCol))
       .orderBy(col("cand_dist"), col("link_id"))
-    points.crossJoin(broadcast(linkDf))
+    points
+      .withColumn("__gcx", floor(col(xCol) / cell).cast("long"))
+      .withColumn("__gcy", floor(col(yCol) / cell).cast("long"))
+      .join(broadcast(linkDf), Seq("__gcx", "__gcy"))
       .withColumn("cand_dist", dist)
       .where(col("cand_dist") <= distLimit)
       .withColumn("offset_ratio", t)
       .withColumn("cand_rank", row_number().over(w))
       .where(col("cand_rank") <= n)
-      .drop("ax", "ay", "bx", "by", "len")
+      .drop("ax", "ay", "bx", "by", "len", "__gcx", "__gcy")
   }
 
   /** G4 — most-likely trajectory per trip via the Viterbi kernel, one

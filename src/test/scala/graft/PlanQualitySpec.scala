@@ -17,15 +17,16 @@ class PlanQualitySpec extends SparkSpec {
     // month-spine construction: distinct-keys x month-sequence dimension
     // build — the broadcast side is the exploded month range (always tiny)
     "q11_impute", "q57_demand_assembly",
-    // candidate link projection: points x broadcast network (config-scale,
-    // guarded by MapMatch.linkSkim's maxLinks bound)
-    "q69_map_matching", "q70_link_tt_stats",
     // trim-bounds attach: monthly series x one global (y0, yN) row
     "q74_annual_to_monthly",
     // wildcard-rule lookup: facts x broadcast rules table (4 rows)
     "q77_mode_lookup",
     // IVF assignment: vectors x broadcast centroid table (10 rows)
-    "q81_ivf_ann")
+    "q81_ivf_ann",
+    // temperature-mix normalization: per-stratum counts x the ONE global
+    // totals row — a single-row broadcast build side is the optimal plan
+    // (no hash table needed); bounded by construction
+    "q94_source_mix")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).
