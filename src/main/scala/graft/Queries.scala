@@ -454,8 +454,12 @@ object Queries {
       // no single-partition sort of all customers at any scale. The rank
       // window below runs over the k=10 surviving rows only.
       val top = byCust.orderBy(col("revenue").desc, col("o_custkey")).limit(10)
-      val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
-      top.withColumn("rank", row_number().over(w).cast("long"))
+      val w = Window.partitionBy(Guards.constKey(col("o_custkey")))
+        .orderBy(col("revenue").desc, col("o_custkey"))
+      top.withColumn("rank",
+        Guards.bounded(row_number().over(w), col("o_custkey"),
+            "q17 post-limit rank", maxRows = 10)
+          .cast("long"))
     },
     Some("""SELECT o_custkey, revenue, rank FROM (
         SELECT o_custkey, revenue,
@@ -1529,54 +1533,151 @@ object Queries {
         round(max(base_weight / n_legs), 6) AS linked_weight
       FROM s3 GROUP BY 1, 2"""))
 
-  /** §3.3 — report assembly: the multi-series MONTH-keyed join
-    * (TransitReporter.py:69-175's shape): five independently-derived
-    * monthly series full-outer-joined on MONTH with derived ratios. */
+  /** §3.3 — the reporter's FULL system-performance battery
+    * (TransitReporter.py:123-172, assembleSystemPerformanceData): a
+    * monthly system table in the reference vocabulary (each measure stood
+    * in by a deterministic lineitem aggregate — exact decimal sums for
+    * money-like columns, integral sums and distinct counts elsewhere)
+    * through Transit.systemPerformance: all derived measures incl.
+    * DWELL_PER_STOP, FARE_PER_PASS, MILES_PER_PASS, IVT_PER_PAS,
+    * PASSPEED, WAIT_PER_PAS, DELAY_*_PER_PASS, OBSERVED_PCT, IMPUTED_PCT,
+    * the MEASURE_ERR / WEIGHT_ERR audit columns and their estimation
+    * fields (:152-160), then the MONTH-keyed demand-driver left joins
+    * (employment TOTEMP, population POP, auto-op-cost FUEL_PRICE,
+    * :163-172). 44 output columns, every division floor-scaled at 6dp
+    * (see systemPerformance's determinism contract). */
   val q51ReportAssembly = Q(
     "q51_report_assembly",
     (s, d) => {
-      val m = (c: Column) => date_trunc("MONTH", c).as("month")
-      val oRev = orders(s, d).groupBy(m(col("o_orderdate")))
-        .agg(dsum(col("o_totalprice")).as("orders_rev"), count(lit(1)).as("n_orders"))
-      val liRev = lineitem(s, d).groupBy(m(col("l_shipdate")))
-        .agg(round(sum(revDec), 2).cast("double").as("lineitem_rev"))
-      val ev = events(s, d).groupBy(m(col("ts")))
-        .agg(count(lit(1)).as("n_events"), sum("value").as("event_value"))
-      val assembled = oRev
-        .join(liRev, Seq("month"), "full_outer")
-        .join(ev, Seq("month"), "full_outer")
-      assembled.select(col("month"),
-        round(col("orders_rev"), 2).as("orders_rev"),
-        round(col("lineitem_rev"), 2).as("lineitem_rev"),
-        col("n_orders"), col("n_events"),
-        // floor-scaling, not round(): 2dp-sum / int quotients terminate
-        // exactly on rounding halves (…41875), where engine rounding
-        // implementations disagree; floor of identical doubles is identical
-        (floor(col("orders_rev") / col("n_orders") * 10000) / 10000).as("rev_per_order"),
-        round(col("lineitem_rev") / col("orders_rev"), 6).as("li_share"))
+      val m = (c: Column) => date_trunc("MONTH", c).as("MONTH")
+      def floor6(c: Column) = floor(c * 1e6) / 1e6
+      val qdec = col("l_quantity").cast("decimal(18,2)")
+      val taxDec = col("l_tax").cast("decimal(4,2)")
+      val agg = lineitem(s, d).groupBy(m(col("l_shipdate"))).agg(
+        count(lit(1)).as("TRIP_STOPS"),
+        countDistinct(col("l_orderkey")).as("TRIPS"),
+        countDistinct(when(col("l_linestatus") === "F", col("l_orderkey"))).as("OBS_TRIPS"),
+        countDistinct(when(col("l_linestatus") === "O", col("l_orderkey"))).as("IMP_TRIPS"),
+        sum(col("l_quantity")).as("ON"),
+        sum(qdec * (lit(1.00).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("OFF"),
+        sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0.0)).as("RDBRDNGS"),
+        dsum(col("l_extendedprice")).as("SERVMILES"),
+        sum(when(col("l_linestatus") === "F", col("l_extendedprice").cast("decimal(18,6)")))
+          .cast("double").as("SERVMILES_S"),
+        sum(revDec).cast("double").as("PASSMILES"),
+        sum(qdec * taxDec).cast("double").as("PASSHOURS"),
+        dsum(col("l_tax")).as("DWELL"),
+        dsum(col("l_discount")).as("WAITHOURS"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") * taxDec).cast("double").as("FULLFARE_REV"),
+        sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(0.0)).as("PASSDELAY_DEP"),
+        sum(when(col("l_tax") > 0.04, col("l_quantity")).otherwise(0.0)).as("PASSDELAY_ARR"),
+        count_if(col("l_discount") <= 0.05).as("N_ONTIME"),
+        max(col("l_quantity")).as("MAX_LOAD"),
+        count_if(col("l_quantity") > 40).as("N_CROWDED"),
+        sum(when(col("l_quantity") > 40, col("l_quantity")).otherwise(0.0)).as("CROWD_QTY"),
+        countDistinct(col("l_shipdate")).as("NUMDAYS"),
+        countDistinct(when(col("l_linestatus") === "F", col("l_shipdate"))).as("OBSDAYS"))
+      val trips = agg
+        .withColumn("ONTIME5", floor6(col("N_ONTIME").cast("double") / col("TRIP_STOPS")))
+        .withColumn("VC", floor6(col("MAX_LOAD") / lit(50.0)))
+        .withColumn("CROWDED", floor6(col("N_CROWDED").cast("double") / col("TRIP_STOPS")))
+        .withColumn("CROWDHOURS", floor6(col("CROWD_QTY") / lit(60.0)))
+        .withColumn("HEADWAY_S", floor6(col("ON") / col("TRIP_STOPS")))
+        .drop("N_ONTIME", "MAX_LOAD", "N_CROWDED", "CROWD_QTY")
+      val employment = orders(s, d).groupBy(m(col("o_orderdate")))
+        .agg(countDistinct(col("o_custkey")).as("TOTEMP"))
+      val population = orders(s, d).groupBy(m(col("o_orderdate")))
+        .agg(count(lit(1)).as("POP"))
+      val autoOp = events(s, d).groupBy(m(col("ts")))
+        .agg(round(avg(col("value")), 4).as("FUEL_PRICE"))
+        .withColumn("FUEL_PRICE_2010USD", round(col("FUEL_PRICE") / 1.25, 4))
+      graft.pipelines.Transit.systemPerformance(trips, employment, population, autoOp)
     },
-    Some("""WITH o AS (
-        SELECT date_trunc('month', o_orderdate) AS month,
-          CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS orders_rev,
-          count(*) AS n_orders
-        FROM orders GROUP BY 1),
-      li AS (
-        SELECT date_trunc('month', l_shipdate) AS month,
-          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-            * (1.00 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS lineitem_rev
+    Some("""WITH t AS (
+        SELECT date_trunc('month', l_shipdate) AS "MONTH",
+          count(*) AS TRIP_STOPS,
+          count(DISTINCT l_orderkey) AS TRIPS,
+          count(DISTINCT CASE WHEN l_linestatus = 'F' THEN l_orderkey END) AS OBS_TRIPS,
+          count(DISTINCT CASE WHEN l_linestatus = 'O' THEN l_orderkey END) AS IMP_TRIPS,
+          sum(l_quantity) AS "ON",
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+            * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS OFF,
+          sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END) AS RDBRDNGS,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS SERVMILES,
+          CAST(sum(CASE WHEN l_linestatus = 'F'
+            THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE) AS SERVMILES_S,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS PASSMILES,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS PASSHOURS,
+          CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS DWELL,
+          CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS WAITHOURS,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS FULLFARE_REV,
+          sum(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0.0 END) AS PASSDELAY_DEP,
+          sum(CASE WHEN l_tax > 0.04 THEN l_quantity ELSE 0.0 END) AS PASSDELAY_ARR,
+          count(*) FILTER (WHERE l_discount <= 0.05) AS N_ONTIME,
+          max(l_quantity) AS MAX_LOAD,
+          count(*) FILTER (WHERE l_quantity > 40) AS N_CROWDED,
+          sum(CASE WHEN l_quantity > 40 THEN l_quantity ELSE 0.0 END) AS CROWD_QTY,
+          count(DISTINCT l_shipdate) AS NUMDAYS,
+          count(DISTINCT CASE WHEN l_linestatus = 'F' THEN l_shipdate END) AS OBSDAYS
         FROM lineitem GROUP BY 1),
-      ev AS (
-        SELECT date_trunc('month', ts) AS month,
-          count(*) AS n_events, sum(value) AS event_value
+      t2 AS (
+        SELECT t.*,
+          floor(CAST(N_ONTIME AS DOUBLE) / TRIP_STOPS * 1e6) / 1e6 AS ONTIME5,
+          floor(MAX_LOAD / 50.0 * 1e6) / 1e6 AS VC,
+          floor(CAST(N_CROWDED AS DOUBLE) / TRIP_STOPS * 1e6) / 1e6 AS CROWDED,
+          floor(CROWD_QTY / 60.0 * 1e6) / 1e6 AS CROWDHOURS,
+          floor("ON" / TRIP_STOPS * 1e6) / 1e6 AS HEADWAY_S
+        FROM t),
+      t3 AS (
+        SELECT t2.*,
+          CASE WHEN TRIP_STOPS <> 0
+            THEN floor(DWELL / TRIP_STOPS * 1e6) / 1e6 END AS DWELL_PER_STOP,
+          CASE WHEN "ON" <> 0
+            THEN floor(FULLFARE_REV / "ON" * 1e6) / 1e6 END AS FARE_PER_PASS,
+          CASE WHEN "ON" <> 0
+            THEN floor(PASSMILES / "ON" * 1e6) / 1e6 END AS MILES_PER_PASS,
+          CASE WHEN "ON" <> 0
+            THEN floor(PASSHOURS / "ON" * 60.0 * 1e6) / 1e6 END AS IVT_PER_PAS,
+          CASE WHEN "ON" <> 0
+            THEN floor(WAITHOURS / "ON" * 60.0 * 1e6) / 1e6 END AS WAIT_PER_PAS,
+          CASE WHEN "ON" <> 0
+            THEN floor(PASSDELAY_DEP / "ON" * 1e6) / 1e6 END AS DELAY_DEP_PER_PASS,
+          CASE WHEN "ON" <> 0
+            THEN floor(PASSDELAY_ARR / "ON" * 1e6) / 1e6 END AS DELAY_ARR_PER_PASS,
+          CASE WHEN TRIPS <> 0
+            THEN floor(CAST(OBS_TRIPS AS DOUBLE) / TRIPS * 1e6) / 1e6 END AS OBSERVED_PCT,
+          CASE WHEN TRIPS <> 0
+            THEN floor(CAST(IMP_TRIPS AS DOUBLE) / TRIPS * 1e6) / 1e6 END AS IMPUTED_PCT,
+          CASE WHEN "ON" <> 0
+            THEN floor((OFF / "ON" - 1.0) * 1e6) / 1e6 END AS MEASURE_ERR,
+          CASE WHEN SERVMILES_S <> 0
+            THEN floor((SERVMILES / SERVMILES_S - 1.0) * 1e6) / 1e6 END AS WEIGHT_ERR,
+          OFF - "ON" AS OFF_MINUS_ON,
+          SERVMILES - SERVMILES_S AS SERVMILES_MINUS_SERVMILES_S
+        FROM t2),
+      t4 AS (
+        SELECT t3.*,
+          CASE WHEN IVT_PER_PAS <> 0
+            THEN floor(MILES_PER_PASS / IVT_PER_PAS * 60.0 * 1e6) / 1e6 END AS PASSPEED,
+          MEASURE_ERR * "ON" AS MEASURE_ERR_ON,
+          WEIGHT_ERR * "ON" AS WEIGHT_ERR_ON
+        FROM t3),
+      e AS (SELECT date_trunc('month', o_orderdate) AS "MONTH",
+          count(DISTINCT o_custkey) AS TOTEMP FROM orders GROUP BY 1),
+      p AS (SELECT date_trunc('month', o_orderdate) AS "MONTH",
+          count(*) AS POP FROM orders GROUP BY 1),
+      a AS (SELECT date_trunc('month', ts) AS "MONTH",
+          round(avg(value), 4) AS FUEL_PRICE,
+          round(round(avg(value), 4) / 1.25, 4) AS FUEL_PRICE_2010USD
         FROM events GROUP BY 1)
-      SELECT COALESCE(o.month, li.month, ev.month) AS month,
-        round(orders_rev, 2) AS orders_rev,
-        round(lineitem_rev, 2) AS lineitem_rev,
-        n_orders, n_events,
-        floor(orders_rev / n_orders * 10000) / 10000 AS rev_per_order,
-        round(lineitem_rev / orders_rev, 6) AS li_share
-      FROM o FULL OUTER JOIN li ON o.month = li.month
-      FULL OUTER JOIN ev ON COALESCE(o.month, li.month) = ev.month"""))
+      SELECT t4.* EXCLUDE (N_ONTIME, MAX_LOAD, N_CROWDED, CROWD_QTY),
+        TOTEMP, POP, FUEL_PRICE, FUEL_PRICE_2010USD
+      FROM t4 LEFT JOIN e USING ("MONTH") LEFT JOIN p USING ("MONTH")
+      LEFT JOIN a USING ("MONTH")"""))
 
   /** E9 — time-of-day bucketing on an HHMM int. */
   val q52TodBucket = Q(
@@ -2075,14 +2176,15 @@ object Queries {
         .withColumn("trusted_obs",
           when(month(col("month")) % 4 === 0, lit(null)).otherwise(col("trusted")))
         .withColumn("ratio", col("trusted_obs") / col("proxy"))
-      val wAll = Window.orderBy(col("month"))
+      val wAll = Window.partitionBy(Guards.constKey(col("month"))).orderBy(col("month"))
       val filled = joined
         .withColumn("ratio_f",
-          coalesce(
+          Guards.bounded(coalesce(
             last(col("ratio"), ignoreNulls = true)
               .over(wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
             first(col("ratio"), ignoreNulls = true)
-              .over(wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing))))
+              .over(wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing))),
+            col("month"), "q67 monthly ratio spine"))
       filled.select(col("month"),
         round(coalesce(col("trusted_obs"), col("proxy") * col("ratio_f")), 2)
           .as("trusted_extrapolated"),
@@ -2565,10 +2667,17 @@ object Queries {
           month(col("o_orderdate")).as("mo"))
         .agg(round(dsum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
-      graft.sources.Sinks.writePartitioned(monthly, path, Seq("yr"))
-      val patch = monthly.where(col("yr") === 1996)
+      // ~80 (yr, mo) partitions written, then ONE surgically overwritten
+      // (GTFSHelper.py:169-171's remove-key-then-append): dynamic
+      // partition overwrite must replace exactly the partitions present
+      // in the patch frame. If it clobbered the other ~79, the read-back
+      // aggregate below would collapse to the patch and hash-mismatch
+      // the oracle; file-level byte stability of untouched partitions is
+      // asserted in SinksStreamingSpec.
+      graft.sources.Sinks.writePartitioned(monthly, path, Seq("yr", "mo"))
+      val patch = monthly.where(col("yr") === 1996 && col("mo") === 6)
         .withColumn("revenue", col("revenue") * 2)
-      graft.sources.Sinks.writePartitioned(patch, path, Seq("yr"))
+      graft.sources.Sinks.writePartitioned(patch, path, Seq("yr", "mo"))
       s.read.parquet(path)
         .groupBy("yr")
         .agg(round(sum("revenue"), 2).as("revenue"),
@@ -2580,7 +2689,7 @@ object Queries {
           count(*) AS n_orders
         FROM orders GROUP BY 1, 2)
       SELECT yr,
-        round(sum(CASE WHEN yr = 1996 THEN revenue * 2 ELSE revenue END), 2) AS revenue,
+        round(sum(CASE WHEN yr = 1996 AND mo = 6 THEN revenue * 2 ELSE revenue END), 2) AS revenue,
         CAST(sum(n_orders) AS BIGINT) AS n_orders
       FROM monthly GROUP BY 1"""))
 
@@ -3258,6 +3367,93 @@ object Queries {
         vec_id NOT IN (SELECT vec_id FROM drp) AS kept
       FROM j"""))
 
+  /** S4 — Excel-era workbook reader options on the CSV path: an 11-line
+    * preamble (skiprows), sheet selection among several per-sheet files,
+    * and BART-style ragged-footer BLOCK detection (the footer starts at
+    * the first unparseable key row and everything below it is dropped,
+    * parseable or not — MultiModalHelper.py:381-387), demonstrated on a
+    * CPI-workbook-shaped fixture driven through the reference's
+    * getCPIFactors transform (DemandHelper.py:1525-1553: months stacked
+    * to rows, CPI_FACTOR = base-year HALF1 / CPI). The workbook content
+    * is itself derived from `orders`, so the oracle recomputes the whole
+    * round-trip from the base table. */
+  val q97WorkbookCpi = Q(
+    "q97_workbook_cpi",
+    (s, d) => {
+      import graft.sources.Workbook
+      import s.implicits._
+      val tag = d.replaceAll(".*/", "")
+      val wbDir = s"/root/repo/tmp/workbook_$tag"
+      def floor4(c: Column) = floor(c * 1e4) / 1e4
+      // the monthly "CPI" series: exact-decimal mean of o_totalprice /1000
+      val cpiM = orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(floor4(dsum(col("o_totalprice")) / count(lit(1)) / 1000.0).as("cpi"))
+      val monNames = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+        "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+      val pivoted = cpiM.groupBy(col("yr")).pivot("mo", 1 to 12).agg(first(col("cpi")))
+      val withHalves = pivoted
+        .withColumn("HALF1", floor4((col("1") + col("2") + col("3") +
+          col("4") + col("5") + col("6")) / 6.0))
+        .withColumn("HALF2", floor4((col("7") + col("8") + col("9") +
+          col("10") + col("11") + col("12")) / 6.0))
+      val fields = (Seq(col("yr")) ++ (1 to 12).map(i => col(s"$i")) ++
+        Seq(col("HALF1"), col("HALF2"))).map(c => coalesce(c.cast("string"), lit("")))
+      val dataLines = withHalves
+        .select((col("yr") + 100).cast("double").as("sortkey"),
+          concat_ws(",", fields: _*).as("line"))
+      // 11 preamble lines, the header, and a ragged footer: a notes line
+      // (unparseable Year = footer start) plus a parseable row BELOW it
+      // that must also be dropped (block semantics)
+      val fixedLines = (
+        (0 until 11).map(i => (i.toDouble, s"BLS synthetic workbook preamble line $i")) ++
+        Seq((50.0, ("Year" +: monNames :+ "HALF1" :+ "HALF2").mkString(","))) ++
+        Seq((100000.0, "Note: rows below the matrix are footer"),
+            (100001.0, ("9999" +: Seq.fill(14)("0.0")).mkString(",")))
+      ).toDF("sortkey", "line")
+      dataLines.unionByName(fixedLines)
+        .repartition(1).sortWithinPartitions("sortkey")
+        .select("line")
+        .write.mode("overwrite").text(s"$wbDir/BLS Data Series.csv")
+      // decoy sheet: sheet selection must pick the right per-sheet file
+      Seq("this sheet must not be read").toDF("line")
+        .write.mode("overwrite").text(s"$wbDir/Notes.csv")
+      val sheet = Workbook.readSheet(s, wbDir, "BLS Data Series",
+        skipRows = 11, footerKey = Some("Year"))
+      val stacked = sheet.select(
+          col("Year").cast("int").as("yr"),
+          posexplode(array(monNames.map(col): _*)).as(Seq("mo0", "cpi_s")))
+        .withColumn("CPI", col("cpi_s").try_cast("double"))
+        .where(col("CPI").isNotNull)
+      val baseDf = sheet.where(col("Year").cast("int") === 1995)
+        .select(col("HALF1").try_cast("double").as("__base"))
+      stacked.crossJoin(broadcast(baseDf))
+        .select(
+          make_date(col("yr"), col("mo0") + 1, lit(1)).cast("timestamp").as("MONTH"),
+          col("CPI"),
+          (floor(col("__base") / col("CPI") * 1e6) / 1e6).as("CPI_FACTOR"))
+    },
+    Some("""WITH m AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+          floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*) / 1000.0 * 1e4) / 1e4 AS cpi
+        FROM orders GROUP BY 1, 2),
+      p AS (
+        SELECT yr,
+          max(CASE WHEN mo = 1 THEN cpi END) AS m1,
+          max(CASE WHEN mo = 2 THEN cpi END) AS m2,
+          max(CASE WHEN mo = 3 THEN cpi END) AS m3,
+          max(CASE WHEN mo = 4 THEN cpi END) AS m4,
+          max(CASE WHEN mo = 5 THEN cpi END) AS m5,
+          max(CASE WHEN mo = 6 THEN cpi END) AS m6
+        FROM m GROUP BY yr),
+      b AS (
+        SELECT floor((m1 + m2 + m3 + m4 + m5 + m6) / 6.0 * 1e4) / 1e4 AS base
+        FROM p WHERE yr = 1995)
+      SELECT CAST(make_date(yr, mo, 1) AS TIMESTAMP) AS MONTH, cpi AS CPI,
+        floor(base / cpi * 1e6) / 1e6 AS CPI_FACTOR
+      FROM m, b"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -3282,5 +3478,5 @@ object Queries {
     q83NetworkIngest, q84FrameSample, q85PiiRedact, q86DedupSweep,
     q87Chunking, q88Contamination, q89VocabOov, q90IntervalBucketed,
     q91SaltedJoin, q92ComponentsStar, q93Kmeans, q94SourceMix,
-    q95CorpusShuffle, q96SemDedup)
+    q95CorpusShuffle, q96SemDedup, q97WorkbookCpi)
 }

@@ -42,7 +42,7 @@ object TimeSeries {
   def interpolateLinear(
       df: DataFrame, keys: Seq[String], orderCol: String, value: String,
       out: String): DataFrame = {
-    val part = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val part = Window.partitionBy(Guards.partitionCols(keys, col(orderCol)): _*).orderBy(col(orderCol))
     val past = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val future = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val v = col(value)
@@ -53,9 +53,11 @@ object TimeSeries {
     val nextT = first(when(v.isNotNull, t), ignoreNulls = true).over(future)
     val interp = prevV + (nextV - prevV) * (t - prevT) / (nextT - prevT)
     df.withColumn(out,
-      coalesce(v,
-        when(prevV.isNotNull && nextV.isNotNull, interp),
-        prevV, nextV))
+      Guards.guardIfGlobal(keys,
+        coalesce(v,
+          when(prevV.isNotNull && nextV.isNotNull, interp),
+          prevV, nextV),
+        col(orderCol), s"interpolateLinear($value)"))
   }
 
   /** T1 in the reference's FULL form (DemandHelper.py:1558-1619): annual
@@ -73,12 +75,13 @@ object TimeSeries {
     val base = df.select(
       (keys.map(col) :+ col(yearCol).cast("int").as("__yr")) ++
         valueCols.map(col): _*)
-    val pa = Window.partitionBy(keys.map(col): _*).orderBy(col("__yr"))
-    val pd = Window.partitionBy(keys.map(col): _*).orderBy(col("__yr").desc)
+    val pa = Window.partitionBy(Guards.partitionCols(keys, col("__yr")): _*).orderBy(col("__yr"))
+    val pd = Window.partitionBy(Guards.partitionCols(keys, col("__yr")): _*).orderBy(col("__yr").desc)
     val withNb = valueCols.foldLeft(base) { (d, c) =>
       d.withColumn(s"__nx_$c", lead(col(c), 1).over(pa))
         .withColumn(s"__pv_$c", lag(col(c), 1).over(pa))
-    }.withColumn("__rnA", row_number().over(pa))
+    }.withColumn("__rnA",
+        Guards.guardIfGlobal(keys, row_number().over(pa), col("__yr"), "annualToMonthly anchors"))
       .withColumn("__rnD", row_number().over(pd))
     val synthStart = withNb.where(col("__rnA") === 1).select(
       (keys.map(col) :+ (col("__yr") - 1).as("__yr")) ++
@@ -124,10 +127,11 @@ object TimeSeries {
     * DemandHelper.py:1444-1513). */
   def ffill(df: DataFrame, keys: Seq[String], orderCol: String,
             valueCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val w = Window.partitionBy(Guards.partitionCols(keys, col(orderCol)): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     valueCols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      d.withColumn(c, Guards.guardIfGlobal(keys,
+        last(col(c), ignoreNulls = true).over(w), col(orderCol), s"ffill($c)"))
     }
   }
 
@@ -140,11 +144,12 @@ object TimeSeries {
   def reconstructFromAnchor(
       df: DataFrame, keys: Seq[String], orderCol: String, net: String,
       anchorAt: Column, anchorValue: Column, out: String): DataFrame = {
-    val part = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val part = Window.partitionBy(Guards.partitionCols(keys, col(orderCol)): _*).orderBy(col(orderCol))
     val cum = sum(coalesce(col(net), lit(0.0)))
       .over(part.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val all = Window.partitionBy(keys.map(col): _*)
-    val d = df.withColumn("__cum", cum)
+    val all = Window.partitionBy(Guards.partitionCols(keys, col(orderCol)): _*)
+    val d = df.withColumn("__cum",
+      Guards.guardIfGlobal(keys, cum, col(orderCol), "reconstructFromAnchor cumsum"))
     d.withColumn("__anchor_cum", max(when(anchorAt, col("__cum"))).over(all))
       .withColumn(out, anchorValue + col("__cum") - col("__anchor_cum"))
       .drop("__cum", "__anchor_cum")

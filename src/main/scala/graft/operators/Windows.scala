@@ -153,9 +153,13 @@ object Windows {
       valueCols: Seq[String], obsCol: String,
       impOut: String = "IMP_TRIP_STOPS"): DataFrame = {
     // global month rank: bounded dimension (one row per month in store),
-    // built with a single-partition window over the DISTINCT months only
+    // built with a single-partition window over the DISTINCT months only —
+    // constant-partitioned and runtime-bounded (Guards contract)
     val months = df.select(col(monthIdxCol)).distinct()
-      .withColumn("__mrank", row_number().over(Window.orderBy(col(monthIdxCol))))
+      .withColumn("__mrank", Guards.bounded(
+        row_number().over(Window.partitionBy(Guards.constKey(col(monthIdxCol)))
+          .orderBy(col(monthIdxCol))),
+        col(monthIdxCol), "imputeMonthChain distinct months"))
     val part = Window.partitionBy(keys.map(col): _*).orderBy(col(monthIdxCol))
     val d = df.join(broadcast(months), monthIdxCol)
       .withColumn("__run", col("__mrank") - row_number().over(part))

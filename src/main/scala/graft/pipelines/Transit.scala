@@ -239,6 +239,54 @@ object Transit {
     AggRule("ON", "ON", AggMethod.WgtAvg),
     AggRule("ONTIME5", "ONTIME5", AggMethod.WgtAvg))
 
+  /** The reporter's full system-performance battery
+    * (TransitReporter.py:123-160, assembleSystemPerformanceData): a
+    * monthly trips table carrying the reference vocabulary (TRIPS,
+    * TRIP_STOPS, OBS_TRIPS, IMP_TRIPS, ON, OFF, SERVMILES, SERVMILES_S,
+    * PASSMILES, PASSHOURS, WAITHOURS, FULLFARE_REV, PASSDELAY_DEP/_ARR,
+    * DWELL) -> the ~20 derived measures, including the coverage rates
+    * (OBSERVED_PCT / IMPUTED_PCT), the MEASURE_ERR / WEIGHT_ERR audit
+    * columns and their estimation fields (TransitReporter.py:152-160),
+    * then the demand drivers (employment TOTEMP, population POP, auto
+    * operating cost FUEL_PRICE*) attached by MONTH-keyed broadcast left
+    * joins (TransitReporter.py:163-172).
+    *
+    * Determinism contract (needed for cross-engine hash equality): every
+    * division is floor-scaled at 6dp — floor of bit-identical doubles is
+    * identical where round-half behavior differs between engines — and
+    * guarded against 0 (ANSI x/0 throws); products and differences of
+    * already-exact inputs are left raw. PASSPEED deliberately derives
+    * from the already-floored MILES_PER_PASS / IVT_PER_PAS, exactly as
+    * the reference derives it from the df columns it just assigned.
+    */
+  def systemPerformance(
+      trips: DataFrame, employment: DataFrame, population: DataFrame,
+      autoOpCost: DataFrame, monthCol: String = "MONTH"): DataFrame = {
+    def ratio(n: Column, den: Column): Column = when(den =!= 0, n / den)
+    def floor6(c: Column): Column = floor(c * 1e6) / 1e6
+    trips
+      .withColumn("DWELL_PER_STOP", floor6(ratio(col("DWELL"), col("TRIP_STOPS"))))
+      .withColumn("FARE_PER_PASS", floor6(ratio(col("FULLFARE_REV"), col("ON"))))
+      .withColumn("MILES_PER_PASS", floor6(ratio(col("PASSMILES"), col("ON"))))
+      .withColumn("IVT_PER_PAS", floor6(ratio(col("PASSHOURS"), col("ON")) * lit(60.0)))
+      .withColumn("PASSPEED",
+        floor6(ratio(col("MILES_PER_PASS"), col("IVT_PER_PAS")) * lit(60.0)))
+      .withColumn("WAIT_PER_PAS", floor6(ratio(col("WAITHOURS"), col("ON")) * lit(60.0)))
+      .withColumn("DELAY_DEP_PER_PASS", floor6(ratio(col("PASSDELAY_DEP"), col("ON"))))
+      .withColumn("DELAY_ARR_PER_PASS", floor6(ratio(col("PASSDELAY_ARR"), col("ON"))))
+      .withColumn("OBSERVED_PCT", floor6(ratio(col("OBS_TRIPS"), col("TRIPS"))))
+      .withColumn("IMPUTED_PCT", floor6(ratio(col("IMP_TRIPS"), col("TRIPS"))))
+      .withColumn("MEASURE_ERR", floor6(ratio(col("OFF"), col("ON")) - lit(1.0)))
+      .withColumn("WEIGHT_ERR", floor6(ratio(col("SERVMILES"), col("SERVMILES_S")) - lit(1.0)))
+      .withColumn("OFF_MINUS_ON", col("OFF") - col("ON"))
+      .withColumn("SERVMILES_MINUS_SERVMILES_S", col("SERVMILES") - col("SERVMILES_S"))
+      .withColumn("MEASURE_ERR_ON", col("MEASURE_ERR") * col("ON"))
+      .withColumn("WEIGHT_ERR_ON", col("WEIGHT_ERR") * col("ON"))
+      .join(org.apache.spark.sql.functions.broadcast(employment), Seq(monthCol), "left")
+      .join(org.apache.spark.sql.functions.broadcast(population), Seq(monthCol), "left")
+      .join(org.apache.spark.sql.functions.broadcast(autoOpCost), Seq(monthCol), "left")
+  }
+
   /** The Dec-2009 8X/9X patch at the master-route level
     * (SFMuniDataAggregator.py:905-929): a target month whose aggregated
     * measures came out null (the underlying route's data is missing) is

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S4 — Excel-era workbook reader semantics over CSV-per-sheet fixtures
+  * (SURVEY.md §2.1).
+  *
+  * The reference reads its CPI and BART-exit workbooks with
+  * `pd.read_excel(sheetname='BLS Data Series', skiprows=11)`
+  * (DemandHelper.py:1537) and with a CONTENT-DERIVED footer length — the
+  * station count is found from the header and `skip_footer` is whatever
+  * remains below the matrix (MultiModalHelper.py:381-387). Fixtures here
+  * are one CSV per sheet inside a workbook directory; this reader keeps
+  * the Excel-era semantics as options:
+  *
+  *   - `sheet`     — which per-sheet CSV of the workbook directory to read
+  *                   (read_excel's sheetname);
+  *   - `skipRows`  — physical preamble lines dropped before the header row
+  *                   (read_excel's skiprows);
+  *   - `footerKey` — dynamic footer detection: the data block ends at the
+  *                   FIRST post-header row whose key column fails to parse
+  *                   as a number; that row AND EVERYTHING BELOW IT is
+  *                   dropped, even rows that would parse (read_excel's
+  *                   skip_footer=N block semantics, with N derived from
+  *                   content like the BART ragged footer of notes/totals).
+  *
+  * Execution shape: a workbook is a config-scale file — the reference
+  * holds the whole sheet in one pandas frame — so the sheet is read
+  * `wholetext` (one row per file) and exploded to (lineno, line), which
+  * gives STABLE line numbers; a plain distributed text read has no order
+  * guarantee, which is exactly why skiprows needs this shape. The one
+  * `.first()` fetches the header line to become the schema — the same
+  * driver-side step Spark's own CSV header inference performs. Cells are
+  * split on bare commas (fixture sheets carry no quoted fields) and
+  * returned as trimmed strings; type coercion is the caller's, matching
+  * the reference's post-read `astype` calls.
+  */
+object Workbook {
+
+  def readSheet(
+      spark: SparkSession, dir: String, sheet: String,
+      skipRows: Int = 0, footerKey: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.option("wholetext", "true").text(s"$dir/$sheet.csv")
+    val lines = raw
+      .select(input_file_name().as("__file"),
+        posexplode(split(col("value"), "\r?\n")).as(Seq("__lineno", "__line")))
+      .where(col("__lineno") >= skipRows && length(trim(col("__line"))) > 0)
+    val header = lines.where(col("__lineno") === skipRows)
+      .select(col("__line")).as[String].first()
+    val names = header.split(",", -1).map(_.trim)
+    val parts = split(col("__line"), ",", -1)
+    val data0 = lines.where(col("__lineno") > skipRows)
+      .select(Seq(col("__file"), col("__lineno")) ++
+        names.zipWithIndex.map { case (n, i) =>
+          // try_element_at: ragged rows (the footer notes line is shorter
+          // than the header) must yield null cells, not ANSI index errors
+          trim(try_element_at(parts, lit(i + 1))).as(n)
+        }: _*)
+    val data = footerKey match {
+      case None => data0
+      case Some(k) =>
+        // per-file window (not a global one): the canary-safe shape, and
+        // correct if a glob ever matches several sheet files
+        val w = Window.partitionBy(col("__file"))
+        val badLine = when(col(k).try_cast("double").isNull, col("__lineno"))
+        data0
+          .withColumn("__footer_start", min(badLine).over(w))
+          .where(col("__footer_start").isNull ||
+            col("__lineno") < col("__footer_start"))
+          .drop("__footer_start")
+    }
+    data.drop("__file", "__lineno")
+  }
+}

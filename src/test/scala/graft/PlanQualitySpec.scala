@@ -26,7 +26,9 @@ class PlanQualitySpec extends SparkSpec {
     // temperature-mix normalization: per-stratum counts x the ONE global
     // totals row — a single-row broadcast build side is the optimal plan
     // (no hash table needed); bounded by construction
-    "q94_source_mix")
+    "q94_source_mix",
+    // CPI base attach: monthly series x the ONE base-year HALF1 row
+    "q97_workbook_cpi")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).
@@ -52,16 +54,10 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   /** Queries allowed to run a window with NO partition spec (all data to
-    * one task). Every entry is bounded by construction: month/year series
-    * (dozens-hundreds of rows after aggregation), distinct-month rank
-    * dimensions, the k-row post-limit rank, or a config-scale fixture. */
-  private val globalWindowAllowed = Set(
-    "q11_impute", "q12_interp", "q13_ffill", "q17_topk", "q20_cpi_deflate",
-    "q33_union_series", "q54_reconstruct", "q57_demand_assembly",
-    "q58_skim_probe", "q66_estimation_file", "q67_ratio_extrapolation",
-    "q73_master_route", "q74_annual_to_monthly", "q75_month_impute",
-    "q48_gtfs", "q69_map_matching", "q70_link_tt_stats", "q71_gtfs_daily",
-    "q72_gtfs_monthly")
+    * one task). Deliberately-bounded series windows now go through the
+    * Guards contract (constant partition + runtime row bound), so a truly
+    * partition-less window is an error everywhere. */
+  private val globalWindowAllowed = Set.empty[String]
 
   test("partition-less windows only on bounded series (single-task sort canary)") {
     import org.apache.spark.sql.execution.window.WindowExec

@@ -25,6 +25,44 @@ class SinksStreamingSpec extends SparkSpec {
     assert(out == Set((1, "2024-01", 10.0), (9, "2024-02", 99.0), (3, "2024-03", 30.0)))
   }
 
+  test("surgical overwrite leaves untouched partitions BYTE-stable") {
+    // the reference's remove-key-then-append (GTFSHelper.py:169-171) is
+    // per-key surgery across many year/month partitions: rewriting one
+    // (yr, mo) must not even rewrite the files of the others
+    val dir = Files.createTempDirectory("graft_sink_bytes").toString
+    val v1 = Seq((1, 2024, 1, 10.0), (2, 2024, 2, 20.0), (3, 2024, 3, 30.0),
+        (4, 2025, 1, 40.0))
+      .toDF("id", "yr", "mo", "v")
+    Sinks.writePartitioned(v1, dir, Seq("yr", "mo"))
+    def snapshot(): Map[String, (Long, String)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = Files.readAllBytes(f.toPath)
+          val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          f.getAbsolutePath -> (f.length(), md5.map("%02x".format(_)).mkString)
+        }.toMap
+    }
+    val before = snapshot()
+    Sinks.writePartitioned(
+      Seq((9, 2024, 2, 99.0)).toDF("id", "yr", "mo", "v"), dir, Seq("yr", "mo"))
+    val after = snapshot()
+    val untouched = (k: String) => !k.contains("yr=2024/mo=2")
+    assert(before.keySet.filter(untouched) == after.keySet.filter(untouched),
+      "untouched partition file set changed")
+    before.keySet.filter(untouched).foreach { k =>
+      assert(before(k) == after(k), s"untouched partition file rewritten: $k")
+    }
+    assert(before.keySet.exists(k => k.contains("yr=2024/mo=2")) &&
+      after.keySet.filter(k => k.contains("yr=2024/mo=2"))
+        .forall(k => !before.contains(k) || before(k) != after(k)),
+      "patched partition was not rewritten")
+    val out = spark.read.parquet(dir).select("id", "v").as[(Int, Double)].collect().toSet
+    assert(out == Set((1, 10.0), (9, 99.0), (3, 30.0), (4, 40.0)))
+  }
+
   test("streaming tumbling-window counts match batch truncation counts") {
     val rows = Seq(
       (ts("2024-01-01 10:01:00"), "a", 1.0), (ts("2024-01-01 10:04:00"), "a", 1.0),
