@@ -3454,6 +3454,41 @@ object Queries {
         floor(base / cpi * 1e6) / 1e6 AS CPI_FACTOR
       FROM m, b"""))
 
+  /** Contamination in its 100 TB shuffle shape: the shingle join keyed by
+    * the 64-bit md5-derived hash (fixed 8-byte shuffle key instead of
+    * ~50-byte raw 8-grams). Same output contract as q88; the oracle
+    * replays the identical hash (conv(substr(md5, 1, 15), 16, 10) ==
+    * ('0x' || substr(md5, 1, 15))::BIGINT, the q95-proven pattern). */
+  val q98ContaminationHashed = Q(
+    "q98_contamination_hashed",
+    (s, d) =>
+      graft.operators.Corpus.contamination(documents(s, d), "doc_id", "text",
+        col("doc_id") % 20 === 0, n = 8, hashKey = true),
+    Some(s"""WITH t AS ($duckToksSql),
+      s0 AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        FROM t WHERE len(toks) >= 8),
+      s AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i : i + 7], ' ') AS shingle
+        FROM s0),
+      k AS (
+        SELECT doc_id,
+          ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT AS key
+        FROM s),
+      te AS (SELECT doc_id AS test_id, key FROM k WHERE doc_id % 20 = 0),
+      tr AS (SELECT key, doc_id AS train_id FROM k WHERE doc_id % 20 <> 0),
+      tot AS (SELECT test_id, count(*) AS total_ngrams FROM te GROUP BY 1),
+      h AS (
+        SELECT test_id, count(DISTINCT key) AS contaminated_ngrams,
+          count(DISTINCT train_id) AS n_contaminating_docs
+        FROM te JOIN tr USING (key) GROUP BY 1)
+      SELECT t.test_id, t.total_ngrams,
+        CAST(COALESCE(h.contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams,
+        CAST(COALESCE(h.n_contaminating_docs, 0) AS BIGINT) AS n_contaminating_docs,
+        round(CAST(COALESCE(h.contaminated_ngrams, 0) AS DOUBLE) / t.total_ngrams, 6)
+          AS contamination_ratio
+      FROM tot t LEFT JOIN h USING (test_id)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -3478,5 +3513,5 @@ object Queries {
     q83NetworkIngest, q84FrameSample, q85PiiRedact, q86DedupSweep,
     q87Chunking, q88Contamination, q89VocabOov, q90IntervalBucketed,
     q91SaltedJoin, q92ComponentsStar, q93Kmeans, q94SourceMix,
-    q95CorpusShuffle, q96SemDedup, q97WorkbookCpi)
+    q95CorpusShuffle, q96SemDedup, q97WorkbookCpi, q98ContaminationHashed)
 }

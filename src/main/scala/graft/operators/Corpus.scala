@@ -45,26 +45,36 @@ object Corpus {
     * for every test document, how many of its distinct word n-grams also
     * appear anywhere in the train split, and in how many train docs.
     * Shingle both splits, equi-join on the shingle, two aggregations with
-    * map-side partial agg. At 100 TB the join key should be
-    * `Text.md5Hash64(shingle)` to fix the shuffle-key width — same
-    * banding-vs-hash trade as MinHash LSH (Dedup.minHashLshPairs);
-    * the raw-string key here keeps the DuckDB oracle 1:1.
+    * map-side partial agg.
+    *
+    * `hashKey = true` joins on `Text.md5Hash64(shingle)` instead of the
+    * raw string — the 100 TB mode: an 8-gram key averages ~50 bytes and
+    * the shuffle ships every (shingle, doc) pair, so the fixed 8-byte key
+    * cuts shuffle width ~6x (same banding-vs-hash trade as MinHash LSH,
+    * Dedup.minHashLshPairs). A 64-bit hash makes cross-doc collisions
+    * negligible (~n^2/2^64); per-doc totals count the pre-hash distinct
+    * shingles either way. Both modes sit under their own DuckDB oracle
+    * (q88 raw, q98 hashed).
     *
     * `isTest` partitions df (e.g. col("doc_id") % 20 === 0). Returns
     * (test_id, total_ngrams, contaminated_ngrams, n_contaminating_docs,
     * contamination_ratio) — one row per test doc with >= 1 n-gram.
     */
   def contamination(df: DataFrame, idCol: String, textCol: String,
-                    isTest: org.apache.spark.sql.Column, n: Int): DataFrame = {
+                    isTest: org.apache.spark.sql.Column, n: Int,
+                    hashKey: Boolean = false): DataFrame = {
+    val keyed =
+      if (hashKey) Text.md5Hash64(col("shingle"), 0) else col("shingle")
     val sh = df.select(col(idCol).as("id"), isTest.as("is_test"),
         explode(array_distinct(Text.wordShingles(col(textCol), n))).as("shingle"))
-    val test = sh.where(col("is_test")).select(col("id").as("test_id"), col("shingle"))
-    val train = sh.where(!col("is_test")).select(col("shingle"), col("id").as("train_id"))
+      .select(col("id"), col("is_test"), keyed.as("key"))
+    val test = sh.where(col("is_test")).select(col("id").as("test_id"), col("key"))
+    val train = sh.where(!col("is_test")).select(col("key"), col("id").as("train_id"))
     val totals = test.groupBy("test_id")
       .agg(count(lit(1)).as("total_ngrams")) // shingles are distinct per doc
-    val hits = test.join(train, "shingle")
+    val hits = test.join(train, "key")
       .groupBy("test_id")
-      .agg(countDistinct(col("shingle")).as("contaminated_ngrams"),
+      .agg(countDistinct(col("key")).as("contaminated_ngrams"),
         countDistinct(col("train_id")).as("n_contaminating_docs"))
     totals.join(hits, Seq("test_id"), "left")
       .select(col("test_id"), col("total_ngrams"),
