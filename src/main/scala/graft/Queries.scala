@@ -1553,11 +1553,26 @@ object Queries {
       def floor6(c: Column) = floor(c * 1e6) / 1e6
       val qdec = col("l_quantity").cast("decimal(18,2)")
       val taxDec = col("l_tax").cast("decimal(4,2)")
+      // distinct counts as two-stage aggregations, NOT countDistinct in
+      // the main agg: five distinct aggregates would plan a 6x Expand of
+      // the fact table (one replica per distinct spec); keyed pre-aggs +
+      // an 80-row broadcast join back is the shape that survives 100x
+      // (measured 2x+ on this query at sf0.1)
+      val ords = lineitem(s, d)
+        .groupBy(m(col("l_shipdate")), col("l_orderkey"))
+        .agg(max((col("l_linestatus") === "F").cast("int")).as("__f"),
+          max((col("l_linestatus") === "O").cast("int")).as("__o"))
+        .groupBy(col("MONTH"))
+        .agg(count(lit(1)).as("TRIPS"),
+          count_if(col("__f") === 1).as("OBS_TRIPS"),
+          count_if(col("__o") === 1).as("IMP_TRIPS"))
+      val days = lineitem(s, d)
+        .groupBy(m(col("l_shipdate")), col("l_shipdate"))
+        .agg(max((col("l_linestatus") === "F").cast("int")).as("__f"))
+        .groupBy(col("MONTH"))
+        .agg(count(lit(1)).as("NUMDAYS"), count_if(col("__f") === 1).as("OBSDAYS"))
       val agg = lineitem(s, d).groupBy(m(col("l_shipdate"))).agg(
         count(lit(1)).as("TRIP_STOPS"),
-        countDistinct(col("l_orderkey")).as("TRIPS"),
-        countDistinct(when(col("l_linestatus") === "F", col("l_orderkey"))).as("OBS_TRIPS"),
-        countDistinct(when(col("l_linestatus") === "O", col("l_orderkey"))).as("IMP_TRIPS"),
         sum(col("l_quantity")).as("ON"),
         sum(qdec * (lit(1.00).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
           .cast("double").as("OFF"),
@@ -1575,10 +1590,10 @@ object Queries {
         count_if(col("l_discount") <= 0.05).as("N_ONTIME"),
         max(col("l_quantity")).as("MAX_LOAD"),
         count_if(col("l_quantity") > 40).as("N_CROWDED"),
-        sum(when(col("l_quantity") > 40, col("l_quantity")).otherwise(0.0)).as("CROWD_QTY"),
-        countDistinct(col("l_shipdate")).as("NUMDAYS"),
-        countDistinct(when(col("l_linestatus") === "F", col("l_shipdate"))).as("OBSDAYS"))
+        sum(when(col("l_quantity") > 40, col("l_quantity")).otherwise(0.0)).as("CROWD_QTY"))
       val trips = agg
+        .join(broadcast(ords), Seq("MONTH"))
+        .join(broadcast(days), Seq("MONTH"))
         .withColumn("ONTIME5", floor6(col("N_ONTIME").cast("double") / col("TRIP_STOPS")))
         .withColumn("VC", floor6(col("MAX_LOAD") / lit(50.0)))
         .withColumn("CROWDED", floor6(col("N_CROWDED").cast("double") / col("TRIP_STOPS")))
