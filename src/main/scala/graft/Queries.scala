@@ -3504,6 +3504,35 @@ object Queries {
           AS contamination_ratio
       FROM tot t LEFT JOIN h USING (test_id)"""))
 
+  /** Bucketed co-located join under the oracle: both fact tables written
+    * bucketed by the join key (Sinks.writeBucketed — the write-time
+    * pre-shuffle), then a merge join that plans with NO shuffle exchange
+    * on either side (asserted in ScaleMechanicsSpec; the merge hint keeps
+    * the demonstration honest where a local SF would broadcast). The
+    * 100 TB fact-to-fact pattern: bucket once, join forever. */
+  val q99BucketedJoin = Q(
+    "q99_bucketed_join",
+    (s, d) => {
+      val tag = d.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Sinks.writeBucketed(
+        lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+        s"li_bkt_$tag", buckets = 16, bucketCol = "l_orderkey")
+      graft.sources.Sinks.writeBucketed(
+        orders(s, d).select("o_orderkey", "o_orderpriority"),
+        s"o_bkt_$tag", buckets = 16, bucketCol = "o_orderkey")
+      s.table(s"li_bkt_$tag").hint("merge")
+        .join(s.table(s"o_bkt_$tag"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(revDec), 2).cast("double").as("revenue"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1.00 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -3528,5 +3557,6 @@ object Queries {
     q83NetworkIngest, q84FrameSample, q85PiiRedact, q86DedupSweep,
     q87Chunking, q88Contamination, q89VocabOov, q90IntervalBucketed,
     q91SaltedJoin, q92ComponentsStar, q93Kmeans, q94SourceMix,
-    q95CorpusShuffle, q96SemDedup, q97WorkbookCpi, q98ContaminationHashed)
+    q95CorpusShuffle, q96SemDedup, q97WorkbookCpi, q98ContaminationHashed,
+    q99BucketedJoin)
 }

@@ -19,4 +19,21 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** K1+ — bucketed table sink: pre-shuffle a fact table by its join key
+    * at WRITE time (hash buckets + per-bucket sort), so every subsequent
+    * equi-join or aggregation on that key plans with ZERO shuffle
+    * exchanges — the bucketing IS the exchange, paid once and amortized
+    * over every downstream query. The 100 TB fact-to-fact join pattern
+    * (two tables bucketed the same way co-locate bucket-for-bucket);
+    * ScaleMechanicsSpec asserts the exchange-free plan, q99 puts the
+    * round-trip under the correctness oracle. */
+  def writeBucketed(
+      df: DataFrame, table: String, buckets: Int, bucketCol: String): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

@@ -39,6 +39,16 @@ class ScaleMechanicsSpec extends SparkSpec {
     }
   }
 
+  test("q99 bucketed catalog join: only the final aggregation shuffles") {
+    val plan = Queries.all.find(_.name == "q99_bucketed_join").get
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"not a merge join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(shuffles <= 1,
+      s"bucketed join sides shuffled ($shuffles exchanges):\n$plan")
+  }
+
   test("partitioned parquet scans prune partitions at the source") {
     val dir = Files.createTempDirectory("graft_prune").toString
     val df = Seq((1, "2024-01", 1.0), (2, "2024-02", 2.0), (3, "2024-03", 3.0))
