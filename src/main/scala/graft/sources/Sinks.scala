@@ -29,11 +29,25 @@ object Sinks {
     * ScaleMechanicsSpec asserts the exchange-free plan, q99 puts the
     * round-trip under the correctness oracle. */
   def writeBucketed(
-      df: DataFrame, table: String, buckets: Int, bucketCol: String): Unit =
+      df: DataFrame, table: String, buckets: Int, bucketCol: String): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog forgets tables between sessions but the
+    // warehouse DIRECTORY persists; a stale location fails CREATE with
+    // LOCATION_ALREADY_EXISTS, so clear both catalog entry and location
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      table.toLowerCase)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (loc.exists()) rm(loc)
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 }
