@@ -70,8 +70,16 @@ object Corpus {
       .select(col("id"), col("is_test"), keyed.as("key"))
     val test = sh.where(col("is_test")).select(col("id").as("test_id"), col("key"))
     val train = sh.where(!col("is_test")).select(col("key"), col("id").as("train_id"))
-    val totals = test.groupBy("test_id")
-      .agg(count(lit(1)).as("total_ngrams")) // shingles are distinct per doc
+    // per-doc distinct-shingle count is computable BEFORE the explode:
+    // size(array_distinct(...)) per row, map-only — shuffling every test
+    // shingle just to count it would be the single widest exchange here
+    // at corpus scale (pre-hash count, so hashKey mode reports the same
+    // totals; the >0 filter matches the explode dropping empty arrays)
+    val totals = df.where(isTest)
+      .select(col(idCol).as("test_id"),
+        size(array_distinct(Text.wordShingles(col(textCol), n)))
+          .cast("long").as("total_ngrams"))
+      .where(col("total_ngrams") > 0)
     val hits = test.join(train, "key")
       .groupBy("test_id")
       .agg(countDistinct(col("key")).as("contaminated_ngrams"),
