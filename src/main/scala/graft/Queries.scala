@@ -3533,6 +3533,220 @@ object Queries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1"""))
 
+  /** Okapi BM25 keyword-relevance scoring against a fixed topic wordlist —
+    * corpus curation's standard ranker. One scan of documents (doc length
+    * rides the tf groupBy as a key), broadcast term/global dimensions,
+    * per-term contributions rounded then summed exactly as decimal (see
+    * Curation.bm25's determinism contract). */
+  val q100Bm25 = {
+    val terms = Seq("table", "stream", "key", "scan")
+    Q(
+      "q100_bm25",
+      (s, d) =>
+        graft.operators.Curation.bm25(documents(s, d), "doc_id", "text",
+          terms, k1 = 1.2, b = 0.75),
+      Some(s"""WITH t AS ($duckToksSql),
+        base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        totals AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base),
+        tf AS (
+          SELECT doc_id, dl, tok, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+          WHERE tok IN ('table', 'stream', 'key', 'scan')
+          GROUP BY 1, 2, 3),
+        dft AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY 1),
+        c AS (
+          SELECT tf.doc_id,
+            CAST(round(
+              ln(1.0 + (totals.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (1.0 - 0.75
+                    + 0.75 * tf.dl / (CAST(totals.sum_dl AS DOUBLE) / totals.n_docs))),
+              9) AS DECIMAL(28,9)) AS contrib
+          FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN totals)
+        SELECT doc_id, count(*) AS n_terms_matched,
+          -- cast the EXACT decimal sum to double BEFORE rounding (mirrors
+          -- Spark): rounding the decimal directly can differ at half-way
+          -- 6dp boundaries, which a double never lands on exactly
+          round(CAST(sum(contrib) AS DOUBLE), 6) AS bm25
+        FROM c GROUP BY 1"""))
+  }
+
+  /** Incremental dedup of a new batch (doc_id % 10 = 7) against the
+    * existing corpus — the daily-crawl pattern: exact fingerprint lookup
+    * + SimHash band join, new x corpus only (the corpus is never
+    * re-clustered). Radius 6 matches q28's planted-dup band. */
+  val q101IncrementalDedup = Q(
+    "q101_incremental_dedup",
+    (s, d) =>
+      Dedup.incrementalNearDup(documents(s, d), "doc_id", "text",
+        col("doc_id") % 10 === 7, maxHamming = 6),
+    Some {
+      val bitSums = (0 until 64).map { b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n          ")
+      val sigExpr = (0 until 64).map { b =>
+        s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END"
+      }.mkString("\n          + ")
+      s"""WITH t AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+        FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(string_split(n, ' ')) AS tk
+        FROM t WHERE n IS NOT NULL AND len(n) > 0),
+      th AS (
+        SELECT doc_id, ('0x' || substr(md5('0:' || tk), 1, 15))::BIGINT AS h
+        FROM tok),
+      bs AS (
+        SELECT doc_id,
+          $bitSums
+        FROM th GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id,
+          $sigExpr AS simhash
+        FROM bs),
+      alld AS (
+        SELECT t.doc_id, md5(t.n) AS fp, s.simhash
+        FROM t LEFT JOIN sig s ON t.doc_id = s.doc_id),
+      newd AS (SELECT * FROM alld WHERE doc_id % 10 = 7),
+      corp AS (SELECT * FROM alld WHERE doc_id % 10 <> 7),
+      cfp AS (SELECT DISTINCT fp FROM corp),
+      nch AS (
+        SELECT doc_id AS nid, simhash AS nh, cs.chunk,
+          (simhash >> (cs.chunk * 16)) & 65535 AS key
+        FROM newd, (SELECT unnest(range(0, 4)) AS chunk) cs
+        WHERE simhash IS NOT NULL),
+      cch AS (
+        SELECT doc_id AS cid, simhash AS ch, cs.chunk,
+          (simhash >> (cs.chunk * 16)) & 65535 AS key
+        FROM corp, (SELECT unnest(range(0, 4)) AS chunk) cs
+        WHERE simhash IS NOT NULL),
+      cand AS (
+        SELECT DISTINCT nid, cid, CAST(bit_count(xor(nh, ch)) AS INT) AS hamming
+        FROM nch JOIN cch ON nch.chunk = cch.chunk AND nch.key = cch.key),
+      near AS (
+        SELECT nid, count(*) AS n_near_dups, min(hamming) AS min_hamming
+        FROM cand WHERE hamming <= 6 GROUP BY 1)
+      SELECT n.doc_id, (cfp.fp IS NOT NULL) AS is_exact_dup,
+        COALESCE(near.n_near_dups, 0) AS n_near_dups, near.min_hamming
+      FROM newd n
+      LEFT JOIN cfp ON n.fp = cfp.fp
+      LEFT JOIN near ON n.doc_id = near.nid"""
+    })
+
+  /** Power-of-two token-length census with cumulative token share — the
+    * context-length / packing planning table. Integral bucketing
+    * (length(bin(n)) - 1, no float log), <= 64-row histogram, cumulative
+    * pass under the Guards bounded-series contract. */
+  val q102LengthHistogram = Q(
+    "q102_length_histogram",
+    (s, d) =>
+      graft.operators.Curation.lengthHistogram(documents(s, d), "text"),
+    Some(s"""WITH t AS ($duckToksSql),
+      n AS (
+        SELECT CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t WHERE len(toks) > 0),
+      h AS (
+        SELECT CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket,
+          count(*) AS n_docs, sum(n_tokens) AS total_tokens
+        FROM n GROUP BY 1)
+      SELECT bucket, n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
+        round(CAST(total_tokens AS DOUBLE) / CAST(sum(total_tokens) OVER () AS DOUBLE), 6)
+          AS token_share,
+        round(CAST(sum(total_tokens) OVER (ORDER BY bucket) AS DOUBLE)
+          / CAST(sum(total_tokens) OVER () AS DOUBLE), 6) AS cum_token_share
+      FROM h"""))
+
+  /** Deterministic content-addressed train/val/test split (md5-bucket mod
+    * 100 on the id) — reproducible across runs, orderings, and cluster
+    * sizes; map-only at any scale. Summarized per split. */
+  val q103HashSplit = Q(
+    "q103_hash_split",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("split", graft.operators.Curation.hashSplit(col("doc_id")))
+        .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+          sum("doc_id").as("id_checksum")),
+    Some(s"""WITH t AS ($duckToksSql),
+      b AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+        FROM t)
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM b GROUP BY 1"""))
+
+  /** Per-language top-5 curation cut: language ID (q22's marker cascade)
+    * + composite quality (q23's score), then a KEYED window rank — the
+    * "keep the N best documents per bucket" selection. The rank order is
+    * total (rounded quality desc, doc_id) so Spark and the oracle pick
+    * identical rows. */
+  val q104TopPerLang = Q(
+    "q104_top_per_lang",
+    (s, d) => {
+      val docs = documents(s, d)
+      val counts = Text.tokenSetCounts(docs, "doc_id", "text",
+        langMarkers.zipWithIndex.map { case ((_, w), i) => (s"s$i", w) } :+
+          ("n_stop", stopwords))
+      val lang = when(col("s0") === 0 && col("s1") === 0 && col("s2") === 0, "und")
+        .when(col("s0") >= col("s1") && col("s0") >= col("s2"), langMarkers(0)._1)
+        .when(col("s1") >= col("s2"), langMarkers(1)._1)
+        .otherwise(langMarkers(2)._1)
+      val scored = counts
+        .join(docs.select(col("doc_id").as("id"), col("text")), Seq("id"))
+        .withColumn("punct", Text.punctRatio(col("text")))
+        .withColumn("stop_r",
+          when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens"))
+            .otherwise(0.0))
+        .withColumn("lang_pred", lang)
+        .withColumn("quality",
+          Text.qualityScoreFrom(length(col("text")), col("punct"), col("stop_r")))
+        .select(col("id").as("doc_id"), col("lang_pred"), col("quality"))
+      graft.operators.Curation.topNPerGroup(scored, Seq("lang_pred"),
+          Seq(col("quality").desc, col("doc_id")), n = 5)
+        .select(col("lang_pred"), col("rk"), col("doc_id"), col("quality"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, text,
+          CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+          END AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+          len(list_filter(toks, x -> x IN ('the', 'a'))) AS s0,
+          len(list_filter(toks, x -> x IN ('table', 'scan', 'row', 'key'))) AS s1,
+          len(list_filter(toks, x -> x IN ('stream', 'batch', 'window'))) AS s2,
+          len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'in'))) AS n_stop,
+          CASE WHEN length(text) > 0
+            THEN CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+            ELSE 0.0 END AS punct
+        FROM t),
+      q AS (
+        SELECT doc_id,
+          CASE WHEN s0 = 0 AND s1 = 0 AND s2 = 0 THEN 'und'
+               WHEN s0 >= s1 AND s0 >= s2 THEN 'art'
+               WHEN s1 >= s2 THEN 'db'
+               ELSE 'st' END AS lang_pred,
+          round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+            * greatest(0.0, 1.0 - punct * 5.0)
+            * least(CASE WHEN n_tokens > 0
+                         THEN CAST(n_stop AS DOUBLE) / n_tokens
+                         ELSE 0.0 END * 5.0, 1.0), 6) AS quality
+        FROM m)
+      SELECT lang_pred, CAST(rk AS INT) AS rk, doc_id, quality
+      FROM (
+        SELECT lang_pred, doc_id, quality,
+          row_number() OVER (PARTITION BY lang_pred
+            ORDER BY quality DESC, doc_id) AS rk
+        FROM q)
+      WHERE rk <= 5"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -3558,5 +3772,6 @@ object Queries {
     q87Chunking, q88Contamination, q89VocabOov, q90IntervalBucketed,
     q91SaltedJoin, q92ComponentsStar, q93Kmeans, q94SourceMix,
     q95CorpusShuffle, q96SemDedup, q97WorkbookCpi, q98ContaminationHashed,
-    q99BucketedJoin)
+    q99BucketedJoin, q100Bm25, q101IncrementalDedup, q102LengthHistogram,
+    q103HashSplit, q104TopPerLang)
 }

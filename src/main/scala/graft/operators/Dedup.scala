@@ -181,6 +181,61 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** Incremental dedup of a NEW batch against an existing reference
+    * corpus — the daily-crawl pattern: never re-cluster the corpus, just
+    * answer "which new docs duplicate something we already have".
+    *
+    * Two tiers, both equi-joins (the corpus side is never re-clustered
+    * or self-joined):
+    *  - exact: md5-of-normalized-text fingerprint, left join against the
+    *    corpus's DISTINCT fingerprint set (partial-agg'd; at 100 TB this
+    *    is the classic hash-lookup shape and the corpus fingerprints are
+    *    a fraction of corpus bytes);
+    *  - near: SimHash 16-bit chunk banding, new x corpus band join only
+    *    (no new x new, no corpus x corpus), hamming-verified. By the
+    *    pigeonhole bound any pair within `maxHamming` <= 3 per 4 chunks
+    *    shares a chunk, so banding loses nothing at the default radius.
+    *
+    * `isNew` partitions df. Returns one row per new doc:
+    * (idCol, is_exact_dup, n_near_dups, min_hamming — null if no near
+    * match). Near-dup counts EXCLUDE exact-identical corpus docs? No:
+    * an exact dup is also hamming-0, so it appears in both tiers — the
+    * tiers answer different questions (identity vs radius) and the
+    * caller drops on either.
+    */
+  def incrementalNearDup(df: DataFrame, idCol: String, textCol: String,
+                         isNew: org.apache.spark.sql.Column,
+                         maxHamming: Int = 3): DataFrame = {
+    val hashed = withSimHash(df, idCol, textCol)
+      .select(col(idCol).as("id"), isNew.as("is_new"),
+        Text.fingerprint(col(textCol)).as("fp"), col("simhash"))
+    val newDocs = hashed.where(col("is_new"))
+    val corpus = hashed.where(!col("is_new"))
+    val corpusFps = corpus.select(col("fp")).distinct()
+      .withColumn("__hit", lit(1))
+    def chunked(d: DataFrame, idAs: String, hAs: String): DataFrame =
+      d.select(col("id").as(idAs), col("simhash").as(hAs),
+          explode(sequence(lit(0), lit(3))).as("chunk"))
+        .withColumn("key",
+          expr(s"shiftright($hAs, chunk * 16)").bitwiseAND(lit(0xFFFFL)))
+    val near = chunked(newDocs, "nid", "nh")
+      .join(chunked(corpus, "cid", "ch"),
+        Seq("chunk", "key"))
+      .select(col("nid"), col("cid"),
+        bit_count(col("nh").bitwiseXOR(col("ch"))).as("hamming"))
+      .dropDuplicates("nid", "cid")
+      .where(col("hamming") <= maxHamming)
+      .groupBy("nid")
+      .agg(count(lit(1)).as("n_near_dups"), min("hamming").as("min_hamming"))
+    newDocs
+      .join(corpusFps, Seq("fp"), "left")
+      .join(near, col("id") === col("nid"), "left")
+      .select(col("id").as(idCol),
+        (col("__hit").isNotNull).as("is_exact_dup"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("min_hamming"))
+  }
+
   /** Embedding cosine near-duplicate pairs, LSH-bucketed by random
     * hyperplane signs (deterministic planes from md5 of dimension index).
     * See Similarity.cosine for the exact-verify expression.
