@@ -12,9 +12,18 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
+  /** Rows are clustered by the partition columns before the write: without
+    * it, EVERY upstream task holding rows of a partition value opens its
+    * own file in that directory — at 1000 executors that is up to 1000
+    * small files per partition, the canonical small-files incident. One
+    * exchange at write time buys one file per partition value (AQE
+    * coalesces the tiny post-shuffle tasks). Callers with very large
+    * single partitions can pre-salt; for the month/year grains this sink
+    * serves, one file per partition is the right layout. */
   def writePartitioned(
       df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write
+    df.repartition(partitionCols.map(df.col): _*)
+      .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
