@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.native.{CosineSimilarity, DotProduct}
+import graft.functions.native.{CosineSimilarity, DotProduct, SimHashAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,18 +21,36 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def inject(name: String, builder: Seq[Expression] => Expression,
+    def inject(name: String, arity: Int,
+               builder: Seq[Expression] => Expression,
                className: String): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(className, name),
         (children: Seq[Expression]) => {
-          require(children.length == 2, s"$name expects 2 arguments")
+          require(children.length == arity, s"$name expects $arity arguments")
           builder(children)
         }))
-    inject("graft_dot", c => DotProduct(c(0), c(1)),
+    inject("graft_dot", 2, c => DotProduct(c(0), c(1)),
       classOf[DotProduct].getName)
-    inject("graft_cosine", c => CosineSimilarity(c(0), c(1)),
+    inject("graft_cosine", 2, c => CosineSimilarity(c(0), c(1)),
       classOf[CosineSimilarity].getName)
+    // native SimHash signature aggregate (one long[64] buffer per group
+    // instead of 64 conditional-sum aggregates)
+    inject("graft_simhash", 1, c => SimHashAgg(c(0)),
+      classOf[SimHashAgg].getName)
   }
+}
+
+object GraftExtensions {
+  /** True when the active session carries the named injected function.
+    * Checked at plan-build time on the driver; SPARK_GRAFT_HOF is the A/B
+    * kill-switch that forces every call site onto its HOF/expression
+    * fallback for benchmarking. */
+  def has(fn: String): Boolean =
+    !sys.env.contains("SPARK_GRAFT_HOF") &&
+      org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+        try s.catalog.functionExists(fn)
+        catch { case _: Throwable => false }
+      }
 }

@@ -146,17 +146,27 @@ object Dedup {
     // before the shuffle.
     val toks = df.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("tok"))
       .withColumn("h", Text.md5Hash64(col("tok"), 0))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val sig = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
+    // native one-buffer aggregate when GraftExtensions is installed
+    // (bit-identical semantics, see SimHashAgg); 64 conditional sums as
+    // the extension-free fallback
     // helper key gets a reserved name: joining on "id" then drop("id")
     // would also drop the caller's column when idCol == "id"
-    val bits = toks.groupBy("id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id").as("__simhash_id"), sig.as(out))
+    val bits =
+      if (graft.GraftExtensions.has("graft_simhash"))
+        toks.groupBy("id")
+          .agg(call_function("graft_simhash", col("h")).as(out))
+          .select(col("id").as("__simhash_id"), col(out))
+      else {
+        val bitSums = (0 until 64).map { b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+        }
+        val sig = (0 until 64).map { b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+        }.reduce(_ + _)
+        toks.groupBy("id")
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("id").as("__simhash_id"), sig.as(out))
+      }
     df.join(bits, df(idCol) === col("__simhash_id"), "left")
       .drop("__simhash_id")
   }

@@ -18,11 +18,7 @@ object Similarity {
     * extension (e.g. an embedding host's bare session) keep the
     * semantically identical HOF plan. */
   private def nativeAvailable: Boolean =
-    !sys.env.contains("SPARK_GRAFT_HOF") && // A/B kill-switch for benchmarks
-      org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
-        try s.catalog.functionExists("graft_dot")
-        catch { case _: Throwable => false }
-      }
+    graft.GraftExtensions.has("graft_dot")
 
   /** Dot product of two array columns, computed in double. Fused native
     * kernel when GraftExtensions is installed; zip_with/aggregate HOF

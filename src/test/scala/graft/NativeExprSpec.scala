@@ -91,4 +91,35 @@ class NativeExprSpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(plan.contains("graft_dot"))
   }
+
+  test("graft_simhash agg is bit-identical to the 64-sum expression form") {
+    assert(spark.catalog.functionExists("graft_simhash"))
+    val rnd = new scala.util.Random(11)
+    // groups of varying size, arbitrary 64-bit hashes incl. negatives,
+    // plus NULL hashes (contribute -1 to every bit, the CASE else-branch)
+    val rows = (1 to 2000).map { i =>
+      (i % 37L, if (i % 211 == 0) null else java.lang.Long.valueOf(rnd.nextLong()))
+    }
+    val df = rows.toDF("id", "h")
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sigExpr = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    val expr64 = df.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sigExpr.as("sig"))
+    val native = df.groupBy("id")
+      .agg(call_function("graft_simhash", col("h")).as("sig"))
+    assert(native.except(expr64).count() == 0 &&
+      expr64.except(native).count() == 0,
+      "native SimHash aggregate diverges from the expression form")
+  }
+
+  test("Dedup.withSimHash routes through the native aggregate when available") {
+    val df = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val plan = graft.operators.Dedup.withSimHash(df, "doc_id", "text")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("graft_simhash"))
+  }
 }
