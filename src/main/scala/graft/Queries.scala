@@ -3747,6 +3747,35 @@ object Queries {
         FROM q)
       WHERE rk <= 5"""))
 
+  /** C4-style cross-document span dedup signal: per doc, the share of its
+    * non-overlapping 8-token spans that also occur in another document —
+    * the boilerplate/mirror filter. Span keys are 8-byte hashes (the
+    * hashed-contamination shuffle-width trade); the planted near-dup
+    * documents light up at dup_ratio ~1. */
+  val q105SpanDedup = Q(
+    "q105_span_dedup",
+    (s, d) =>
+      graft.operators.Corpus.spanDedup(documents(s, d), "doc_id", "text",
+        spanTokens = 8),
+    Some(s"""WITH t AS ($duckToksSql),
+      c AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS start
+        FROM t WHERE len(toks) > 0),
+      s AS (
+        SELECT doc_id,
+          ('0x' || substr(md5('0:' ||
+            array_to_string(toks[start + 1 : start + 8], ' ')), 1, 15))::BIGINT AS key
+        FROM c),
+      sd AS (
+        SELECT key, count(DISTINCT doc_id) AS n_docs_with_span
+        FROM s GROUP BY 1)
+      SELECT s.doc_id, count(*) AS n_spans,
+        CAST(count(*) FILTER (WHERE sd.n_docs_with_span >= 2) AS BIGINT) AS dup_spans,
+        round(CAST(count(*) FILTER (WHERE sd.n_docs_with_span >= 2) AS DOUBLE)
+          / count(*), 6) AS dup_ratio
+      FROM s JOIN sd USING (key)
+      GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -3773,5 +3802,5 @@ object Queries {
     q91SaltedJoin, q92ComponentsStar, q93Kmeans, q94SourceMix,
     q95CorpusShuffle, q96SemDedup, q97WorkbookCpi, q98ContaminationHashed,
     q99BucketedJoin, q100Bm25, q101IncrementalDedup, q102LengthHistogram,
-    q103HashSplit, q104TopPerLang)
+    q103HashSplit, q104TopPerLang, q105SpanDedup)
 }

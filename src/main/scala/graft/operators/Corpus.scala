@@ -92,6 +92,39 @@ object Corpus {
           col("total_ngrams"), 6).as("contamination_ratio"))
   }
 
+  /** Cross-document span dedup signal — the C4-style boilerplate filter:
+    * split every document into NON-overlapping `spanTokens`-token spans
+    * (the k-token analogue of C4's three-sentence span), and for each
+    * document report how many of its spans also occur in at least one
+    * OTHER document. High dup_ratio = boilerplate/mirrored content.
+    *
+    * Plan: reuses [[chunk]] (map-only span explode), hashes each span to
+    * a fixed 8-byte key (same shuffle-width trade as the hashed
+    * contamination join), computes per-span distinct-doc counts behind
+    * one partial-agg'd shuffle, and joins back on the span key. Heavy-
+    * hitter spans (the boilerplate itself) concentrate on single keys;
+    * the per-span aggregate is a count, so AQE's skew handling and
+    * map-side combine keep the hot keys cheap.
+    *
+    * Returns (idCol, n_spans, dup_spans, dup_ratio) per document with
+    * >= 1 span.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int): DataFrame = {
+    val spans = chunk(df, idCol, textCol, spanTokens, spanTokens)
+      .select(col(idCol).as("id"),
+        Text.md5Hash64(col("chunk_text"), 0).as("key"))
+    val spanDocs = spans.select(col("key"), col("id")).distinct()
+      .groupBy("key").agg(count(lit(1)).as("n_docs_with_span"))
+    spans.join(spanDocs, "key")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("n_docs_with_span") >= 2, 1)).as("dup_spans"))
+      .select(col("id").as(idCol), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_ratio"))
+  }
+
   /** Corpus vocabulary + per-document out-of-vocabulary rate — the
     * vocabulary-coverage quality filter. The top-K vocab is a global
     * word count then a bounded orderBy(count desc, word).limit(K)

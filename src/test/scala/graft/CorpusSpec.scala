@@ -73,6 +73,25 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("spanDedup: cross-doc spans flagged, within-doc repeats are not dups") {
+    import spark.implicits._
+    // spans of 3 tokens: docs 1 and 2 share their first span verbatim;
+    // doc 3 repeats ITS OWN span twice (not a cross-doc dup); doc 4 unique
+    val df = Seq(
+      (1L, "a b c x y z"),
+      (2L, "a b c q r s"),
+      (3L, "m n o m n o"),
+      (4L, "u v w")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.spanDedup(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)), "self-repetition is not a cross-doc dup")
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
+
   private implicit class Tup5Ops(rows: Array[(Long, Long, Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Long, Long, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
