@@ -51,4 +51,29 @@ object StreamOps {
       .withColumn("fingerprint", graft.functions.Text.fingerprint(col(textCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming incremental dedup against a STATIC reference corpus — the
+    * streaming twin of Dedup.incrementalNearDup's exact tier: as new
+    * documents stream in, flag the ones whose content fingerprint already
+    * exists in the corpus. Stream-static left joins are STATELESS (the
+    * static side is just re-planned per micro-batch, broadcast when small
+    * enough), so this adds no state beyond the in-stream dedup's
+    * watermark-bounded fingerprint set. The corpus fingerprint table is
+    * the batch job's product (Dedup) — refreshed on the batch cadence,
+    * exactly how an incremental ingest sits next to a nightly dedup.
+    *
+    * `corpusFps` must have a `fingerprint` column (md5 of normalized
+    * text, Text.fingerprint) and be distinct. Output = stream docs, first
+    * occurrence per fingerprint within the horizon, with `is_known_dup`.
+    */
+  def streamingIncrementalDedup(
+      docs: DataFrame, corpusFps: DataFrame, tsCol: String, textCol: String,
+      horizon: String): DataFrame = {
+    val marked = corpusFps.select(col("fingerprint"),
+      lit(true).as("__in_corpus"))
+    streamingDedup(docs, tsCol, textCol, horizon)
+      .join(marked, Seq("fingerprint"), "left")
+      .withColumn("is_known_dup", coalesce(col("__in_corpus"), lit(false)))
+      .drop("__in_corpus")
+  }
 }

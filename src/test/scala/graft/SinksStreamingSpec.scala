@@ -164,6 +164,43 @@ class SinksStreamingSpec extends SparkSpec {
     assert((kept intersect Set(1L, 3L)).size == 1, s"got $kept")
   }
 
+  test("stream-static incremental dedup flags corpus dups; batch parity") {
+    import graft.streaming.StreamOps
+    val dir = Files.createTempDirectory("graft_sincr").toString
+    val corpus = Seq((100L, "known corpus document one"),
+        (101L, "another corpus document"))
+      .toDF("doc_id", "text")
+    val corpusFps = corpus.select(
+      graft.functions.Text.fingerprint(col("text")).as("fingerprint")).distinct()
+    val incoming = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "KNOWN corpus   document ONE"), // dup of 100
+      (ts("2024-01-01 10:01:00"), 2L, "a genuinely new document"),
+      (ts("2024-01-01 10:02:00"), 3L, "a genuinely new document")) // in-stream dup
+      .toDF("ts", "doc_id", "text")
+    incoming.write.mode("overwrite").parquet(dir)
+    val in = spark.readStream.schema(incoming.schema).parquet(dir)
+    val q = StreamOps.streamingIncrementalDedup(in, corpusFps, "ts", "text",
+        "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sincr_out").start()
+    q.processAllAvailable()
+    val out = spark.sql("SELECT doc_id, is_known_dup FROM sincr_out")
+      .as[(Long, Boolean)].collect().toMap
+    q.stop()
+    // in-stream dup collapsed to one survivor; corpus dup flagged
+    assert(out.size == 2, s"got $out")
+    assert(out(1L), "corpus duplicate must be flagged")
+    assert((out - 1L).values.forall(!_), "new docs must not be flagged")
+    // batch parity: the exact tier of incrementalNearDup agrees
+    val batchAll = corpus.select(col("doc_id"), col("text"))
+      .unionByName(incoming.select(col("doc_id"), col("text")))
+    val batch = graft.operators.Dedup.incrementalNearDup(
+        batchAll, "doc_id", "text", col("doc_id") < 100)
+      .select(col("doc_id"), col("is_exact_dup"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(batch(1L) && !batch(2L) && !batch(3L))
+  }
+
   test("streaming session_window matches batch sessionization session counts") {
     val rows = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
