@@ -141,4 +141,55 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val docGen = Gen.nonEmptyListOf(for {
+    id <- Gen.choose(0L, 50L)
+    words <- Gen.listOf(Gen.oneOf("table", "stream", "key", "scan", "misc",
+      "alpha", "beta"))
+  } yield (id, words.mkString(" "))).map(_.distinctBy(_._1))
+
+  test("curation invariants: histogram shares, split partition, span ratios") {
+    forAll(docGen, n = 3) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      // lengthHistogram: shares in (0,1], cumulative monotone ending at 1
+      val h = graft.operators.Curation.lengthHistogram(df, "text")
+        .orderBy("bucket")
+        .as[(Int, Long, Long, Double, Double)].collect()
+      if (h.nonEmpty) {
+        assert(h.last._5 == 1.0)
+        assert(h.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+        assert(h.forall(r => r._4 > 0 && r._4 <= 1.0))
+      }
+      // hashSplit: a PARTITION of the rows (every doc in exactly one split)
+      val s = df.withColumn("s",
+          graft.operators.Curation.hashSplit(col("doc_id")))
+        .groupBy("s").count().as[(String, Long)].collect()
+      assert(s.map(_._2).sum == docs.length)
+      // spanDedup: ratio in [0,1], dup_spans <= n_spans; mutual: a doc with
+      // dup_spans > 0 implies at least one OTHER doc also has dup_spans > 0
+      val spans = graft.operators.Corpus.spanDedup(df, "doc_id", "text", 3)
+        .as[(Long, Long, Long, Double)].collect()
+      spans.foreach { case (_, n, d, r) =>
+        assert(d <= n && r >= 0.0 && r <= 1.0)
+      }
+      val withDups = spans.count(_._3 > 0)
+      assert(withDups != 1, "cross-doc duplication cannot involve one doc")
+    }
+  }
+
+  test("bm25: every matched doc scores positive; unmatched docs are absent") {
+    forAll(docGen, n = 3) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.operators.Curation.bm25(df, "doc_id", "text",
+          Seq("table", "stream"))
+        .as[(Long, Long, Double)].collect()
+      val matched = docs.filter(d => d._2.split(" ")
+        .exists(Set("table", "stream"))).map(_._1).toSet
+      assert(out.map(_._1).toSet == matched)
+      out.foreach { case (_, terms, score) =>
+        assert(terms >= 1 && score > 0.0,
+          "idf = ln(1 + x) with x > 0 is positive, so every match scores > 0")
+      }
+    }
+  }
 }
