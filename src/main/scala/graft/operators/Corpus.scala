@@ -116,13 +116,25 @@ object Corpus {
         Text.md5Hash64(col("chunk_text"), 0).as("key"))
     val spanDocs = spans.select(col("key"), col("id")).distinct()
       .groupBy("key").agg(count(lit(1)).as("n_docs_with_span"))
-    spans.join(spanDocs, "key")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_spans"),
-        count(when(col("n_docs_with_span") >= 2, 1)).as("dup_spans"))
-      .select(col("id").as(idCol), col("n_spans"), col("dup_spans"),
-        round(col("dup_spans").cast("double") / col("n_spans"), 6)
-          .as("dup_ratio"))
+    // per-doc span count is pure arithmetic on the token count —
+    // ceil(n/k) computed map-side, so only DUPLICATED spans (the
+    // boilerplate subset) flow through the per-doc aggregation instead
+    // of every span of every document (same trade as contamination's
+    // map-side totals)
+    val totals = df
+      .select(col(idCol).as("id"),
+        Text.tokenCount(col(textCol)).cast("long").as("__n_tok"))
+      .where(col("__n_tok") > 0)
+      .select(col("id"),
+        (((col("__n_tok") - 1) / spanTokens).cast("long") + 1).as("n_spans"))
+    val dups = spans
+      .join(spanDocs.where(col("n_docs_with_span") >= 2).select("key"), "key")
+      .groupBy("id").agg(count(lit(1)).as("dup_spans"))
+    totals.join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
+          col("n_spans"), 6).as("dup_ratio"))
   }
 
   /** Corpus vocabulary + per-document out-of-vocabulary rate — the
