@@ -20,4 +20,41 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(ap - ep) / ep < 0.02, s"p95 $ap vs $ep")
     }
   }
+
+  test("HLL sketch partials persist to parquet and merge without rescan") {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    // two disjoint "daily batches" write their per-flag sketch partials
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val b1 = li.where(col("l_orderkey") % 2 === 0)
+    val b2 = li.where(col("l_orderkey") % 2 === 1)
+    Sketches.hllPartials(b1, Seq("l_returnflag"), "l_partkey")
+      .withColumn("batch", lit(1))
+      .unionByName(Sketches.hllPartials(b2, Seq("l_returnflag"), "l_partkey")
+        .withColumn("batch", lit(2)))
+      .write.mode("overwrite").parquet(dir)
+    // later rollup: read back ONLY the sketches, merge per flag and global
+    val partials = spark.read.parquet(dir)
+    val perFlag = Sketches.hllMergeEstimate(partials, Seq("l_returnflag"))
+      .as[(String, Double)].collect().toMap
+    val global = Sketches.hllMergeEstimate(partials, Nil)
+      .as[Double].collect().head
+    val exactFlag = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("d"))
+      .as[(String, Long)].collect().toMap
+    val exactGlobal = li.select(countDistinct("l_partkey")).as[Long].head()
+    exactFlag.foreach { case (k, e) =>
+      assert(math.abs(perFlag(k) - e) / e < 0.05,
+        s"merged sketch for $k: ${perFlag(k)} vs exact $e")
+    }
+    assert(math.abs(global - exactGlobal) / exactGlobal < 0.05)
+    // the merged two-batch estimate equals the single-pass estimate:
+    // HLL union is lossless at the same lgK
+    val single = Sketches.hllMergeEstimate(
+        Sketches.hllPartials(li, Seq("l_returnflag"), "l_partkey"),
+        Seq("l_returnflag"))
+      .as[(String, Double)].collect().toMap
+    perFlag.foreach { case (k, v) => assert(v == single(k),
+      s"union of disjoint batches must equal the single-pass sketch: $k") }
+  }
 }
