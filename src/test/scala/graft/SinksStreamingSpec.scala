@@ -83,6 +83,48 @@ class SinksStreamingSpec extends SparkSpec {
       (ts("2024-01-01 10:00:00"), "b", 1L)))
   }
 
+  test("watermark semantics: late events are dropped in append mode, finalized windows emit once") {
+    val dir = Files.createTempDirectory("graft_late").toString
+    val b1 = Seq(
+      (ts("2024-01-01 10:01:00"), "a", 1.0),
+      (ts("2024-01-01 10:03:00"), "a", 1.0),
+      // this event advances the watermark to 10:25 (max event - 5 min),
+      // past the 10:00-10:05 window's end -> that window finalizes
+      (ts("2024-01-01 10:30:00"), "a", 1.0))
+      .toDF("ts", "event_type", "value")
+    b1.write.mode("overwrite").parquet(dir)
+    val q = StreamOps.windowedCounts(
+        spark.readStream.schema(b1.schema).parquet(dir)
+          .withWatermark("ts", "5 minutes"),
+        "ts", "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_out").start()
+    q.processAllAvailable()
+    // batch 2: an event for the ALREADY-FINALIZED 10:00 window — later
+    // than the watermark, must be DROPPED, not re-emitted or double-counted
+    Seq((ts("2024-01-01 10:02:00"), "a", 1.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    // close the 10:30 window too so everything emits
+    Seq((ts("2024-01-01 11:00:00"), "b", 1.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT w.start, event_type, n FROM late_out")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    q.stop()
+    // the finalized 10:00 window holds 2, NOT 3 — the late event is gone;
+    // it emitted exactly once (a set equality would fail on a duplicate
+    // only if counts differed, so check multiplicity explicitly)
+    val all = spark.sql("SELECT w.start, event_type, n FROM late_out")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    assert(all.length == all.toSet.size, "finalized windows re-emitted")
+    assert(got((ts("2024-01-01 10:00:00"), "a", 2L)),
+      s"late event leaked into a finalized window: $got")
+    assert(got((ts("2024-01-01 10:30:00"), "a", 1L)))
+  }
+
   test("stateful session update: out-of-order events extend, never rewind") {
     import graft.streaming.StatefulSessions
     import graft.streaming.StatefulSessions.{Ev, OpenSession}
