@@ -24,7 +24,7 @@ object Profile {
       sys.exit(1)
     }
     Queries.all.filter(q => names.contains(q.name)).foreach { q =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to sys.env.getOrElse("SPARK_GRAFT_PROF_N", "3").toInt).map { _ =>
         val t0 = System.nanoTime()
         q.run(spark, d).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
