@@ -76,4 +76,28 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
   }
+
+  test("curation edge cases: empty/degenerate inputs produce empty, not errors") {
+    import graft.operators.{Curation, Corpus, Dedup}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.bm25(empty, "doc_id", "text", Seq("x")).count() == 0)
+    assert(Curation.lengthHistogram(empty, "text").count() == 0)
+    assert(Corpus.spanDedup(empty, "doc_id", "text", 4).count() == 0)
+    // all-empty/null texts: no spans, no histogram rows, no bm25 rows
+    val blank = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "   "))
+      .toDF("doc_id", "text")
+    assert(Curation.bm25(blank, "doc_id", "text", Seq("x")).count() == 0)
+    assert(Curation.lengthHistogram(blank, "text").count() == 0)
+    assert(Corpus.spanDedup(blank, "doc_id", "text", 4).count() == 0)
+    // hashSplit on negative ids: md5 of the SIGNED decimal string, total
+    val neg = Seq(-5L, -1L, 0L, 7L).toDF("id")
+      .withColumn("s", Curation.hashSplit(col("id")))
+    assert(neg.where(col("s").isin("train", "val", "test")).count() == 4)
+    // incremental dedup with an EMPTY corpus: nothing can be a dup
+    val out = Dedup.incrementalNearDup(
+        Seq((7L, "some new content here")).toDF("doc_id", "text"),
+        "doc_id", "text", lit(true))
+      .collect()
+    assert(out.length == 1 && !out(0).getBoolean(1) && out(0).getLong(2) == 0L)
+  }
 }
