@@ -72,4 +72,28 @@ class ScaleMechanicsSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet
     assert(salted == plain)
   }
+
+  /** Shuffle-count canaries for the map-side-totals plans: the per-doc
+    * totals in contamination and span dedup are computed BEFORE any
+    * explode, so reintroducing a totals groupBy (a full-width shuffle of
+    * every shingle/span) shows up as an extra Exchange. Counting
+    * exchanges in the executed plan locks the shape in. */
+  test("contamination and span-dedup plans keep their exchange budget") {
+    val sf = "/root/testdata/sf0.001"
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "(?m)^(?!.*BroadcastExchange).*Exchange".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    val cont = graft.operators.Corpus.contamination(
+      Tables.documents(spark, sf), "doc_id", "text",
+      col("doc_id") % 20 === 0, n = 8)
+    // shingle-key join + hits aggregation exchanges only: the totals
+    // branch adds NONE (map-only). Both plans measure exactly 3 shuffle
+    // exchanges; a totals-groupBy regression pushes it to 4+.
+    assert(exchanges(cont) <= 3,
+      s"contamination plans ${exchanges(cont)} shuffle exchanges")
+    val sd = graft.operators.Corpus.spanDedup(
+      Tables.documents(spark, sf), "doc_id", "text", 8)
+    assert(exchanges(sd) <= 3,
+      s"spanDedup plans ${exchanges(sd)} shuffle exchanges")
+  }
 }
