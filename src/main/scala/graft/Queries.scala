@@ -3776,6 +3776,56 @@ object Queries {
       FROM s JOIN sd USING (key)
       GROUP BY 1"""))
 
+  /** Trajectory similarity top-k (the REPOSE-class workload): per probe
+    * user, the 5 nearest event trajectories by symmetric discrete
+    * Hausdorff distance over (minutes-since-start, value) points.
+    * Mean-value cell blocking with adjacent-cell probing — exact for any
+    * pair within the cell width (|mean_v(A)-mean_v(B)| <= H bounds the
+    * cell gap); distances via codegen'd array HOFs, no UDFs, no row
+    * explosion at compare time. */
+  val q106TrajectorySim = Q(
+    "q106_trajectory_sim",
+    (s, d) =>
+      graft.operators.TrajectorySim.hausdorffTopK(events(s, d),
+        "user_id", "ts", "event_id", "value", k = 5,
+        isProbe = col("id") < 10),
+    Some("""WITH e AS (
+        SELECT user_id AS id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          event_id, value AS v
+        FROM events),
+      t AS (
+        SELECT id,
+          list(struct_pack(us := us, v := v) ORDER BY us, event_id, v) AS pts,
+          avg(v) AS avg_v
+        FROM e GROUP BY 1),
+      tr AS (
+        SELECT id,
+          list_transform(pts,
+            p -> struct_pack(t := (p.us - pts[1].us) / 6e7, v := p.v)) AS traj,
+          CAST(floor(avg_v / 5.0) AS BIGINT) AS cell
+        FROM t),
+      pr AS (
+        SELECT id AS id1, traj AS ta, cell + d.d AS cell
+        FROM tr, (SELECT unnest([-1, 0, 1]) AS d) d
+        WHERE id < 10),
+      sc AS (
+        SELECT DISTINCT id1, c.id AS id2,
+          greatest(
+            list_max(list_transform(pr.ta, p ->
+              list_min(list_transform(c.traj, q ->
+                sqrt((p.t - q.t) * (p.t - q.t) + (p.v - q.v) * (p.v - q.v)))))),
+            list_max(list_transform(c.traj, p ->
+              list_min(list_transform(pr.ta, q ->
+                sqrt((p.t - q.t) * (p.t - q.t) + (p.v - q.v) * (p.v - q.v))))))
+          ) AS h
+        FROM pr JOIN tr c ON pr.cell = c.cell AND pr.id1 <> c.id),
+      rk AS (
+        SELECT id1, id2, h,
+          row_number() OVER (PARTITION BY id1 ORDER BY h, id2) AS rk
+        FROM sc)
+      SELECT id1, CAST(rk AS INT) AS rk, id2, round(h, 6) AS hausdorff
+      FROM rk WHERE rk <= 5"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -3802,5 +3852,5 @@ object Queries {
     q91SaltedJoin, q92ComponentsStar, q93Kmeans, q94SourceMix,
     q95CorpusShuffle, q96SemDedup, q97WorkbookCpi, q98ContaminationHashed,
     q99BucketedJoin, q100Bm25, q101IncrementalDedup, q102LengthHistogram,
-    q103HashSplit, q104TopPerLang, q105SpanDedup)
+    q103HashSplit, q104TopPerLang, q105SpanDedup, q106TrajectorySim)
 }

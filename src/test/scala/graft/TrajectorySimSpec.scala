@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.TrajectorySim
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TrajectorySimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("hausdorff: hand-computed distances, symmetric, rank order total") {
+    // user 1: (0,10), (1,10); user 2: (0,10), (1,13); user 3: (0,20), (1,20)
+    val events = Seq(
+      (1L, ts(0), 1L, 10.0), (1L, ts(1), 2L, 10.0),
+      (2L, ts(0), 3L, 10.0), (2L, ts(1), 4L, 13.0),
+      (3L, ts(0), 5L, 20.0), (3L, ts(1), 6L, 20.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TrajectorySim.hausdorffTopK(events, "user_id", "ts",
+        "event_id", "value", k = 2, isProbe = col("id") === 1L,
+        cellWidth = 100.0) // one cell: every pair compared
+      .orderBy("rk")
+      .as[(Long, Int, Long, Double)].collect()
+    // H(1,2): point (1,13) is 3.0 from (1,10) -> 3.0
+    // H(1,3): both points of 3 are 10.0 away in v -> 10.0
+    assert(out.toSeq == Seq((1L, 1, 2L, 3.0), (1L, 2, 3L, 10.0)))
+  }
+
+  test("blocking is exact within the cell width") {
+    // means 10 and 13 (gap 3 < cellWidth 5) must be compared even when
+    // they land in different cells (floor(10/5)=2, floor(13/5)=2 — force
+    // a boundary: means 9.9 and 10.1 -> cells 1 and 2, adjacent)
+    val events = Seq(
+      (1L, ts(0), 1L, 9.9), (2L, ts(0), 2L, 10.1))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TrajectorySim.hausdorffTopK(events, "user_id", "ts",
+        "event_id", "value", k = 1, isProbe = col("id") === 1L,
+        cellWidth = 5.0)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.length == 1 && out(0)._3 == 2L)
+    assert(math.abs(out(0)._4 - 0.2) < 1e-9)
+  }
+}
