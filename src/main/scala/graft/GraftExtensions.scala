@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.native.{CosineSimilarity, DotProduct, SimHashAgg}
+import graft.functions.native.{CosineSimilarity, DotProduct, HausdorffDistance, SimHashAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // instead of 64 conditional-sum aggregates)
     inject("graft_simhash", 1, c => SimHashAgg(c(0)),
       classOf[SimHashAgg].getName)
+    // fused early-break Hausdorff over trajectory struct arrays
+    inject("graft_hausdorff", 2, c => HausdorffDistance(c(0), c(1)),
+      classOf[HausdorffDistance].getName)
   }
 }
 

@@ -75,8 +75,14 @@ object TrajectorySim {
       .select(col("id").as("id1"), col("traj").as("ta"), col("cell"))
     val cands = t
       .select(col("id").as("id2"), col("traj").as("tb"), cell.as("cell"))
-    val h = greatest(directed(col("ta"), col("tb")),
-      directed(col("tb"), col("ta")))
+    // fused early-break native kernel when the extension is installed
+    // (bit-identical value: the break skips work that cannot change the
+    // max — see HausdorffDistance); nested-HOF fallback otherwise
+    val h =
+      if (graft.GraftExtensions.has("graft_hausdorff"))
+        call_function("graft_hausdorff", col("ta"), col("tb"))
+      else greatest(directed(col("ta"), col("tb")),
+        directed(col("tb"), col("ta")))
     val scored = probes.join(cands, Seq("cell"))
       .where(col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"), h.as("h"))

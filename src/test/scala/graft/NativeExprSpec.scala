@@ -122,4 +122,28 @@ class NativeExprSpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(plan.contains("graft_simhash"))
   }
+
+  test("graft_hausdorff is bit-identical to the nested-HOF form") {
+    assert(spark.catalog.functionExists("graft_hausdorff"))
+    val rnd = new scala.util.Random(13)
+    def tr() = Array.fill(rnd.nextInt(40) + 1)(
+      (rnd.nextDouble() * 100, rnd.nextDouble() * 20))
+    val rows = (1 to 300).map(i => (i.toLong, tr(), tr()))
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        expr("transform(a, p -> struct(p._1 as t, p._2 as v))").as("ta"),
+        expr("transform(b, p -> struct(p._1 as t, p._2 as v))").as("tb"))
+    def dir(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      array_max(transform(x, p =>
+        array_min(transform(y, q =>
+          sqrt((p("t") - q("t")) * (p("t") - q("t")) +
+            (p("v") - q("v")) * (p("v") - q("v")))))))
+    val both = df.select(
+        call_function("graft_hausdorff", col("ta"), col("tb")).as("n"),
+        greatest(dir(col("ta"), col("tb")), dir(col("tb"), col("ta"))).as("h"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, h) =>
+      assert(n == h, s"hausdorff mismatch: native $n vs HOF $h")
+    }
+  }
 }
