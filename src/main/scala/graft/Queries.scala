@@ -3826,6 +3826,50 @@ object Queries {
       SELECT id1, CAST(rk AS INT) AS rk, id2, round(h, 6) AS hausdorff
       FROM rk WHERE rk <= 5"""))
 
+  /** Prefix-filtered exact Jaccard similarity join (PPJoin-family):
+    * corpus-WIDE exact 5-gram-shingle pairs at threshold 0.5 with no
+    * blocking column —
+    * rare-first prefixes + length filter generate candidates, lossless
+    * for J >= t. The oracle replays the identical pipeline; losslessness
+    * itself is proven against brute force in TextDedupSimilaritySpec. */
+  val q107PrefixJaccard = Q(
+    "q107_prefix_jaccard",
+    (s, d) =>
+      Dedup.prefixJaccardJoin(documents(s, d), "doc_id", "text",
+        n = 5, threshold = 0.5),
+    Some(s"""WITH t AS ($duckToksSql),
+      s0 AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        FROM t WHERE len(toks) >= 5),
+      dt AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS tok
+        FROM s0),
+      dfq AS (SELECT tok, count(*) AS c FROM dt GROUP BY 1),
+      docs AS (
+        SELECT doc_id,
+          list(struct_pack(c := c, tok := tok) ORDER BY c, tok) AS sorted
+        FROM dt JOIN dfq USING (tok) GROUP BY 1),
+      d2 AS (
+        SELECT doc_id, list_transform(sorted, s -> s.tok) AS st,
+          len(sorted) AS sz
+        FROM docs),
+      pre AS (
+        SELECT doc_id, st, sz,
+          unnest(st[1 : CAST(sz - ceil(0.5 * sz) + 1 AS INT)]) AS ptok
+        FROM d2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+          a.st AS s1, b.st AS s2, a.sz AS z1, b.sz AS z2
+        FROM pre a JOIN pre b ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+        WHERE b.sz >= ceil(0.5 * a.sz) AND a.sz >= ceil(0.5 * b.sz)),
+      j AS (
+        SELECT id1, id2,
+          CAST(len(list_intersect(s1, s2)) AS DOUBLE)
+            / (z1 + z2 - len(list_intersect(s1, s2))) AS jac
+        FROM cand)
+      SELECT id1, id2, round(jac, 6) AS jaccard
+      FROM j WHERE jac >= 0.5"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -3852,5 +3896,6 @@ object Queries {
     q91SaltedJoin, q92ComponentsStar, q93Kmeans, q94SourceMix,
     q95CorpusShuffle, q96SemDedup, q97WorkbookCpi, q98ContaminationHashed,
     q99BucketedJoin, q100Bm25, q101IncrementalDedup, q102LengthHistogram,
-    q103HashSplit, q104TopPerLang, q105SpanDedup, q106TrajectorySim)
+    q103HashSplit, q104TopPerLang, q105SpanDedup, q106TrajectorySim,
+    q107PrefixJaccard)
 }

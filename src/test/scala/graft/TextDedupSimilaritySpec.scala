@@ -140,4 +140,20 @@ class TextDedupSimilaritySpec extends SparkSpec {
     val recall = (brute intersect approx).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall $recall too low")
   }
+
+  test("prefix-filtered jaccard join is LOSSLESS vs full quadratic") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // brute force: one global block = every pair compared
+    val brute = Dedup.ngramJaccardPairs(
+        docs.withColumn("__all", lit(1)), "doc_id", "text", "__all",
+        n = 5, threshold = 0.5)
+      .select("id1", "id2", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.prefixJaccardJoin(docs, "doc_id", "text",
+        n = 5, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefix == brute,
+      s"prefix filter lost pairs: missing ${brute -- prefix}, extra ${prefix -- brute}")
+    assert(brute.nonEmpty, "fixture must contain near-dup pairs")
+  }
 }
