@@ -539,18 +539,23 @@ object Queries {
     "db"  -> Seq("table", "scan", "row", "key"),
     "st"  -> Seq("stream", "batch", "window"))
 
+  /** The marker-count argmax cascade shared by q22 and q104 — ONE
+    * definition so the two catalog classifiers cannot drift. Operates on
+    * tokenSetCounts output columns s0/s1/s2. */
+  private def langFromScores: Column =
+    when(col("s0") === 0 && col("s1") === 0 && col("s2") === 0, "und")
+      .when(col("s0") >= col("s1") && col("s0") >= col("s2"), langMarkers(0)._1)
+      .when(col("s1") >= col("s2"), langMarkers(1)._1)
+      .otherwise(langMarkers(2)._1)
+
   val q22LangId = Q(
     "q22_langid",
     (s, d) => {
       val docs = documents(s, d)
       val scores = Text.tokenSetCounts(docs, "doc_id", "text",
         langMarkers.zipWithIndex.map { case ((_, words), i) => (s"s$i", words) })
-      val lang = when(col("s0") === 0 && col("s1") === 0 && col("s2") === 0, "und")
-        .when(col("s0") >= col("s1") && col("s0") >= col("s2"), langMarkers(0)._1)
-        .when(col("s1") >= col("s2"), langMarkers(1)._1)
-        .otherwise(langMarkers(2)._1)
       scores.join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
-        .withColumn("lang_pred", lang)
+        .withColumn("lang_pred", langFromScores)
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
     },
@@ -3574,7 +3579,10 @@ object Queries {
   /** Incremental dedup of a new batch (doc_id % 10 = 7) against the
     * existing corpus — the daily-crawl pattern: exact fingerprint lookup
     * + SimHash band join, new x corpus only (the corpus is never
-    * re-clustered). Radius 6 matches q28's planted-dup band. */
+    * re-clustered). Radius 6 matches q28's contract: 16-bit/4-chunk
+    * banding is pigeonhole-LOSSLESS only to hamming 3; counts at radius
+    * 4-6 are band-candidates-only (partial recall by design, identical
+    * in the oracle's replay). */
   val q101IncrementalDedup = Q(
     "q101_incremental_dedup",
     (s, d) =>
@@ -3692,17 +3700,13 @@ object Queries {
       val counts = Text.tokenSetCounts(docs, "doc_id", "text",
         langMarkers.zipWithIndex.map { case ((_, w), i) => (s"s$i", w) } :+
           ("n_stop", stopwords))
-      val lang = when(col("s0") === 0 && col("s1") === 0 && col("s2") === 0, "und")
-        .when(col("s0") >= col("s1") && col("s0") >= col("s2"), langMarkers(0)._1)
-        .when(col("s1") >= col("s2"), langMarkers(1)._1)
-        .otherwise(langMarkers(2)._1)
       val scored = counts
         .join(docs.select(col("doc_id").as("id"), col("text")), Seq("id"))
         .withColumn("punct", Text.punctRatio(col("text")))
         .withColumn("stop_r",
           when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens"))
             .otherwise(0.0))
-        .withColumn("lang_pred", lang)
+        .withColumn("lang_pred", langFromScores)
         .withColumn("quality",
           Text.qualityScoreFrom(length(col("text")), col("punct"), col("stop_r")))
         .select(col("id").as("doc_id"), col("lang_pred"), col("quality"))
@@ -3779,10 +3783,11 @@ object Queries {
   /** Trajectory similarity top-k (the REPOSE-class workload): per probe
     * user, the 5 nearest event trajectories by symmetric discrete
     * Hausdorff distance over (minutes-since-start, value) points.
-    * Mean-value cell blocking with adjacent-cell probing — exact for any
-    * pair within the cell width (|mean_v(A)-mean_v(B)| <= H bounds the
-    * cell gap); distances via codegen'd array HOFs, no UDFs, no row
-    * explosion at compare time. */
+    * Min-value cell blocking with adjacent-cell probing — exact for any
+    * pair within the cell width (the directed pass bounds
+    * |min_v(A)-min_v(B)| <= H; the mean does NOT satisfy this, see
+    * TrajectorySim); fused native Hausdorff kernel (early-break, exact)
+    * with nested-HOF fallback. */
   val q106TrajectorySim = Q(
     "q106_trajectory_sim",
     (s, d) =>
@@ -3796,13 +3801,13 @@ object Queries {
       t AS (
         SELECT id,
           list(struct_pack(us := us, v := v) ORDER BY us, event_id, v) AS pts,
-          avg(v) AS avg_v
+          min(v) AS min_v
         FROM e GROUP BY 1),
       tr AS (
         SELECT id,
           list_transform(pts,
             p -> struct_pack(t := (p.us - pts[1].us) / 6e7, v := p.v)) AS traj,
-          CAST(floor(avg_v / 5.0) AS BIGINT) AS cell
+          CAST(floor(min_v / 5.0) AS BIGINT) AS cell
         FROM t),
       pr AS (
         SELECT id AS id1, traj AS ta, cell + d.d AS cell

@@ -90,21 +90,26 @@ object Dedup {
         transform(col("sorted"), s => s("tok")).as("set"),
         size(col("sorted")).as("sz"))
     val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
-    val pre = docs.select(col("id"), col("set"), col("sz"),
+    // candidate generation ships ONLY (id, sz, ptok) — never the set
+    // arrays: a prefix of p tokens would otherwise duplicate the full
+    // set p times through the join shuffle (quadratic bytes in set
+    // size). The surviving candidate PAIRS (a small fraction of the
+    // corpus) fetch their two sets in one join back against docs.
+    val pre = docs.select(col("id"), col("sz"),
       explode(slice(col("set"), lit(1), prefixLen)).as("ptok"))
-    val a = pre.select(col("id").as("id1"), col("set").as("s1"),
-      col("sz").as("z1"), col("ptok"))
-    val b = pre.select(col("id").as("id2"), col("set").as("s2"),
-      col("sz").as("z2"), col("ptok"))
-    val inter = size(array_intersect(col("s1"), col("s2")))
-    a.join(b, Seq("ptok"))
+    val a = pre.select(col("id").as("id1"), col("sz").as("z1"), col("ptok"))
+    val b = pre.select(col("id").as("id2"), col("sz").as("z2"), col("ptok"))
+    val pairs = a.join(b, Seq("ptok"))
       .where(col("id1") < col("id2") &&
         // length filter: J >= t forces t*|A| <= |B| (and symmetric)
         col("z2") >= ceil(lit(threshold) * col("z1")) &&
         col("z1") >= ceil(lit(threshold) * col("z2")))
-      .select(col("id1"), col("id2"), col("s1"), col("s2"),
-        col("z1"), col("z2"))
+      .select(col("id1"), col("id2"), col("z1"), col("z2"))
       .dropDuplicates("id1", "id2")
+    val inter = size(array_intersect(col("s1"), col("s2")))
+    pairs
+      .join(docs.select(col("id").as("id1"), col("set").as("s1")), Seq("id1"))
+      .join(docs.select(col("id").as("id2"), col("set").as("s2")), Seq("id2"))
       .withColumn("inter", inter.cast("double"))
       .withColumn("jaccard",
         col("inter") / (col("z1") + col("z2") - col("inter")))
@@ -279,8 +284,31 @@ object Dedup {
     val hashed = withSimHash(df, idCol, textCol)
       .select(col(idCol).as("id"), isNew.as("is_new"),
         Text.fingerprint(col(textCol)).as("fp"), col("simhash"))
-    val newDocs = hashed.where(col("is_new"))
-    val corpus = hashed.where(!col("is_new"))
+    incrementalNearDupAgainst(
+      hashed.where(col("is_new")).drop("is_new"),
+      hashed.where(!col("is_new")).select(col("id"), col("fp"), col("simhash")),
+      idCol, maxHamming)
+  }
+
+  /** The corpus side of incremental dedup as a PERSISTABLE product:
+    * (fp, simhash) per corpus doc. Run once per batch-dedup cadence and
+    * write to parquet — the daily incremental pass then joins against
+    * this table instead of re-tokenizing and re-hashing the corpus
+    * (which at corpus scale would make "incremental" cost a full pass). */
+  def corpusSignatures(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    withSimHash(df, idCol, textCol)
+      .select(col(idCol).as("id"),
+        Text.fingerprint(col(textCol)).as("fp"), col("simhash"))
+
+  /** Incremental dedup of pre-signed new docs against a pre-signed
+    * corpus: `newDocs` = (id, fp, simhash), `corpusSigs` =
+    * (id, fp, simhash) — [[corpusSignatures]]'s persisted output. See [[incrementalNearDup]]
+    * for tier semantics. */
+  def incrementalNearDupAgainst(newDocs: DataFrame, corpusSigs: DataFrame,
+                                idCol: String,
+                                maxHamming: Int = 3): DataFrame = {
+    val corpus = corpusSigs
     val corpusFps = corpus.select(col("fp")).distinct()
       .withColumn("__hit", lit(1))
     def chunked(d: DataFrame, idAs: String, hAs: String): DataFrame =

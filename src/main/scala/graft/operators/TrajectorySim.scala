@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * entirely with codegen'd array HOFs on the grouped point arrays — no
   * UDF, no per-point row explosion at compare time.
   *
-  * Scale shape: pairwise comparison is blocked by a MEAN-VALUE CELL of
+  * Scale shape: pairwise comparison is blocked by a MIN-VALUE CELL of
   * width `cellWidth`, probing each key's own and adjacent cells. This is
-  * exact for every pair with H(A,B) <= cellWidth: each point of A has a
-  * point of B within H in the v-projection, so |mean_v(A) - mean_v(B)|
-  * <= H, and two means within cellWidth land in the same or adjacent
-  * cells. Pairs farther apart than the cell width may be missed — they
+  * exact for every pair with H(A,B) <= cellWidth: by the B->A directed
+  * pass every point of B lies within H of some point of A, so
+  * min_v(B) >= min_v(A) - H, and symmetrically — hence
+  * |min_v(A) - min_v(B)| <= H, and two minima within cellWidth land in
+  * the same or adjacent cells. (The mean does NOT satisfy this bound —
+  * multiplicity differences break it — which is why the block key is the
+  * extremum.) Pairs farther apart than the cell width may be missed — they
   * cannot enter a top-k at radius <= cellWidth, which is the search
   * contract (same bounded-candidates trade as the interval-bucketed
   * join and SemDeDup's cluster bound). Within a cell the work is
@@ -41,12 +44,12 @@ object TrajectorySim {
           unix_micros(col(tsCol)).as("us"),
           col(tieCol).as("tie"),
           col(valCol).cast("double").as("v")))).as("pts"),
-        avg(col(valCol)).as("avg_v"))
+        min(col(valCol).cast("double")).as("min_v"))
       .withColumn("t0", col("pts")(0)("us"))
       .withColumn("traj", transform(col("pts"),
         p => struct(((p("us") - col("t0")) / lit(6.0e7)).as("t"),
           p("v").as("v"))))
-      .select(col("id"), col("traj"), col("avg_v"))
+      .select(col("id"), col("traj"), col("min_v"))
 
   /** max over a in A of min over b in B of dist(a, b) */
   private def directed(a: Column, b: Column): Column =
@@ -67,7 +70,7 @@ object TrajectorySim {
                     tieCol: String, valCol: String, k: Int,
                     isProbe: Column, cellWidth: Double = 5.0): DataFrame = {
     val t = traj(events, keyCol, tsCol, tieCol, valCol)
-    val cell = floor(col("avg_v") / cellWidth).cast("long")
+    val cell = floor(col("min_v") / cellWidth).cast("long")
     // probe side fans out to its own and adjacent cells; candidate side
     // sits in its home cell -> equi-join on the cell id, no nested loop
     val probes = t.where(isProbe)

@@ -27,9 +27,8 @@ class TrajectorySimSpec extends SparkSpec {
   }
 
   test("blocking is exact within the cell width") {
-    // means 10 and 13 (gap 3 < cellWidth 5) must be compared even when
-    // they land in different cells (floor(10/5)=2, floor(13/5)=2 — force
-    // a boundary: means 9.9 and 10.1 -> cells 1 and 2, adjacent)
+    // min values 9.9 and 10.1 (gap 0.2 < cellWidth 5) must be compared
+    // even when they land in adjacent cells (floor(9.9/5)=1, floor(10.1/5)=2)
     val events = Seq(
       (1L, ts(0), 1L, 9.9), (2L, ts(0), 2L, 10.1))
       .toDF("user_id", "ts", "event_id", "value")
@@ -39,5 +38,24 @@ class TrajectorySimSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect()
     assert(out.length == 1 && out(0)._3 == 2L)
     assert(math.abs(out(0)._4 - 0.2) < 1e-9)
+  }
+
+  test("min-value blocking survives the multiplicity case that breaks mean blocking") {
+    // H(A,B) = 2 but mean_v(A)=25 vs mean_v(B)=75 — mean cells (5 vs 15,
+    // width 5) would never compare the pair; the min_v bound
+    // (|min_v(A)-min_v(B)| <= H) keeps both in cell 0 and finds it
+    val events = Seq(
+      (1L, ts(0), 1L, 0.0), (1L, ts(1), 2L, 0.0),
+      (1L, ts(2), 3L, 0.0), (1L, ts(3), 4L, 100.0),
+      (2L, ts(0), 5L, 0.0), (2L, ts(1), 6L, 100.0),
+      (2L, ts(2), 7L, 100.0), (2L, ts(3), 8L, 100.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TrajectorySim.hausdorffTopK(events, "user_id", "ts",
+        "event_id", "value", k = 1, isProbe = col("id") === 1L,
+        cellWidth = 5.0)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.length == 1 && out(0)._3 == 2L,
+      "the H=2 neighbor must be found despite a mean gap of 50")
+    assert(math.abs(out(0)._4 - 2.0) < 1e-9)
   }
 }
