@@ -3849,29 +3849,34 @@ object Queries {
       dt AS (
         SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS tok
         FROM s0),
-      dfq AS (SELECT tok, count(*) AS c FROM dt GROUP BY 1),
-      docs AS (
-        SELECT doc_id,
-          list(struct_pack(c := c, tok := tok) ORDER BY c, tok) AS sorted
-        FROM dt JOIN dfq USING (tok) GROUP BY 1),
-      d2 AS (
-        SELECT doc_id, list_transform(sorted, s -> s.tok) AS st,
-          len(sorted) AS sz
-        FROM docs),
+      sets AS (
+        SELECT doc_id, list(tok) AS st, count(*) AS sz
+        FROM dt GROUP BY 1),
+      th AS (
+        SELECT doc_id, tok,
+          ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT AS h
+        FROM dt),
+      dfq AS (SELECT h, count(*) AS c FROM th GROUP BY 1),
+      ranked AS (
+        SELECT doc_id, h,
+          row_number() OVER (PARTITION BY doc_id ORDER BY c, h, tok) AS r,
+          count(*) OVER (PARTITION BY doc_id) AS sz
+        FROM th JOIN dfq USING (h)),
       pre AS (
-        SELECT doc_id, st, sz,
-          unnest(st[1 : CAST(sz - ceil(0.5 * sz) + 1 AS INT)]) AS ptok
-        FROM d2),
+        SELECT doc_id, sz, h AS ptok
+        FROM ranked WHERE r <= sz - ceil(0.5 * sz) + 1),
       cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-          a.st AS s1, b.st AS s2, a.sz AS z1, b.sz AS z2
+          a.sz AS z1, b.sz AS z2
         FROM pre a JOIN pre b ON a.ptok = b.ptok AND a.doc_id < b.doc_id
         WHERE b.sz >= ceil(0.5 * a.sz) AND a.sz >= ceil(0.5 * b.sz)),
       j AS (
         SELECT id1, id2,
-          CAST(len(list_intersect(s1, s2)) AS DOUBLE)
-            / (z1 + z2 - len(list_intersect(s1, s2))) AS jac
-        FROM cand)
+          CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE)
+            / (z1 + z2 - len(list_intersect(sa.st, sb.st))) AS jac
+        FROM cand
+        JOIN sets sa ON cand.id1 = sa.doc_id
+        JOIN sets sb ON cand.id2 = sb.doc_id)
       SELECT id1, id2, round(jac, 6) AS jaccard
       FROM j WHERE jac >= 0.5"""))
 

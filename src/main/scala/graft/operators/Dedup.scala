@@ -80,23 +80,42 @@ object Dedup {
   def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val toks = df.select(col(idCol).as("id"),
-        explode(array_distinct(Text.wordShingles(col(textCol), n))).as("tok"))
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val docs = toks.join(dfreq, "tok")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("c"), col("tok")))).as("sorted"))
-      .select(col("id"),
-        transform(col("sorted"), s => s("tok")).as("set"),
-        size(col("sorted")).as("sz"))
+    // the set arrays used for VERIFICATION need no frequency ordering
+    // (intersection size is order-free), so they come from a map-only
+    // projection — recomputing this per reference is scan work, not a
+    // join; only the PREFIX derivation touches document frequencies
+    // materialized once (eager localCheckpoint, the components-operator
+    // pattern): the frame is read three times (prefix derivation + both
+    // sides of the pair fetch) and regex shingling is the dominant CPU —
+    // recomputing it per reference tripled the query cost, and relying
+    // on ReuseExchange would couple the plan to optimizer internals
+    val docs = df.select(col(idCol).as("id"),
+        array_distinct(Text.wordShingles(col(textCol), n)).as("set"))
+      .where(size(col("set")) > 0)
+      .withColumn("sz", size(col("set")))
+      .localCheckpoint(true)
+    // shingles travel the frequency/prefix shuffles as fixed 8-byte
+    // hashes (the q98 shuffle-width trade; ~40-byte 5-gram strings
+    // otherwise); the global prefix order is (df, hash, shingle) — the
+    // shingle tie-break keeps the order total under hash collisions so
+    // every doc slices the identical prefix in both engines
+    val toks = docs
+      .select(col("id"), col("sz"), explode(col("set")).as("tok"))
+      .withColumn("h", Text.md5Hash64(col("tok"), 0))
+    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("c"))
     val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
-    // candidate generation ships ONLY (id, sz, ptok) — never the set
+    // prefix membership = rarity rank <= p via a KEYED window — no
+    // per-doc collect/sort/slice, and the dfreq join happens ONCE.
+    // Candidate generation ships ONLY (id, sz, ptok) — never the set
     // arrays: a prefix of p tokens would otherwise duplicate the full
     // set p times through the join shuffle (quadratic bytes in set
     // size). The surviving candidate PAIRS (a small fraction of the
     // corpus) fetch their two sets in one join back against docs.
-    val pre = docs.select(col("id"), col("sz"),
-      explode(slice(col("set"), lit(1), prefixLen)).as("ptok"))
+    val pre = toks.join(dfreq, "h")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("c"), col("h"), col("tok"))))
+      .where(col("r") <= prefixLen)
+      .select(col("id"), col("sz"), col("h").as("ptok"))
     val a = pre.select(col("id").as("id1"), col("sz").as("z1"), col("ptok"))
     val b = pre.select(col("id").as("id2"), col("sz").as("z2"), col("ptok"))
     val pairs = a.join(b, Seq("ptok"))
