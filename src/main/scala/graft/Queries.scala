@@ -2677,11 +2677,7 @@ object Queries {
     "q76_partitioned_sink",
     (s, d) => {
       val path = "/root/repo/tmp/sink76"
-      def rmrf(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmrf)
-        f.delete(): Unit
-      }
-      rmrf(new java.io.File(path))
+      graft.sources.Sinks.rmrf(path)
       val monthly = orders(s, d)
         .groupBy(year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"))

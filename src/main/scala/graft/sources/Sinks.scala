@@ -12,6 +12,16 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
+  /** Recursive local delete (idempotent; tolerates a vanished dir). */
+  def rmrf(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
+
   /** Rows are clustered by the partition columns before the write: without
     * it, EVERY upstream task holding rows of a partition value opens its
     * own file in that directory — at 1000 executors that is up to 1000
@@ -47,11 +57,7 @@ object Sinks {
     val loc = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
       table.toLowerCase)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    if (loc.exists()) rm(loc)
+    if (loc.exists()) rmrf(loc.getPath)
     df.write
       .mode("overwrite")
       .format("parquet")

@@ -48,9 +48,20 @@ object Workbook {
       .select(input_file_name().as("__file"),
         posexplode(split(col("value"), "\r?\n")).as(Seq("__lineno", "__line")))
       .where(col("__lineno") >= skipRows && length(trim(col("__line"))) > 0)
-    val header = lines.where(col("__lineno") === skipRows)
-      .select(col("__line")).as[String].first()
-    val names = header.split(",", -1).map(_.trim)
+    // one header row per matched file, collected driver-side (one short
+    // string per file — the same driver step CSV header inference does).
+    // Diagnosable failures instead of a bare NoSuchElement: a sheet whose
+    // row at `skipRows` is blank/absent, or a glob whose files disagree
+    // on the header, would otherwise silently mis-name every column.
+    val headers = lines.where(col("__lineno") === skipRows)
+      .select(col("__line")).distinct().as[String].collect()
+    require(headers.nonEmpty,
+      s"workbook sheet '$sheet': no non-empty header line at row $skipRows " +
+        "(check skipRows against the sheet's preamble)")
+    require(headers.length == 1,
+      s"workbook sheet '$sheet': files matched by the glob disagree on the " +
+        s"header at row $skipRows: ${headers.take(2).mkString(" vs ")}")
+    val names = headers.head.split(",", -1).map(_.trim)
     val parts = split(col("__line"), ",", -1)
     val data0 = lines.where(col("__lineno") > skipRows)
       .select(Seq(col("__file"), col("__lineno")) ++

@@ -156,8 +156,14 @@ object StreamingTaxi {
         val (outs, next) = process(st, Vector.empty, endOfStream = true)
         state.update(next)
         // context kept for exact deltas if the vehicle resumes; a second
-        // idle horizon GCs it (buffer now empty -> remove branch above)
-        next.prev.foreach(p => armTimeout(p.tsMs + flushHorizonMs))
+        // idle horizon GCs it (buffer now empty -> remove branch above).
+        // The horizon must be measured from NOW (the watermark): the
+        // last point's own timestamp is already >= one horizon behind
+        // the watermark — that's what fired this flush — so arming from
+        // it would clamp to watermark+1 and GC the kept context on the
+        // very next tick instead of after a second idle horizon.
+        next.prev.foreach(_ =>
+          armTimeout(state.getCurrentWatermarkMs() + flushHorizonMs))
         outs.iterator.map(_.copy(cab = key))
       }
     } else {

@@ -97,4 +97,48 @@ class StreamingTaxiSpec extends SparkSpec {
     assert(onlyBatch.isEmpty && onlyStream.isEmpty,
       s"parity broken;\n only in batch: ${onlyBatch.take(3)}\n only in stream: ${onlyStream.take(3)}")
   }
+
+  test("resume after timeout flush keeps exact deltas and trip numbering") {
+    val dir = Files.createTempDirectory("graft_staxi_resume").toString
+    val t0 = Timestamp.valueOf("2024-03-01 08:00:00").getTime
+    def pt(cab: String, ms: Long, tie: Long, x: Double) =
+      Pt(cab, new Timestamp(ms), tie, x, 0.0, 0L)
+    // trip 1: three points a minute apart
+    val b1 = Seq(pt("r", t0, 0, 0), pt("r", t0 + 60000, 1, 1500),
+      pt("r", t0 + 120000, 2, 3000))
+    spark.createDataset(b1).write.mode("overwrite").parquet(dir)
+    val in = spark.readStream.schema(spark.createDataset(b1).schema)
+      .parquet(dir).withWatermark("ts", "1 minute").as[Pt]
+    val q = StreamingTaxi.segment(in, flushHorizonMinutes = 60.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("taxi_resume_out").start()
+    q.processAllAvailable()
+    // sentinel 2h out -> watermark passes r's flush horizon, r flushes
+    // (context kept); a SECOND small watermark advance must NOT GC the
+    // kept context (the second idle horizon hasn't elapsed)
+    spark.createDataset(Seq(pt("zz", t0 + 2 * 3600000, 0, 0)))
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    spark.createDataset(Seq(pt("zz", t0 + 2 * 3600000 + 600000, 1, 0)))
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    // r resumes at t0+3h; final sentinel flushes it
+    spark.createDataset(Seq(pt("r", t0 + 3 * 3600000, 3, 4500)))
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    spark.createDataset(Seq(pt("zz", t0 + 5 * 3600000, 2, 0)))
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val rRows = spark.sql("SELECT * FROM taxi_resume_out WHERE cab = 'r'")
+      .as[StreamingTaxi.SegOut].collect().sortBy(_.tie)
+    q.stop()
+    assert(rRows.length == 4, s"expected 4 rows for cab r, got ${rRows.length}")
+    val resumed = rRows.last
+    // exact deltas against the pre-flush last point — not a cold restart
+    assert(resumed.seconds.contains((3 * 3600 - 120).toDouble),
+      s"resume lost the kept context: seconds=${resumed.seconds}")
+    assert(resumed.trip_id == 2L,
+      s"trip numbering restarted: trip_id=${resumed.trip_id}")
+  }
 }
