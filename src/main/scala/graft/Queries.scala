@@ -3876,6 +3876,32 @@ object Queries {
       SELECT id1, id2, round(jac, 6) AS jaccard
       FROM j WHERE jac >= 0.5"""))
 
+  /** Multimodal resize: nearest-neighbor resample of each blob's byte
+    * grid to 8x8 (real integer resample math over the stubbed
+    * bytes-as-pixels view; same mapPartitions batch shape as the other
+    * decode ops). The oracle replays the exact index arithmetic —
+    * sx = x*side/8, sy = y*side/8 over side = floor(sqrt(n_bytes)) —
+    * character-indexed, which equals byte-indexed on this ASCII corpus. */
+  val q108Resize = Q(
+    "q108_resize",
+    (s, d) =>
+      graft.multimodal.Binary.resize(
+          graft.multimodal.Binary.documentBlobs(documents(s, d), "doc_id", "text"),
+          w = 8, h = 8)
+        .toDF()
+        .select(col("id").as("doc_id"), col("src_side"), col("out_w"),
+          col("out_h"), col("checksum")),
+    Some("""WITH b AS (
+        SELECT doc_id, text,
+          CAST(floor(sqrt(strlen(text))) AS INT) AS side
+        FROM documents WHERE floor(sqrt(strlen(text))) >= 1)
+      SELECT doc_id, side AS src_side, 8 AS out_w, 8 AS out_h,
+        CAST(list_sum(list_transform(range(0, 64), i ->
+          ord(substr(text,
+            ((i // 8) * side // 8) * side + ((i % 8) * side // 8) + 1,
+            1)))) % 997 AS BIGINT) AS checksum
+      FROM b"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -3903,5 +3929,5 @@ object Queries {
     q95CorpusShuffle, q96SemDedup, q97WorkbookCpi, q98ContaminationHashed,
     q99BucketedJoin, q100Bm25, q101IncrementalDedup, q102LengthHistogram,
     q103HashSplit, q104TopPerLang, q105SpanDedup, q106TrajectorySim,
-    q107PrefixJaccard)
+    q107PrefixJaccard, q108Resize)
 }

@@ -82,6 +82,52 @@ object Binary {
     }
   }
 
+  final case class Resized(id: Long, src_side: Int, out_w: Int, out_h: Int,
+      checksum: Long)
+
+  /** Nearest-neighbor RESIZE over the opaque byte grid: the blob is
+    * viewed as a square row-major "image" of side floor(sqrt(n_bytes))
+    * (the decode being the stubbed part — a real codec would supply true
+    * dims and pixels at the same signature), and resampled to (w, h) by
+    * integer nearest-neighbor index math. The resample arithmetic is
+    * REAL — sx = x*side/w, sy = y*side/h, exact integer division — so
+    * the op verifies end-to-end; only the bytes-as-pixels view is fake.
+    * Returns the resampled grid's checksum (sum of picked bytes mod 997,
+    * decodeStub's convention). Blobs smaller than one "pixel" are
+    * dropped (no defined grid). */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Option[(Int, Long)] = {
+    val side = math.floor(math.sqrt(bytes.length.toDouble)).toInt
+    if (side == 0) None
+    else {
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        val sy = y * side / h
+        var x = 0
+        while (x < w) {
+          val sx = x * side / w
+          sum += (bytes(sy * side + sx) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some((side, sum % 997))
+    }
+  }
+
+  /** Batched resize over a binary column — same mapPartitions shape as
+    * extractFeatures; partition sizing bounds decode memory. */
+  def resize(blobs: Dataset[Blob], w: Int, h: Int): Dataset[Resized] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        resizeStub(b.bytes, w, h).map { case (side, ck) =>
+          Resized(b.id, side, w, h, ck)
+        }
+      }
+    }
+  }
+
   /** documents.text -> Blob dataset (binary column materialization). */
   def documentBlobs(docs: DataFrame, idCol: String, textCol: String): Dataset[Blob] = {
     import docs.sparkSession.implicits._

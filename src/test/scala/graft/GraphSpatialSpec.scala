@@ -72,4 +72,17 @@ class GraphSpatialSpec extends SparkSpec {
     assert(out.n_bytes == 2 && out.first_byte == 65 && out.checksum == (65 + 66) % 997)
     assert(out.feature(0) == 65 / 255.0f && out.feature(1) == 66 / 255.0f)
   }
+
+  test("resize: nearest-neighbor index math over the byte grid") {
+    // 9 bytes -> side 3 grid "ABC/DEF/GHI"; 2x2 nearest-neighbor picks
+    // sx,sy in {0*3/2, 1*3/2} = {0, 1}: bytes A(0,0) B(1,0) D(0,1) E(1,1)
+    val blobs = Seq((1L, "ABCDEFGHI"), (2L, "")).toDF("doc_id", "text")
+    val out = Binary.resize(
+        Binary.documentBlobs(blobs, "doc_id", "text"), w = 2, h = 2)
+      .collect()
+    assert(out.length == 1, "zero-pixel blob must be dropped")
+    val r = out(0)
+    assert(r.src_side == 3 && r.out_w == 2 && r.out_h == 2)
+    assert(r.checksum == ('A' + 'B' + 'D' + 'E').toLong % 997)
+  }
 }
