@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object TrajectorySim {
 
+  /** Far beyond any sessionized/segmented trajectory, far below what one
+    * task can hold: the Guards-style contract that "bounded per key" is
+    * enforced, not assumed — a runaway key (missing upstream
+    * segmentation) raises instead of silently building a giant array. */
+  val MaxPointsPerKey = 100000
+
   private def traj(events: DataFrame, keyCol: String, tsCol: String,
                    tieCol: String, valCol: String): DataFrame =
     events
@@ -45,6 +51,12 @@ object TrajectorySim {
           col(tieCol).as("tie"),
           col(valCol).cast("double").as("v")))).as("pts"),
         min(col(valCol).cast("double")).as("min_v"))
+      .withColumn("pts",
+        when(size(col("pts")) > MaxPointsPerKey, raise_error(concat(
+          lit(s"[graft] trajectory exceeds $MaxPointsPerKey points for key "),
+          col("id").cast("string"),
+          lit(" — segment/sessionize upstream"))))
+          .otherwise(col("pts")))
       .withColumn("t0", col("pts")(0)("us"))
       .withColumn("traj", transform(col("pts"),
         p => struct(((p("us") - col("t0")) / lit(6.0e7)).as("t"),

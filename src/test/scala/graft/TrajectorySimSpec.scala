@@ -40,6 +40,24 @@ class TrajectorySimSpec extends SparkSpec {
     assert(math.abs(out(0)._4 - 0.2) < 1e-9)
   }
 
+  test("per-key point bound actually fires on a runaway key") {
+    // a second small key must survive the pair filter, or the empty
+    // result would let Spark skip evaluating the guarded column entirely
+    def keyed(n: Long, key: Long, tieBase: Long) =
+      spark.range(n).select(lit(key).as("user_id"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts"),
+        (col("id") + tieBase).as("event_id"), lit(1.0).as("value"))
+    val big = keyed(TrajectorySim.MaxPointsPerKey + 1L, 0L, 0L)
+      .unionAll(keyed(5L, 1L, 10000000L))
+    val e = intercept[Exception] {
+      TrajectorySim.hausdorffTopK(big, "user_id", "ts", "event_id", "value",
+        k = 1, isProbe = col("id") === 1L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("trajectory exceeds")), s"got: $e")
+  }
+
   test("min-value blocking survives the multiplicity case that breaks mean blocking") {
     // H(A,B) = 2 but mean_v(A)=25 vs mean_v(B)=75 — mean cells (5 vs 15,
     // width 5) would never compare the pair; the min_v bound
