@@ -3892,14 +3892,15 @@ object Queries {
         .select(col("id").as("doc_id"), col("src_side"), col("out_w"),
           col("out_h"), col("checksum")),
     Some("""WITH b AS (
-        SELECT doc_id, text,
-          CAST(floor(sqrt(strlen(text))) AS INT) AS side
-        FROM documents WHERE floor(sqrt(strlen(text))) >= 1)
+        SELECT doc_id, hx,
+          CAST(floor(sqrt(strlen(hx) // 2)) AS INT) AS side
+        FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+        WHERE floor(sqrt(strlen(hx) // 2)) >= 1)
       SELECT doc_id, side AS src_side, 8 AS out_w, 8 AS out_h,
         CAST(list_sum(list_transform(range(0, 64), i ->
-          ord(substr(text,
-            ((i // 8) * side // 8) * side + ((i % 8) * side // 8) + 1,
-            1)))) % 997 AS BIGINT) AS checksum
+          ('0x' || substr(hx,
+            2 * (((i // 8) * side // 8) * side + ((i % 8) * side // 8)) + 1,
+            2))::INT)) % 997 AS BIGINT) AS checksum
       FROM b"""))
 
   /** All queries in catalog order. */

@@ -96,6 +96,7 @@ object Binary {
     * decodeStub's convention). Blobs smaller than one "pixel" are
     * dropped (no defined grid). */
   def resizeStub(bytes: Array[Byte], w: Int, h: Int): Option[(Int, Long)] = {
+    require(w > 0 && h > 0, s"resize target must be positive, got ${w}x$h")
     val side = math.floor(math.sqrt(bytes.length.toDouble)).toInt
     if (side == 0) None
     else {

@@ -37,8 +37,13 @@ object TrajectorySim {
 
   /** Far beyond any sessionized/segmented trajectory, far below what one
     * task can hold: the Guards-style contract that "bounded per key" is
-    * enforced, not assumed — a runaway key (missing upstream
-    * segmentation) raises instead of silently building a giant array. */
+    * enforced, not assumed. The check runs after the per-key aggregate
+    * (same pass — no extra shuffle), so it turns the quiet
+    * giant-array-and-wrong-latency band into a loud contract error with
+    * the offending key id; a key unbounded enough to OOM the aggregate
+    * itself needs upstream segmentation regardless (a separate
+    * count-first pass would pre-empt that at the cost of a second
+    * shuffle over the events). */
   val MaxPointsPerKey = 100000
 
   private def traj(events: DataFrame, keyCol: String, tsCol: String,
