@@ -3903,6 +3903,44 @@ object Queries {
             2))::INT)) % 997 AS BIGINT) AS checksum
       FROM b"""))
 
+  /** Multi-probe LSH ANN: each probe also searches the `planes` buckets
+    * one hyperplane-sign flip away — the classic recall knob at
+    * (planes+1)x probe fan-out with ZERO extra corpus-side work (corpus
+    * vectors index once; only the broadcast probe table widens).
+    * Recall >= single-probe q29 by construction (superset of buckets);
+    * the recall spec quantifies the gain vs brute force. */
+  val q109AnnMultiprobe = Q(
+    "q109_ann_multiprobe",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", k = 5, planes = 4, dims = 64,
+        multiProbe = true)
+    },
+    Some {
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      b AS (
+        SELECT vec_id, e,
+          ${duckBucketExpr(4, 64, "e")} AS bucket
+        FROM v),
+      pr0 AS (SELECT vec_id AS probe_id, e AS pe, bucket FROM b WHERE vec_id < 10),
+      pr AS (
+        SELECT probe_id, pe,
+          unnest(list_prepend(bucket,
+            list_transform(range(0, 4), bb -> xor(bucket, 1 << bb)))) AS bucket
+        FROM pr0),
+      sc AS (
+        SELECT DISTINCT pr.probe_id, c.vec_id AS neighbor_id,
+          list_cosine_similarity(c.e, pr.pe) AS cosf
+        FROM b c JOIN pr ON c.bucket = pr.bucket AND c.vec_id <> pr.probe_id),
+      rk AS (
+        SELECT probe_id, neighbor_id, cosf,
+          row_number() OVER (PARTITION BY probe_id ORDER BY cosf DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT probe_id, rank, neighbor_id, round(cosf, 6) AS cos
+      FROM rk WHERE rank <= 5"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -3930,5 +3968,5 @@ object Queries {
     q95CorpusShuffle, q96SemDedup, q97WorkbookCpi, q98ContaminationHashed,
     q99BucketedJoin, q100Bm25, q101IncrementalDedup, q102LengthHistogram,
     q103HashSplit, q104TopPerLang, q105SpanDedup, q106TrajectorySim,
-    q107PrefixJaccard, q108Resize)
+    q107PrefixJaccard, q108Resize, q109AnnMultiprobe)
 }

@@ -159,15 +159,36 @@ object Similarity {
 
   def lshTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
-      probeIdCol: String, k: Int, planes: Int = 6, dims: Int = 64): DataFrame = {
+      probeIdCol: String, k: Int, planes: Int = 6, dims: Int = 64,
+      multiProbe: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"))
       .withColumn("bucket", hyperplaneSketch(col("__cv"), planes, dims))
+    // multi-probe: each probe also searches the `planes` buckets one
+    // hyperplane-sign flip away (the classic recall knob — a vector near
+    // a plane lands on either side with near-even odds, so the 1-bit
+    // neighborhood recovers most banding misses at (planes+1)x probe
+    // fan-out and ZERO extra corpus-side work: the corpus still indexes
+    // each vector once, only the broadcast probe table widens)
+    val probeBuckets: Column =
+      if (multiProbe)
+        explode(concat(
+          array(hyperplaneSketch(col("__pv"), planes, dims)),
+          transform(sequence(lit(0), lit(planes - 1)), b =>
+            hyperplaneSketch(col("__pv"), planes, dims)
+              .bitwiseXOR(call_function("shiftleft", lit(1L), b)))))
+      else hyperplaneSketch(col("__pv"), planes, dims)
     val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
         norm(col(vecCol)).as("__pn"))
-      .withColumn("bucket", hyperplaneSketch(col("__pv"), planes, dims))
-    val scored = c.join(broadcast(p), Seq("bucket"))
+      .withColumn("bucket", probeBuckets)
+    val cand0 = c.join(broadcast(p), Seq("bucket"))
       .where(col("neighbor_id") =!= col("probe_id"))
+    // adjacent buckets can rediscover the same pair — dedup only in
+    // multi-probe mode (single-probe pairs are unique by construction,
+    // and the exchange-free plan stays untouched)
+    val cand = if (multiProbe) cand0.dropDuplicates("probe_id", "neighbor_id")
+      else cand0
+    val scored = cand
       .withColumn("cos",
         when(col("__cn") * col("__pn") > 0,
           dot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))))

@@ -141,6 +141,24 @@ class TextDedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("multi-probe LSH recall dominates single-probe") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = df.where(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(df, probes, "vec_id", "embedding", "vec_id", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(multi: Boolean): Double = {
+      val got = Similarity.lshTopK(df, probes, "vec_id", "embedding", "vec_id", 5,
+          planes = 4, dims = 64, multiProbe = multi)
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val single = recall(multi = false)
+    val multi = recall(multi = true)
+    // superset of buckets -> recall can only go up
+    assert(multi >= single, s"multi-probe recall $multi < single $single")
+    assert(multi >= 0.5, s"multi-probe recall $multi too low")
+  }
+
   test("prefix-filtered jaccard join is LOSSLESS vs full quadratic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // brute force: one global block = every pair compared
