@@ -69,9 +69,10 @@ object Dedup {
     * length filter |B| >= ceil(t * |A|) prunes the rest before any
     * intersection is computed.
     *
-    * No global rank is materialized: each token carries its df count and
-    * per-doc ordering is a local sort_array — nothing single-partition
-    * at any corpus size. Verification is set-at-a-time array_intersect.
+    * No global rank is materialized: each shingle carries its df count
+    * and prefix membership is a rarity rank over a KEYED window —
+    * nothing single-partition at any corpus size. Verification is
+    * set-at-a-time array_intersect.
     * Sets are word n-gram shingles (n >= 2 keeps sets discriminative on
     * small vocabularies — unigram sets over a closed vocabulary saturate
     * toward J = 1 regardless of content). Returns (id1, id2, jaccard)
@@ -412,7 +413,7 @@ object Dedup {
       .groupBy("id").agg(min("component").as("component"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
     // min-propagation strictly DECREASES the label total until the fixed
     // point, so convergence is one cheap aggregation on the cached frame
     // (materializing it in the same job) instead of a join + count.
@@ -475,7 +476,7 @@ object Dedup {
       .distinct().localCheckpoint(true)
     def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
-        sum((col("u") * 31 + col("v")).cast("decimal(38,0)"))).head
+        sum((col("u") * 31 + col("v")).cast("decimal(38,0)"))).head()
       (r.getLong(0), r.getDecimal(1))
     }
     def largeStar(e: DataFrame): DataFrame = {

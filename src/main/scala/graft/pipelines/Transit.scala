@@ -49,7 +49,7 @@ object Transit {
     // F8 dedup — deterministic: bare dropDuplicates keeps a shuffle-order-
     // dependent row; keep the lexicographically-first record per key instead
     val dedupKey = Seq("DATE", "ROUTE_AVL", "DIR", "TRIP", "SEQ")
-    val rest = typed.columns.filterNot(dedupKey.contains)
+    val rest = typed.columns.filterNot(dedupKey.contains).toIndexedSeq
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(dedupKey.map(col): _*)
       .orderBy(rest.map(col): _*)
