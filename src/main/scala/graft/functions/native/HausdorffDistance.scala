@@ -45,9 +45,13 @@ case class HausdorffDistance(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any =
     HausdorffDistance.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
+  // NOTE: generated Java cannot reference this class's own package —
+  // `native` is a Java reserved word and Janino rejects the selector,
+  // silently degrading the stage to interpreted mode. Route the static
+  // call through the keyword-free forwarder instead.
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.native.HausdorffDistance.compute($a, $b)")
+      s"graft.functions.Kernels.hausdorff($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HausdorffDistance =

@@ -123,6 +123,30 @@ class NativeExprSpec extends SparkSpec {
     assert(plan.contains("graft_simhash"))
   }
 
+  test("graft_hausdorff codegen COMPILES (no reserved-word package path)") {
+    // `native` is a Java reserved word: generated code referencing
+    // graft.functions.native.* fails Janino and silently degrades the
+    // stage to interpreted mode — only visible as a WARN in logs. With
+    // fallback disabled, a compile failure throws instead of degrading.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(50).select(col("id"),
+        transform(sequence(lit(0), lit(5)),
+          i => struct((i.cast("double") + col("id")).as("t"),
+            i.cast("double").as("v"))).as("tr"))
+      val out = df.select(
+        call_function("graft_hausdorff", col("tr"), col("tr")).as("h"))
+        .agg(sum("h")).collect()
+      assert(out(0).getDouble(0) == 0.0) // self-distance is zero
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("graft_hausdorff is bit-identical to the nested-HOF form") {
     assert(spark.catalog.functionExists("graft_hausdorff"))
     val rnd = new scala.util.Random(13)
