@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *  - `floydWarshall`: plain-Scala dense APSP for small graphs, meant to be
   *    `broadcast` and probed inside expressions/mapGroups (the reference's
   *    pattern, G3);
-  *  - `bfsHops`: distributed iterative frontier expansion over an edge
+  *  - `bfsHops`: min-plus pointer doubling over an edge
   *    DataFrame — the plan that still works when the graph itself is big.
   */
 object Graph {

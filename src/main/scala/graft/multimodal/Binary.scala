@@ -103,11 +103,12 @@ object Binary {
       var sum = 0L
       var y = 0
       while (y < h) {
-        val sy = y * side / h
+        // Long index math: y*side overflows Int for large targets/blobs
+        val sy = y.toLong * side / h
         var x = 0
         while (x < w) {
-          val sx = x * side / w
-          sum += (bytes(sy * side + sx) & 0xff)
+          val sx = x.toLong * side / w
+          sum += (bytes((sy * side + sx).toInt) & 0xff)
           x += 1
         }
         y += 1

@@ -123,6 +123,8 @@ object Curation {
     * < trainPct+valPct -> val, else test.
     */
   def hashSplit(idc: Column, cuts: (Int, Int) = (80, 10)): Column = {
+    require(cuts._1 >= 0 && cuts._2 >= 0 && cuts._1 + cuts._2 <= 100,
+      s"hashSplit cuts must be non-negative percentages summing <= 100, got $cuts")
     val bucket = conv(substring(md5(idc.cast("string")), 1, 4), 16, 10)
       .cast("long") % 100
     when(bucket < cuts._1, "train")

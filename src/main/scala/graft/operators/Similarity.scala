@@ -181,14 +181,13 @@ object Similarity {
     val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
         norm(col(vecCol)).as("__pn"))
       .withColumn("bucket", probeBuckets)
-    val cand0 = c.join(broadcast(p), Seq("bucket"))
+    // no pair dedup needed in EITHER mode: the probe's multi-probe
+    // buckets (s, s^1, s^2, ...) are pairwise distinct (XOR with
+    // distinct single bits) and each corpus vector carries exactly one
+    // bucket, so a (probe, neighbor) pair matches at most once — a
+    // dropDuplicates here would be a pure extra shuffle
+    val scored = c.join(broadcast(p), Seq("bucket"))
       .where(col("neighbor_id") =!= col("probe_id"))
-    // adjacent buckets can rediscover the same pair — dedup only in
-    // multi-probe mode (single-probe pairs are unique by construction,
-    // and the exchange-free plan stays untouched)
-    val cand = if (multiProbe) cand0.dropDuplicates("probe_id", "neighbor_id")
-      else cand0
-    val scored = cand
       .withColumn("cos",
         when(col("__cn") * col("__pn") > 0,
           dot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))))

@@ -103,10 +103,13 @@ object TrajectorySim {
         call_function("graft_hausdorff", col("ta"), col("tb"))
       else greatest(directed(col("ta"), col("tb")),
         directed(col("tb"), col("ta")))
+    // no pair dedup: the probe's three cells are distinct values and a
+    // candidate sits in exactly one cell, so each (id1, id2) pair joins
+    // at most once — a dropDuplicates would add a full shuffle of the
+    // scored pairs for nothing
     val scored = probes.join(cands, Seq("cell"))
       .where(col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"), h.as("h"))
-      .dropDuplicates("id1", "id2")
     val w = Window.partitionBy("id1").orderBy(col("h"), col("id2"))
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)

@@ -44,16 +44,22 @@ object Workbook {
       skipRows: Int = 0, footerKey: Option[String] = None): DataFrame = {
     import spark.implicits._
     val raw = spark.read.option("wholetext", "true").text(s"$dir/$sheet.csv")
+    // blank lines are KEPT here: a footer block that begins with an empty
+    // separator row (the BART-matrix shape) must still trigger footer
+    // detection — the blank row's key cell try_casts to null like any
+    // other non-numeric footer line, dropping it and everything below.
+    // Blanks are excluded from the returned data at the end.
     val lines = raw
       .select(input_file_name().as("__file"),
         posexplode(split(col("value"), "\r?\n")).as(Seq("__lineno", "__line")))
-      .where(col("__lineno") >= skipRows && length(trim(col("__line"))) > 0)
+      .where(col("__lineno") >= skipRows)
+      .withColumn("__blank", length(trim(col("__line"))) === 0)
     // one header row per matched file, collected driver-side (one short
     // string per file — the same driver step CSV header inference does).
     // Diagnosable failures instead of a bare NoSuchElement: a sheet whose
     // row at `skipRows` is blank/absent, or a glob whose files disagree
     // on the header, would otherwise silently mis-name every column.
-    val headers = lines.where(col("__lineno") === skipRows)
+    val headers = lines.where(col("__lineno") === skipRows && !col("__blank"))
       .select(col("__line")).distinct().as[String].collect()
     require(headers.nonEmpty,
       s"workbook sheet '$sheet': no non-empty header line at row $skipRows " +
@@ -64,14 +70,14 @@ object Workbook {
     val names = headers.head.split(",", -1).map(_.trim)
     val parts = split(col("__line"), ",", -1)
     val data0 = lines.where(col("__lineno") > skipRows)
-      .select(Seq(col("__file"), col("__lineno")) ++
+      .select(Seq(col("__file"), col("__lineno"), col("__blank")) ++
         names.zipWithIndex.map { case (n, i) =>
           // try_element_at: ragged rows (the footer notes line is shorter
           // than the header) must yield null cells, not ANSI index errors
           trim(try_element_at(parts, lit(i + 1))).as(n)
         }: _*)
     val data = footerKey match {
-      case None => data0
+      case None => data0.where(!col("__blank"))
       case Some(k) =>
         // per-file window (not a global one): the canary-safe shape, and
         // correct if a glob ever matches several sheet files
@@ -81,8 +87,9 @@ object Workbook {
           .withColumn("__footer_start", min(badLine).over(w))
           .where(col("__footer_start").isNull ||
             col("__lineno") < col("__footer_start"))
+          .where(!col("__blank"))
           .drop("__footer_start")
     }
-    data.drop("__file", "__lineno")
+    data.drop("__file", "__lineno", "__blank")
   }
 }

@@ -64,10 +64,15 @@ object StreamingTaxi {
   def process(st: TaxiState, incoming: Vector[Raw], endOfStream: Boolean)
       : (Vector[SegOut], TaxiState) = {
     val cutoff = st.prev.map(p => (p.tsMs, p.tie))
+    // NO .distinct here: exact duplicate pings (at-least-once producers)
+    // are real rows the batch path keeps (second one emits seconds = 0),
+    // and buffer/incoming never overlap by construction (the cutoff
+    // filter owns the emitted boundary) — a dedup here broke row-level
+    // batch/stream parity on duplicated input
     val pts = (st.buffer ++ incoming
         .filterNot(p => cutoff.exists { case (t, k) =>
           p.tsMs < t || (p.tsMs == t && p.tie <= k) }))
-      .sortBy(p => (p.tsMs, p.tie)).distinct
+      .sortBy(p => (p.tsMs, p.tie))
     if (pts.isEmpty) return (Vector.empty, st)
 
     // forward pass — the reference's first iterrows sweep
@@ -170,8 +175,25 @@ object StreamingTaxi {
       val pts = events.map(p => Raw(p.ts.getTime, p.tie, p.x, p.y, p.status)).toVector
       val (outs, next) = process(st, pts, endOfStream = false)
       state.update(next)
-      val lastTs = (next.buffer.lastOption orElse next.prev).map(_.tsMs)
-      lastTs.foreach(t => armTimeout(t + flushHorizonMs))
+      next.buffer.lastOption match {
+        case Some(last) => armTimeout(last.tsMs + flushHorizonMs)
+        case None if outs.nonEmpty =>
+          // everything buffered got finalized and emitted this batch:
+          // prev IS the last emitted point — a fresh timestamp, so the
+          // horizon measured from it is the normal idle contract
+          armTimeout(next.prev.get.tsMs + flushHorizonMs)
+        case None if next.prev.isEmpty =>
+          // nothing buffered, nothing emitted, nothing ever kept (every
+          // input was late): no reason for this state to exist
+          state.remove()
+        case None =>
+          // post-flush kept context and a no-op batch (late/duplicate
+          // pings only): LEAVE the GC timer from the flush in place.
+          // Re-arming from prev.tsMs would clamp to watermark+1 — prev
+          // is already a horizon behind the watermark — and destroy the
+          // kept context on the next tick.
+          ()
+      }
       outs.iterator.map(_.copy(cab = key))
     }
   }

@@ -98,6 +98,39 @@ class StreamingTaxiSpec extends SparkSpec {
       s"parity broken;\n only in batch: ${onlyBatch.take(3)}\n only in stream: ${onlyStream.take(3)}")
   }
 
+  test("duplicate pings survive the replay (row-count parity, not set parity)") {
+    val t0 = Timestamp.valueOf("2024-03-01 08:00:00").getTime
+    def pt(ms: Long, tie: Long, x: Double) =
+      Pt("d", new Timestamp(ms), tie, x, 0.0, 0L)
+    // an at-least-once producer delivers the second ping twice (exact
+    // duplicate incl. tie) — the batch path emits both rows
+    val pts = Seq(pt(t0, 0, 0), pt(t0 + 60000, 1, 1500),
+      pt(t0 + 60000, 1, 1500), pt(t0 + 120000, 2, 3000))
+    val batchRows = graft.pipelines.Taxi
+      .segmentPoints(pts.toDF(), Seq("cab"), "ts", "tie", "x", "y", "status")
+      .count()
+    assert(batchRows == 4L)
+    val dir = Files.createTempDirectory("graft_staxi_dup").toString
+    spark.createDataset(pts).write.mode("overwrite").parquet(dir)
+    val in = spark.readStream.schema(spark.createDataset(pts).schema)
+      .parquet(dir).withWatermark("ts", "1 minute").as[Pt]
+    val q = StreamingTaxi.segment(in, flushHorizonMinutes = 60.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("taxi_dup_out").start()
+    q.processAllAvailable()
+    // flush the tail
+    spark.createDataset(Seq(Pt("zz",
+        new Timestamp(t0 + 5 * 3600000), 0L, 0.0, 0.0, 0L)))
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val streamedRows = spark.sql(
+      "SELECT count(*) FROM taxi_dup_out WHERE cab = 'd'").as[Long].head()
+    q.stop()
+    assert(streamedRows == batchRows,
+      s"replay dropped duplicate pings: stream=$streamedRows batch=$batchRows")
+  }
+
   test("resume after timeout flush keeps exact deltas and trip numbering") {
     val dir = Files.createTempDirectory("graft_staxi_resume").toString
     val t0 = Timestamp.valueOf("2024-03-01 08:00:00").getTime

@@ -36,6 +36,21 @@ class WorkbookSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("2001", "10.5"), ("2002", ""), ("2003", "12.25")))
   }
 
+  test("footer block BEGINNING with a blank separator row still triggers") {
+    val dir = Files.createTempDirectory("wb3").toString
+    writeSheet(dir, "Data", Seq(
+      "Year,Val",
+      "2001,10.5",
+      "2002,11.0",
+      "",               // blank separator — the BART-matrix footer shape
+      "2010,1234"))     // parseable TOTALS row below the blank: must drop
+    val df = Workbook.readSheet(spark, dir, "Data",
+      skipRows = 0, footerKey = Some("Year"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq === Seq(("2001", "10.5"), ("2002", "11.0")),
+      s"totals row below the blank separator leaked: ${rows.toSeq}")
+  }
+
   test("no footerKey keeps every post-header row") {
     val dir = Files.createTempDirectory("wb2").toString
     writeSheet(dir, "Data", Seq("K,V", "1,a", "x,b"))
