@@ -35,12 +35,17 @@ object Bench {
     // local-iteration subset filter (comma-separated name substrings);
     // the driver never sets it, so its runs always cover the catalog
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // failures must be LOUD in the summary: round 4's bench swallowed a
+    // q46 exception into stderr and the JSON still read as a clean run
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = Queries.all
       .filter(q => only.forall(_.exists(q.name.contains))).map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        failed += q.name
+        System.err.println(s"[bench] ${q.name} FAILED:")
+        e.printStackTrace()
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // iterative operators (BFS, label propagation) cache intermediates
@@ -64,9 +69,11 @@ object Bench {
     // n_queries/mean give cross-round comparability: the catalog grows
     // every round, so raw total seconds alone would read as a regression
     val mean = if (results.nonEmpty) total / results.size else 0.0
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"mean_per_query":${r3(mean)},"queries":$qs,"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"mean_per_query":${r3(mean)},"queries":$qs,"sf":"$sfDir"}"""
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{\"queries\":{", ",", s"},\"total\":${r3(total)},\"sf\":\"$sfDir\"}")
+      .mkString("{\"queries\":{", ",",
+        s"},\"total\":${r3(total)},\"n_failed\":${failed.size},\"failed\":$failedJson,\"sf\":\"$sfDir\"}")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     println(line)

@@ -956,7 +956,7 @@ object Queries {
         ColSpec("l_quantity", 19, 10, DoubleType),
         ColSpec("l_extendedprice", 29, 14, DoubleType))
       val tag = d.replaceAll(".*/", "")
-      val path = s"/root/repo/tmp/fwf_$tag"
+      val path = graft.sources.Scratch.dir(s"fwf_$tag")
       lineitem(s, d)
         .select(FixedWidth.formatLine(specs).as("value"))
         .write.mode("overwrite").text(path)
@@ -1329,7 +1329,7 @@ object Queries {
     "q46_glob_ingest",
     (s, d) => {
       val tag = d.replaceAll(".*/", "")
-      val path = s"/root/repo/tmp/glob_$tag"
+      val path = graft.sources.Scratch.dir(s"glob_$tag")
       orders(s, d)
         .withColumn("year", year(col("o_orderdate")))
         .select("o_orderkey", "o_totalprice", "year")
@@ -1353,7 +1353,7 @@ object Queries {
     "q47_tab_variant",
     (s, d) => {
       val tag = d.replaceAll(".*/", "")
-      val path = s"/root/repo/tmp/tab_$tag"
+      val path = graft.sources.Scratch.dir(s"tab_$tag")
       events(s, d).select(
           col("event_id"),
           year(col("ts")).as("yr"), month(col("ts")).as("mo"),
@@ -1383,7 +1383,7 @@ object Queries {
     "q48_gtfs",
     (s, d) => {
       import graft.sources.Gtfs
-      val base = s"/root/repo/tmp/gtfs"
+      val base = graft.sources.Scratch.dir("gtfs")
       Gtfs.writeZip(s"$base/feed.zip", gtfsFixture)
       Gtfs.extractZip(s"$base/feed.zip", s"$base/feed")
       Gtfs.tripStopSchedule(Gtfs.readFeed(s, s"$base/feed"))
@@ -1463,7 +1463,7 @@ object Queries {
     "q49_transit_pipeline",
     (s, d) => {
       val out = graft.pipelines.TransitFixture
-        .run(s, "/root/repo/tmp/transit")("system_day")
+        .run(s, graft.sources.Scratch.dir("transit"))("system_day")
       out.select(col("DATE").cast("timestamp").as("date"),
         col("TRIPS"), col("ON"),
         round(col("ONTIME5"), 6).as("ONTIME5"), col("PASSMILES"),
@@ -2454,7 +2454,7 @@ object Queries {
     "q71_gtfs_daily",
     (s, d) => {
       import graft.sources.Gtfs
-      val feed = gtfsFeedFor(s, "/root/repo/tmp/gtfs71")
+      val feed = gtfsFeedFor(s, graft.sources.Scratch.dir("gtfs71"))
       val sched = Gtfs.assertNonNegativeMiles(Gtfs.tripStopScheduleFull(feed))
       Gtfs.dailySystemTotals(sched, Gtfs.serviceDates(feed))
         .select(col("date").cast("timestamp").as("date"), col("dow"),
@@ -2481,7 +2481,7 @@ object Queries {
     "q72_gtfs_monthly",
     (s, d) => {
       import graft.sources.Gtfs
-      val feed = gtfsFeedFor(s, "/root/repo/tmp/gtfs72")
+      val feed = gtfsFeedFor(s, graft.sources.Scratch.dir("gtfs72"))
       val sched = Gtfs.tripStopScheduleFull(feed)
       val daily = Gtfs.dailySystemTotals(sched, Gtfs.serviceDates(feed))
       Gtfs.monthlySystemTotals(daily)
@@ -2676,7 +2676,7 @@ object Queries {
   val q76PartitionedSink = Q(
     "q76_partitioned_sink",
     (s, d) => {
-      val path = "/root/repo/tmp/sink76"
+      val path = graft.sources.Scratch.dir("sink76")
       graft.sources.Sinks.rmrf(path)
       val monthly = orders(s, d)
         .groupBy(year(col("o_orderdate")).as("yr"),
@@ -2943,7 +2943,7 @@ object Queries {
   val q83NetworkIngest = Q(
     "q83_network_ingest",
     (s, d) => {
-      val path = "/root/repo/tmp/net83/network_base.dqt"
+      val path = graft.sources.Scratch.dir("net83") + "/network_base.dqt"
       new java.io.File(path).getParentFile.mkdirs()
       val text =
         """<DYNAMEQ>
@@ -3399,7 +3399,7 @@ object Queries {
       import graft.sources.Workbook
       import s.implicits._
       val tag = d.replaceAll(".*/", "")
-      val wbDir = s"/root/repo/tmp/workbook_$tag"
+      val wbDir = graft.sources.Scratch.dir(s"workbook_$tag")
       def floor4(c: Column) = floor(c * 1e4) / 1e4
       // the monthly "CPI" series: exact-decimal mean of o_totalprice /1000
       val cpiM = orders(s, d)

@@ -1,0 +1,30 @@
+package graft.sources
+
+/** Per-process-unique scratch root for queries that materialize fixture
+  * files before reading them back (fixed-width text, CSV globs, GTFS
+  * zips, partitioned/bucketed sinks, workbooks).
+  *
+  * Why not fixed paths: a path keyed only by scale factor
+  * (`tmp/glob_sf0.1`) races ANY concurrent graft process — a verify pass
+  * rewriting the directory between a bench run's file listing and its
+  * read throws FileNotFound mid-bench (observed in round 4: q46 failed
+  * inside the driver's bench while every standalone run passed). A root
+  * keyed by (pid, JVM start nanos) makes concurrent runs disjoint by
+  * construction; the shutdown hook removes the tree so repeated runs
+  * don't accumulate dead fixture data.
+  */
+object Scratch {
+  private val root: java.io.File = {
+    val f = new java.io.File("/root/repo/tmp",
+      s"run_${ProcessHandle.current().pid()}_" +
+        java.lang.Long.toHexString(System.nanoTime()))
+    f.mkdirs()
+    sys.addShutdownHook(Sinks.rmrf(f.getPath))
+    f
+  }
+
+  /** Stable within a process (same name → same dir, so overwrite-mode
+    * rewrites and Profile's repeat iterations are safe); unique across
+    * processes. */
+  def dir(name: String): String = new java.io.File(root, name).getPath
+}

@@ -50,17 +50,18 @@ object Sinks {
   def writeBucketed(
       df: DataFrame, table: String, buckets: Int, bucketCol: String): Unit = {
     val spark = df.sparkSession
-    // the in-memory catalog forgets tables between sessions but the
-    // warehouse DIRECTORY persists; a stale location fails CREATE with
-    // LOCATION_ALREADY_EXISTS, so clear both catalog entry and location
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      table.toLowerCase)
-    if (loc.exists()) rmrf(loc.getPath)
+    // external table at a per-process scratch location: the default
+    // spark-warehouse directory is SHARED across processes even though
+    // the in-memory catalog is not, so two concurrent runs creating the
+    // same table name would race each other's files (the q46-style
+    // scratch race, sink flavor). Scratch.dir is unique per JVM.
+    val loc = Scratch.dir(s"bkt_$table")
+    rmrf(loc)
     df.write
       .mode("overwrite")
       .format("parquet")
+      .option("path", loc)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
