@@ -2333,28 +2333,43 @@ object Queries {
       FROM tr GROUP BY 1, 2
       HAVING count(*) > 1 AND sum(feet0) > 2000.0"""))
 
-  /** The map-matching fixture: a 5-link directed network (two routes
-    * B->D) and two GPS trips. Planted so every stage is hand-derivable —
-    * see MapMatchSpec for the full worked derivation. Trip 1's second
-    * point sits closer to the wrong link (link 4, 80 ft vs 120 ft); the
-    * path structure snaps it back to link 2, which is the entire point of
-    * HMM map-matching. */
+  /** The map-matching fixture: a directed network in two disconnected
+    * components and three GPS trips. Planted so every stage is
+    * hand-derivable — see MapMatchSpec for the full worked derivation.
+    * Component A (links 1-5, two routes B->D): trip 1's second point sits
+    * closer to the wrong link (link 4, 80 ft vs 120 ft); the path
+    * structure snaps it back to link 2, which is the entire point of HMM
+    * map-matching. Component B (links 21-26, a sharp 45° bulge vs a
+    * shallow 14° bulge between the same nodes): free-flow alone would
+    * route trip 3 over the sharp bulge (90 s vs 154 s), but its two 45°
+    * turns + the 45° merge cost 70 s of penalties vs 0 for the
+    * through-graded shallow bulge (204 < 210) — the turn-discriminating
+    * case VERDICT r4 asked for. The skim is the PENALIZED one throughout
+    * (HwyNetwork.py:129-141,257-276). */
   private lazy val mmLinks = Seq(
     graft.pipelines.MapMatch.Link(1L, 0, 0, 1000, 0, 50),
     graft.pipelines.MapMatch.Link(2L, 1000, 0, 2000, 0, 50),
     graft.pipelines.MapMatch.Link(3L, 2000, 0, 2000, 1000, 100),
     graft.pipelines.MapMatch.Link(4L, 1000, 0, 1000, 1000, 100),
-    graft.pipelines.MapMatch.Link(5L, 1000, 1000, 2000, 1000, 100))
-  private lazy val mmSkim = graft.pipelines.MapMatch.linkSkim(mmLinks)
+    graft.pipelines.MapMatch.Link(5L, 1000, 1000, 2000, 1000, 100),
+    graft.pipelines.MapMatch.Link(21L, 10000, 0, 11000, 0, 50),
+    graft.pipelines.MapMatch.Link(22L, 11000, 0, 11500, 500, 20),
+    graft.pipelines.MapMatch.Link(23L, 11500, 500, 12000, 0, 20),
+    graft.pipelines.MapMatch.Link(24L, 11000, 0, 11500, 125, 52),
+    graft.pipelines.MapMatch.Link(25L, 11500, 125, 12000, 0, 52),
+    graft.pipelines.MapMatch.Link(26L, 12000, 0, 13000, 0, 50))
+  private lazy val mmSkim = graft.pipelines.MapMatch.linkSkimPenalized(
+    mmLinks, graft.pipelines.MapMatch.geometricMovements(mmLinks))
   private lazy val mmById = mmLinks.map(l => l.linkId -> l).toMap
 
   private def mmTraversals(s: SparkSession) = {
     import s.implicits._
     val pts = Seq(
       ("1", 0L, 0.0, 600.0, 10.0), ("1", 1L, 96.0, 1080.0, 120.0),
-      ("1", 2L, 156.0, 1900.0, 40.0), ("1", 3L, 236.0, 2050.0, 950.0),
+      ("1", 2L, 156.0, 1900.0, 40.0), ("1", 3L, 276.0, 2050.0, 950.0),
       ("2", 0L, 1000.0, 200.0, 5.0), ("2", 1L, 1100.0, 1800.0, 5.0),
-      ("2", 2L, 1150.0, 1800.0, 5.0) // stationary repeat: leg is skipped
+      ("2", 2L, 1150.0, 1800.0, 5.0), // stationary repeat: leg is skipped
+      ("3", 0L, 2000.0, 10600.0, 10.0), ("3", 1L, 2154.0, 12600.0, 10.0)
     ).toDF("trip", "pt", "ts", "x", "y")
     val cands = graft.pipelines.MapMatch.candidateStates(
       pts, mmLinks, "trip", "pt", "x", "y")
@@ -2365,11 +2380,13 @@ object Queries {
 
   /** G1+G3+G4+G5 — the integrated map-matching chain (points ->
     * candidate link projection -> Viterbi over candidate paths from the
-    * broadcast skim -> travel time allocated to links with the
+    * broadcast PENALIZED skim -> travel time allocated to links with the
     * consecutive-link merge); sftaxi_wrangler.py:172-204 end to end.
     * Oracle = the hand-derived traversals (MapMatchSpec documents the
-    * derivation: leg ff-parts 20/4, 41, 5/95 allocate dts 96, 60, 80 into
-    * exact tts; link 2 merges 0.08+0.82+0.10 across all three legs). */
+    * derivation: trip 1 leg ff-parts 20/4, 41, 5/95 allocate dts 96, 60,
+    * 120 into exact tts; link 2 merges 0.08+0.82+0.10 across all three
+    * legs; trip 3's leg rides the shallow-bulge path 21-24-25-26 that
+    * only wins once turn penalties price the sharp bulge). */
   val q69MapMatching = Q(
     "q69_map_matching",
     (s, d) =>
@@ -2378,18 +2395,23 @@ object Queries {
         round(col("travel_time"), 6).as("travel_time"), col("start_ts")),
     Some("""SELECT * FROM (VALUES
         ('1', 1, 1, 0.4,  80.0, TIMESTAMP '1970-01-01 00:00:00'),
-        ('1', 2, 2, 1.0,  80.0, TIMESTAMP '1970-01-01 00:01:20'),
-        ('1', 3, 3, 0.95, 76.0, TIMESTAMP '1970-01-01 00:02:40'),
+        ('1', 2, 2, 1.0,  82.0, TIMESTAMP '1970-01-01 00:01:20'),
+        ('1', 3, 3, 0.95, 114.0, TIMESTAMP '1970-01-01 00:02:42'),
         ('2', 1, 1, 0.8,  50.0, TIMESTAMP '1970-01-01 00:16:40'),
-        ('2', 2, 2, 0.8,  50.0, TIMESTAMP '1970-01-01 00:17:30'))
+        ('2', 2, 2, 0.8,  50.0, TIMESTAMP '1970-01-01 00:17:30'),
+        ('3', 1, 21, 0.4, 20.0, TIMESTAMP '1970-01-01 00:33:20'),
+        ('3', 2, 24, 1.0, 52.0, TIMESTAMP '1970-01-01 00:33:40'),
+        ('3', 3, 25, 1.0, 52.0, TIMESTAMP '1970-01-01 00:34:32'),
+        ('3', 4, 26, 0.6, 30.0, TIMESTAMP '1970-01-01 00:35:24'))
       t(trip, run, link_id, traversal_ratio, travel_time, start_ts)"""))
 
   /** A10 over the matched traversals — link travel-time stats on
     * mostly-traversed observations (ratio > 0.75), scaled to the full
-    * link (TaxiDataHelper.py:489-541): link 1 gets trip 2's 62.5 s, link 2
-    * one 80 s and one 62.5 s observation (pop-std 8.75, p95 79.125),
-    * link 3 trip 1's 76/0.95 = 80 s; trip 1's 0.4-traversal of link 1 is
-    * filtered out. */
+    * link (TaxiDataHelper.py:489-541): link 1 gets trip 2's 62.5 s,
+    * link 2 one 82 s and one 62.5 s observation (pop-std 9.75, p95
+    * 81.025), link 3 trip 1's 114/0.95 = 120 s, links 24/25 trip 3's
+    * full 52 s traversals; the 0.4/0.6 partial traversals are filtered
+    * out. */
   val q70LinkTtStats = Q(
     "q70_link_tt_stats",
     (s, d) =>
@@ -2400,8 +2422,10 @@ object Queries {
           round(col("tt_95"), 6).as("tt_95")),
     Some("""SELECT * FROM (VALUES
         (1, 0, 1, 62.5,  0.0,  62.5),
-        (2, 0, 2, 71.25, 8.75, 79.125),
-        (3, 0, 1, 80.0,  0.0,  80.0))
+        (2, 0, 2, 72.25, 9.75, 81.025),
+        (3, 0, 1, 120.0, 0.0,  120.0),
+        (24, 0, 1, 52.0, 0.0,  52.0),
+        (25, 0, 1, 52.0, 0.0,  52.0))
       t(link_id, hour, observations, tt_mean, tt_std, tt_95)"""))
 
   /** Expected per-stop GTFS measures, computed independently in plain
@@ -3941,6 +3965,81 @@ object Queries {
       FROM rk WHERE rank <= 5"""
     })
 
+  /** S7+G2 — movement-table skim from a sectioned network file: the
+    * MOVEMENTS section (node triples at/start/end) becomes the edge set
+    * of the link graph — an absent movement is a turn RESTRICTION — and
+    * each movement pays its 30/10/60 s left/right/U penalty
+    * (HwyNetwork.py:129-141,227-294). The fixture plants both effects:
+    * 21→26 flips from the sharp 45° bulge (free-flow 140 s) to the
+    * through-graded shallow bulge (204 s penalized vs 210), and 21→27
+    * must detour because the file omits the 23→27 movement. Free-flow
+    * columns use the all-turns-allowed geometric skim as the contrast.
+    * Oracle = hand-derived VALUES. */
+  val q110MovementSkim = Q(
+    "q110_movement_skim",
+    (s, d) => {
+      import graft.pipelines.MapMatch
+      import graft.sources.NetworkFile
+      val path = graft.sources.Scratch.dir("net110") + "/network_mv.dqt"
+      new java.io.File(path).getParentFile.mkdirs()
+      val text =
+        """<DYNAMEQ>
+          |<VERSION_1.8>
+          |<BASE_NETWORK_FILE>
+          |NODES
+          |* id x y
+          |1 10000 0
+          |2 11000 0
+          |3 11500 500
+          |4 11500 125
+          |5 12000 0
+          |6 13000 0
+          |7 12000 -1000
+          |LINKS
+          |* id start end length fspeed
+          |21 1 2 0.5 36
+          |22 2 3 0.2 36
+          |23 3 5 0.2 36
+          |24 2 4 0.52 36
+          |25 4 5 0.52 36
+          |26 5 6 0.5 36
+          |27 5 7 0.5 36
+          |MOVEMENTS
+          |* at start end
+          |2 1 3
+          |2 1 4
+          |3 2 5
+          |4 2 5
+          |5 3 6
+          |5 4 6
+          |5 4 7
+          |""".stripMargin
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), text)
+      val sections = NetworkFile.readSections(s, path)
+      val links = NetworkFile.roadLinks(sections)
+        .select("link_id", "ax", "ay", "bx", "by", "ff_sec")
+        .collect().map(r => MapMatch.Link(r.getLong(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .toSeq
+      val moves = NetworkFile.movementLinkPairs(sections)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val ff = MapMatch.linkSkim(links)
+      val pen = MapMatch.linkSkimPenalized(links, moves)
+      import s.implicits._
+      Seq((21L, 23L), (21L, 26L), (21L, 27L), (24L, 26L)).map { od =>
+        def fmt(e: (Double, Vector[Long])) =
+          (math.rint(e._1 * 1e4) / 1e4, e._2.mkString("-"))
+        val (fc, fp) = fmt(ff(od)); val (pc, pp) = fmt(pen(od))
+        (od._1, od._2, fc, fp, pc, pp)
+      }.toDF("src", "dst", "ff_cost", "ff_path", "turn_cost", "turn_path")
+    },
+    Some("""SELECT * FROM (VALUES
+        (21, 23, 90.0,  '21-22-23',    130.0, '21-22-23'),
+        (21, 26, 140.0, '21-22-23-26', 204.0, '21-24-25-26'),
+        (21, 27, 140.0, '21-22-23-27', 214.0, '21-24-25-27'),
+        (24, 26, 154.0, '24-25-26',    154.0, '24-25-26'))
+      t(src, dst, ff_cost, ff_path, turn_cost, turn_path)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -3968,5 +4067,5 @@ object Queries {
     q95CorpusShuffle, q96SemDedup, q97WorkbookCpi, q98ContaminationHashed,
     q99BucketedJoin, q100Bm25, q101IncrementalDedup, q102LengthHistogram,
     q103HashSplit, q104TopPerLang, q105SpanDedup, q106TrajectorySim,
-    q107PrefixJaccard, q108Resize, q109AnnMultiprobe)
+    q107PrefixJaccard, q108Resize, q109AnnMultiprobe, q110MovementSkim)
 }

@@ -41,6 +41,13 @@ object MapMatch {
   val ThetaPath         = 1.0
   val ThetaPoint        = 0.5
 
+  /** Turn penalties, seconds (HwyNetwork.py:129-141): applied per
+    * MOVEMENT when building the link-to-link skim, they discourage
+    * zig-zag paths through a grid network. */
+  val LeftTurnPenalty   = 30.0
+  val RightTurnPenalty  = 10.0
+  val UTurnPenalty      = 60.0
+
   /** A directed road link: endpoint coordinates (planar feet) and
     * free-flow traversal seconds. */
   final case class Link(linkId: Long, ax: Double, ay: Double,
@@ -58,13 +65,59 @@ object MapMatch {
   final case class Leg(trip: String, leg: Int, tStart: Double, tEnd: Double,
       links: Seq[Long], startRatio: Double, endRatio: Double, moved: Boolean)
 
+  /** Heading change from `in` to `out`, degrees in (-180, 180]:
+    * positive = counterclockwise = a left turn when +y is north. */
+  private def headingChange(in: Link, out: Link): Double = {
+    val d = math.toDegrees(
+      math.atan2(out.by - out.ay, out.bx - out.ax) -
+        math.atan2(in.by - in.ay, in.bx - in.ax))
+    if (d > 180) d - 360 else if (d <= -180) d + 360 else d
+  }
+
+  /** Movement turn classification from link geometry (the dta package's
+    * isLeftTurn/isRightTurn/isUTurn consulted by HwyNetwork.py:267-276,
+    * re-derived as heading-change bands): |Δ| >= 150° is a U-turn,
+    * Δ >= 30° a left, Δ <= -30° a right, anything shallower a through
+    * movement with no penalty. */
+  def turnPenalty(in: Link, out: Link): Double = {
+    val d = headingChange(in, out)
+    if (math.abs(d) >= 150) UTurnPenalty
+    else if (d >= 30) LeftTurnPenalty
+    else if (d <= -30) RightTurnPenalty
+    else 0.0
+  }
+
+  /** Every geometrically possible movement (u ends where v starts) — the
+    * fallback when a network carries no explicit MOVEMENTS section. */
+  def geometricMovements(links: Seq[Link]): Seq[(Long, Long)] =
+    for {
+      u <- links; v <- links
+      if u.linkId != v.linkId && u.bx == v.ax && u.by == v.ay
+    } yield (u.linkId, v.linkId)
+
   /** Driver-side all-pairs link skim over the link-adjacency graph
-    * (links u->v connected iff u ends where v starts): total free-flow
-    * seconds s..e inclusive, plus the link sequence. Guarded: this is the
-    * reference's in-memory network regime, not a data-scale structure.
-    */
+    * (links u->v connected iff u ends where v starts), free-flow time
+    * only: total seconds s..e inclusive, plus the link sequence.
+    * Guarded: this is the reference's in-memory network regime, not a
+    * data-scale structure. */
   def linkSkim(links: Seq[Link], maxLinks: Int = 3000)
-      : Map[(Long, Long), (Double, Vector[Long])] = {
+      : Map[(Long, Long), (Double, Vector[Long])] =
+    skimOver(links, geometricMovements(links), penalized = false, maxLinks)
+
+  /** The reference's actual skim shape (HwyNetwork.py:227-294): edges are
+    * the network's MOVEMENTS — a movement absent from the list is a turn
+    * RESTRICTION and contributes no edge — and each movement pays its
+    * turn penalty (left 30 s / right 10 s / U 60 s) on top of free-flow
+    * time. Penalties ride the movement edge, so the inclusive-skim
+    * offset-subtraction formula used by viterbiLegs is unchanged. */
+  def linkSkimPenalized(
+      links: Seq[Link], movements: Seq[(Long, Long)], maxLinks: Int = 3000)
+      : Map[(Long, Long), (Double, Vector[Long])] =
+    skimOver(links, movements, penalized = true, maxLinks)
+
+  private def skimOver(
+      links: Seq[Link], movements: Seq[(Long, Long)], penalized: Boolean,
+      maxLinks: Int): Map[(Long, Long), (Double, Vector[Long])] = {
     // the bound reflects what dense APSP + materialized path vectors can
     // actually do on a driver (n^3 relax steps, up to n^2 stored paths):
     // ~3k links = ~27e9 relaxations and a few GB of paths, the ceiling of
@@ -75,11 +128,13 @@ object MapMatch {
     val ids = links.map(_.linkId).toVector
     val idx = ids.zipWithIndex.toMap
     val byId = links.map(l => l.linkId -> l).toMap
-    // edge u->v weighted by ff(v); skim(s,e) = ff(s) + dist(s,e)
-    val edges = for {
-      u <- links; v <- links
-      if u.linkId != v.linkId && u.bx == v.ax && u.by == v.ay
-    } yield (idx(u.linkId), idx(v.linkId), v.ffSec)
+    // edge u->v weighted by ff(v) (+ turn penalty u->v when penalized);
+    // skim(s,e) = ff(s) + dist(s,e)
+    val edges = movements.collect {
+      case (u, v) if u != v && idx.contains(u) && idx.contains(v) =>
+        val pen = if (penalized) turnPenalty(byId(u), byId(v)) else 0.0
+        (idx(u), idx(v), byId(v).ffSec + pen)
+    }
     val (dist, pred) = Graph.floydWarshall(ids.size, edges)
     val INF = Double.MaxValue / 8
     val out = for {

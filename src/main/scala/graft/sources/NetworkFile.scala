@@ -71,4 +71,24 @@ object NetworkFile {
         when(col("fspeed_mph") > 0, col("length_mi") / col("fspeed_mph") * 3600.0))
       .select("link_id", "ax", "ay", "bx", "by", "length_mi", "ff_sec")
   }
+
+  /** MOVEMENTS section → (in_link_id, out_link_id) pairs: each movement
+    * row is a node triple `at start end` describing the turn from the
+    * approach link (start→at) onto the departure link (at→end) — the
+    * Dynameq movement table the reference's skim iterates
+    * (HwyNetwork.py:257-276). A movement ABSENT from the section is a
+    * turn restriction: no edge in the link graph. */
+  def movementLinkPairs(sections: Map[String, DataFrame]): DataFrame = {
+    val links = sections("LINKS").select(
+      col("id").cast("long").as("link_id"), col("start"), col("end"))
+    val mv = sections("MOVEMENTS")
+      .select(col("at"), col("start").as("m_start"), col("end").as("m_end"))
+    mv.join(broadcast(links.select(col("link_id").as("in_link_id"),
+        col("start").as("in_s"), col("end").as("in_e"))),
+        col("m_start") === col("in_s") && col("at") === col("in_e"))
+      .join(broadcast(links.select(col("link_id").as("out_link_id"),
+        col("start").as("out_s"), col("end").as("out_e"))),
+        col("at") === col("out_s") && col("m_end") === col("out_e"))
+      .select("in_link_id", "out_link_id")
+  }
 }
