@@ -4040,6 +4040,61 @@ object Queries {
         (24, 26, 154.0, '24-25-26',    154.0, '24-25-26'))
       t(src, dst, ff_cost, ff_path, turn_cost, turn_path)"""))
 
+  /** J7 — LODES-style double-crosswalk OD rollup: the SAME crosswalk
+    * joined twice, once per geocode, with _h/_w aliases
+    * (DemandHelper.py:1201,1223-1224 merges xwalk on hgeoCol then wgeoCol
+    * with suffixes ('_h','_w')), then county-pair totals and the
+    * INTRA/IN/OUT flow classification relative to a focal county
+    * (DemandHelper.py:1228-1240). Here the OD fact is customer-nation ->
+    * supplier-nation worker flows off lineitem, the crosswalk is nation
+    * (geocode -> region 'county'), and the focal county is region 1.
+    * Scale shape: the crosswalk is broadcast on BOTH aliases; the fact
+    * side stays distributed throughout. */
+  val q111OdCrosswalk = Q(
+    "q111_od_crosswalk",
+    (s, d) => {
+      val xwalk = nation(s, d)
+        .select(col("n_nationkey").as("geo"), col("n_regionkey").as("cty"))
+      val od = lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d).select(col("c_custkey"),
+          col("c_nationkey").as("h_geo")), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d).select(col("s_suppkey"),
+          col("s_nationkey").as("w_geo")), col("l_suppkey") === col("s_suppkey"))
+      val focal = lit(1L)
+      od
+        .join(broadcast(xwalk.select(col("geo").as("h_geo"),
+          col("cty").as("cty_h"))), Seq("h_geo"), "left")
+        .join(broadcast(xwalk.select(col("geo").as("w_geo"),
+          col("cty").as("cty_w"))), Seq("w_geo"), "left")
+        .groupBy(col("cty_h"), col("cty_w"))
+        .agg(count(lit(1)).as("n_flows"),
+          round(sum("l_quantity"), 2).as("workers"))
+        .withColumn("flow",
+          when(col("cty_h") === focal && col("cty_w") === focal, "INTRA")
+            .when(col("cty_w") === focal, "IN")
+            .when(col("cty_h") === focal, "OUT")
+            .otherwise("THRU"))
+        .select("cty_h", "cty_w", "flow", "n_flows", "workers")
+    },
+    Some("""WITH od AS (
+        SELECT nh.n_regionkey AS cty_h, nw.n_regionkey AS cty_w, l_quantity
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        LEFT JOIN nation nh ON c_nationkey = nh.n_nationkey
+        LEFT JOIN nation nw ON s_nationkey = nw.n_nationkey)
+      SELECT cty_h, cty_w,
+        CASE WHEN cty_h = 1 AND cty_w = 1 THEN 'INTRA'
+             WHEN cty_w = 1 THEN 'IN'
+             WHEN cty_h = 1 THEN 'OUT'
+             ELSE 'THRU' END AS flow,
+        count(*) AS n_flows, round(sum(l_quantity), 2) AS workers
+      FROM od GROUP BY 1, 2"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4067,5 +4122,6 @@ object Queries {
     q95CorpusShuffle, q96SemDedup, q97WorkbookCpi, q98ContaminationHashed,
     q99BucketedJoin, q100Bm25, q101IncrementalDedup, q102LengthHistogram,
     q103HashSplit, q104TopPerLang, q105SpanDedup, q106TrajectorySim,
-    q107PrefixJaccard, q108Resize, q109AnnMultiprobe, q110MovementSkim)
+    q107PrefixJaccard, q108Resize, q109AnnMultiprobe, q110MovementSkim,
+    q111OdCrosswalk)
 }
