@@ -4095,6 +4095,76 @@ object Queries {
         count(*) AS n_flows, round(sum(l_quantity), 2) AS workers
       FROM od GROUP BY 1, 2"""))
 
+  /** S1 on the REAL colspec registry: lineitem mapped onto the reference's
+    * transcribed 98-column STP table (SFMuniDataHelper.py:71-170), the
+    * default 62-column read set formatted to fixed-width text at the
+    * registry's absolute byte positions (1-byte separator gaps and the
+    * zero-width LOADCODE window included), read back through
+    * StpRegistry.read (na-values, int64-via-float64 forcing, SEQ dropna),
+    * revenue-service filtered (DIR < 2, QC201 <= 20, ROUTE_AVL > 0,
+    * :488-496), and aggregated. The oracle recomputes the same derivations
+    * straight from the parquet — equality proves the full-registry
+    * round-trip and the filter semantics. Decimal sums: fixed-point
+    * measures ride decimals so sum order can't wobble the hash. */
+  val q112StpRegistry = Q(
+    "q112_stp_registry",
+    (s, d) => {
+      import graft.sources.StpRegistry
+      val tag = d.replaceAll(".*/", "")
+      val path = graft.sources.Scratch.dir(s"stp_$tag")
+      val overrides: Map[String, Column] = Map(
+        "SEQ" -> col("l_linenumber").cast("long"),
+        "STOP_AVL" -> pmod(col("l_partkey"), lit(9000)),
+        "STOPNAME_AVL" -> concat(lit("S"), pmod(col("l_partkey"), lit(9000))),
+        "ARRIVAL_TIME_INT" -> pmod(col("l_orderkey"), lit(86400)),
+        "ON" -> col("l_quantity").cast("long"),
+        "OFF" -> floor(col("l_quantity") / 2).cast("long"),
+        "DATE_INT" -> date_format(col("l_shipdate"), "yyMMdd").cast("long"),
+        "ROUTE_AVL" -> pmod(col("l_suppkey"), lit(100)),
+        "PATTERN" -> concat(lit("P"), pmod(col("l_suppkey"), lit(10))),
+        "LAT" -> round(lit(37.0) + pmod(col("l_partkey"), lit(100)) / 1000.0, 3),
+        "LON" -> round(lit(-122.0) - pmod(col("l_suppkey"), lit(100)) / 1000.0, 3),
+        "MILES" -> round(col("l_quantity") / 10.0, 1),
+        "TRIP" -> pmod(col("l_orderkey"), lit(10000)),
+        "DOW" -> (pmod(col("l_orderkey"), lit(3)) + 1),
+        "DIR" -> pmod(col("l_orderkey"), lit(4)),
+        "QC201" -> pmod(col("l_partkey"), lit(25)),
+        "UON" -> col("l_quantity").cast("long"),
+        "RECORD" -> lit("R"), "NS" -> lit("N"), "EW" -> lit("E"),
+        "MSFILE" -> lit("1401"), "CAPACITY" -> lit(60L))
+      val cols62 = StpRegistry.defaultColumns.map { e =>
+        overrides.getOrElse(e.name, e.kind match {
+          case 'I' => lit(0L); case 'F' => lit(0.0); case _ => lit("")
+        }).as(e.name)
+      }
+      lineitem(s, d).select(cols62: _*)
+        .select(graft.sources.FixedWidth.formatLine(
+          StpRegistry.writerSpecs(StpRegistry.defaultColumns)).as("value"))
+        .write.mode("overwrite").text(path)
+      StpRegistry.revenueService(StpRegistry.read(s, path))
+        .groupBy(col("DOW"), col("DIR"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ON")).as("on_sum"),
+          sum(col("OFF")).as("off_sum"),
+          sum(col("MILES").cast("decimal(14,1)")).cast("double").as("miles_sum"),
+          sum(col("LAT").cast("decimal(14,3)")).cast("double").as("lat_sum"))
+    },
+    Some("""WITH stp AS (
+        SELECT 1 + l_orderkey % 3 AS DOW, l_orderkey % 4 AS DIR,
+          l_partkey % 25 AS qc201, l_suppkey % 100 AS route,
+          CAST(l_quantity AS BIGINT) AS on_cnt,
+          CAST(floor(l_quantity / 2) AS BIGINT) AS off_cnt,
+          CAST(round(l_quantity / 10, 1) AS DECIMAL(14,1)) AS miles,
+          CAST(round(37 + (l_partkey % 100) / 1000.0, 3) AS DECIMAL(14,3)) AS lat
+        FROM lineitem)
+      SELECT DOW, DIR, count(*) AS n,
+        CAST(sum(on_cnt) AS BIGINT) AS on_sum,
+        CAST(sum(off_cnt) AS BIGINT) AS off_sum,
+        CAST(sum(miles) AS DOUBLE) AS miles_sum,
+        CAST(sum(lat) AS DOUBLE) AS lat_sum
+      FROM stp WHERE DIR < 2 AND qc201 <= 20 AND route > 0
+      GROUP BY 1, 2"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4123,5 +4193,5 @@ object Queries {
     q99BucketedJoin, q100Bm25, q101IncrementalDedup, q102LengthHistogram,
     q103HashSplit, q104TopPerLang, q105SpanDedup, q106TrajectorySim,
     q107PrefixJaccard, q108Resize, q109AnnMultiprobe, q110MovementSkim,
-    q111OdCrosswalk)
+    q111OdCrosswalk, q112StpRegistry)
 }

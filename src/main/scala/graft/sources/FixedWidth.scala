@@ -38,9 +38,18 @@ object FixedWidth {
   }
 
   /** Fixed-width writer (for fixtures / round-tripping): left-justified
-    * string fields, right-justified numerics, single text column. */
-  def formatLine(specs: Seq[ColSpec]): org.apache.spark.sql.Column =
-    concat(specs.map { c =>
+    * string fields, right-justified numerics, single text column.
+    * Fields land at their declared ABSOLUTE start positions: when a
+    * spec's start is past the previous field's end (the STP registry
+    * leaves 1-byte separator gaps between most windows), the gap is
+    * emitted as spaces so reader positions stay aligned. */
+  def formatLine(specs: Seq[ColSpec]): org.apache.spark.sql.Column = {
+    var pos = 1
+    val parts = specs.map { c =>
+      require(c.start >= pos,
+        s"overlapping colspec windows at ${c.name}: start ${c.start} < $pos")
+      val gap = c.start - pos
+      pos = c.start + c.len
       val v = coalesce(col(c.name).cast("string"), lit(""))
       val padded = c.typ match {
         case StringType => rpad(v, c.len, " ")
@@ -48,8 +57,11 @@ object FixedWidth {
       }
       // lpad/rpad silently TRUNCATE overlong values — that would corrupt
       // data on the round-trip; fail loudly at the write site instead
-      when(length(v) > c.len,
+      val guarded = when(length(v) > c.len,
         raise_error(concat(lit(s"fixed-width overflow in ${c.name} (${c.len}): "), v)))
         .otherwise(padded)
-    }: _*)
+      if (gap > 0) concat(lit(" " * gap), guarded) else guarded
+    }
+    concat(parts: _*)
+  }
 }
