@@ -73,4 +73,73 @@ object Viterbi {
     while (t > 0) { path(t - 1) = back(t)(path(t)); t -= 1 }
     path
   }
+
+  private def logSumExp(xs: Array[Double]): Double = {
+    var m = Double.NegativeInfinity
+    var i = 0
+    while (i < xs.length) { if (xs(i) > m) m = xs(i); i += 1 }
+    if (m == Double.NegativeInfinity) return Double.NegativeInfinity
+    var s = 0.0
+    i = 0
+    while (i < xs.length) { s += math.exp(xs(i) - m); i += 1 }
+    m + math.log(s)
+  }
+
+  /** Posterior state probabilities by forward-backward over the SAME cost
+    * structure decodeVar minimizes — the reference's optional smoother
+    * pass (Trajectory.py:220-235 runs TrajectorySmoother1 beside the
+    * Viterbi over identical features/transitions). Costs are treated as
+    * negative log potentials: P(path) ∝ exp(-Σ costs), and
+    * gamma(t)(s) = P(state_t = s | all observations). Runs in the log
+    * domain with per-step log-sum-exp, so large/infinite costs cannot
+    * underflow; an observation whose states are ALL unreachable yields
+    * an all-zero row rather than NaN. */
+  def smooth(
+      nObs: Int, nStatesAt: Int => Int,
+      emit: (Int, Int) => Double,
+      trans: (Int, Int, Int) => Double): Array[Array[Double]] = {
+    if (nObs == 0) return Array.empty
+    val la = Array.tabulate(nObs)(t => new Array[Double](nStatesAt(t)))
+    val lb = Array.tabulate(nObs)(t => new Array[Double](nStatesAt(t)))
+    var s = 0
+    while (s < nStatesAt(0)) { la(0)(s) = -emit(0, s); s += 1 }
+    var t = 1
+    while (t < nObs) {
+      var cur = 0
+      while (cur < nStatesAt(t)) {
+        val terms = new Array[Double](nStatesAt(t - 1))
+        var prev = 0
+        while (prev < nStatesAt(t - 1)) {
+          terms(prev) = la(t - 1)(prev) - trans(t, prev, cur)
+          prev += 1
+        }
+        la(t)(cur) = logSumExp(terms) - emit(t, cur)
+        cur += 1
+      }
+      t += 1
+    }
+    // beta: lb(nObs-1) = 0 (log 1)
+    t = nObs - 2
+    while (t >= 0) {
+      var cur = 0
+      while (cur < nStatesAt(t)) {
+        val terms = new Array[Double](nStatesAt(t + 1))
+        var next = 0
+        while (next < nStatesAt(t + 1)) {
+          terms(next) = lb(t + 1)(next) - trans(t + 1, cur, next) -
+            emit(t + 1, next)
+          next += 1
+        }
+        lb(t)(cur) = logSumExp(terms)
+        cur += 1
+      }
+      t -= 1
+    }
+    Array.tabulate(nObs) { t =>
+      val joint = Array.tabulate(nStatesAt(t))(s => la(t)(s) + lb(t)(s))
+      val z = logSumExp(joint)
+      if (z == Double.NegativeInfinity) new Array[Double](nStatesAt(t))
+      else joint.map(j => math.exp(j - z))
+    }
+  }
 }

@@ -234,6 +234,51 @@ object MapMatch {
     * `cands` must carry (tripCol, ptCol string-sortable, ts epoch double
     * `tsCol`, link_id, offset_ratio, cand_dist, cand_rank).
     */
+  /** Per-trip observation assembly: points in time order with the point
+    * id as tie-break (duplicate GPS timestamps are common; hash-map order
+    * must not leak into the decoded path); candidates in rank order. */
+  private def assemblePts(
+      it: Iterator[(String, Long, Double, Long, Double, Double, Int)])
+      : Array[(Long, Double, Array[State])] =
+    it.toArray.groupBy(r => (r._2, r._3)).toArray
+      .sortBy { case ((pt, ts), _) => (ts, pt) }
+      .map { case ((pt, ts), rs) =>
+        (pt, ts, rs.sortBy(_._7).map(r => State(r._4, r._5, r._6)))
+      }
+
+  /** The shared HMM cost structure: emit = ThetaPoint * GPS distance,
+    * trans = ThetaPath * (path_tt + max(path_tt - observed_dt, 0)) —
+    * used identically by the decode and the smoother, exactly as the
+    * reference feeds one LearningTrajectory to both TrajectoryViterbi1
+    * and TrajectorySmoother1 (Trajectory.py:188-235). */
+  private def costFns(
+      pts: Array[(Long, Double, Array[State])],
+      skimM: Map[(Long, Long), (Double, Vector[Long])],
+      linkM: Map[Long, Link])
+      : ((Int, Int) => Double, (Int, Int, Int) => Double) = {
+    // path free-flow tt between two states; +inf when no path or over
+    // the time limit. Same-link paths clamp the end offset forward
+    // (HwyNetwork.py:404-410) and bypass the limit.
+    def pathTT(a: State, b: State, dt: Double): Double =
+      if (a.linkId == b.linkId) {
+        val ff = linkM(a.linkId).ffSec
+        (math.max(a.offsetRatio, b.offsetRatio) - a.offsetRatio) * ff
+      } else skimM.get((a.linkId, b.linkId)) match {
+        case Some((tt, _))
+          if tt <= math.max(TimeLimitMinimum, TimeLimitFactor * dt) =>
+          tt - a.offsetRatio * linkM(a.linkId).ffSec -
+            (1.0 - b.offsetRatio) * linkM(b.linkId).ffSec
+        case _ => Double.PositiveInfinity
+      }
+    val emit = (t: Int, s: Int) => ThetaPoint * pts(t)._3(s).dist
+    val trans = (t: Int, s1: Int, s2: Int) => {
+      val dt = pts(t)._2 - pts(t - 1)._2
+      val tt = pathTT(pts(t - 1)._3(s1), pts(t)._3(s2), dt)
+      ThetaPath * (tt + math.max(tt - dt, 0.0))
+    }
+    (emit, trans)
+  }
+
   def viterbiLegs(
       cands: DataFrame, tripCol: String, ptCol: String, tsCol: String,
       skim: Map[(Long, Long), (Double, Vector[Long])],
@@ -250,38 +295,13 @@ object MapMatch {
     rows.groupByKey(_._1).flatMapGroups { (trip, it) =>
       val skimM = bcSkim.value
       val linkM = bcLinks.value
-      // points in time order with the point id as tie-break (duplicate
-      // GPS timestamps are common; hash-map order must not leak into the
-      // decoded path); candidates in rank order
-      val pts = it.toArray.groupBy(r => (r._2, r._3)).toArray
-        .sortBy { case ((pt, ts), _) => (ts, pt) }
-        .map { case ((pt, ts), rs) =>
-          (pt, ts, rs.sortBy(_._7).map(r => State(r._4, r._5, r._6)))
-        }
+      val pts = assemblePts(it)
       val nObs = pts.length
       if (nObs < 2) Iterator.empty
       else {
-        // path free-flow tt between two states; +inf when no path or over
-        // the time limit. Same-link paths clamp the end offset forward
-        // (HwyNetwork.py:404-410) and bypass the limit.
-        def pathTT(a: State, b: State, dt: Double): Double =
-          if (a.linkId == b.linkId) {
-            val ff = linkM(a.linkId).ffSec
-            (math.max(a.offsetRatio, b.offsetRatio) - a.offsetRatio) * ff
-          } else skimM.get((a.linkId, b.linkId)) match {
-            case Some((tt, _))
-              if tt <= math.max(TimeLimitMinimum, TimeLimitFactor * dt) =>
-              tt - a.offsetRatio * linkM(a.linkId).ffSec -
-                (1.0 - b.offsetRatio) * linkM(b.linkId).ffSec
-            case _ => Double.PositiveInfinity
-          }
+        val (emit, trans) = costFns(pts, skimM, linkM)
         val path = Viterbi.decodeVar(nObs, t => pts(t)._3.length,
-          emit = (t, s) => ThetaPoint * pts(t)._3(s).dist,
-          trans = (t, s1, s2) => {
-            val dt = pts(t)._2 - pts(t - 1)._2
-            val tt = pathTT(pts(t - 1)._3(s1), pts(t)._3(s2), dt)
-            ThetaPath * (tt + math.max(tt - dt, 0.0))
-          })
+          emit, trans)
         (1 until nObs).iterator.map { i =>
           val a = pts(i - 1)._3(path(i - 1)); val b = pts(i)._3(path(i))
           if (a.linkId == b.linkId) {
@@ -304,6 +324,43 @@ object MapMatch {
         }
       }
     }
+  }
+
+  /** G4+ — the optional smoother output beside the decode: per candidate
+    * state the forward-backward posterior probability
+    * P(state | all trip observations), over the SAME cost structure the
+    * decode minimizes (Trajectory.py:220-235's calculateProbabilities
+    * runs TrajectorySmoother1 on the identical features/transitions).
+    * Distributed the same way as viterbiLegs: one kernel call per trip.
+    * Returns (trip, pt, link_id, offset_ratio, cand_dist, prob); a point
+    * whose states are all unreachable carries prob 0 rows. */
+  def viterbiPosteriors(
+      cands: DataFrame, tripCol: String, ptCol: String, tsCol: String,
+      skim: Map[(Long, Long), (Double, Vector[Long])],
+      linksById: Map[Long, Link]): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val bcSkim = spark.sparkContext.broadcast(skim)
+    val bcLinks = spark.sparkContext.broadcast(linksById)
+    val rows = cands.select(col(tripCol).cast("string").as("trip"),
+        col(ptCol).cast("long").as("pt"), col(tsCol).cast("double").as("ts"),
+        col("link_id"), col("offset_ratio").cast("double"),
+        col("cand_dist").cast("double"), col("cand_rank"))
+      .as[(String, Long, Double, Long, Double, Double, Int)]
+    rows.groupByKey(_._1).flatMapGroups { (trip, it) =>
+      val pts = assemblePts(it)
+      val nObs = pts.length
+      if (nObs == 0) Iterator.empty
+      else {
+        val (emit, trans) = costFns(pts, bcSkim.value, bcLinks.value)
+        val gamma = Viterbi.smooth(nObs, t => pts(t)._3.length, emit, trans)
+        pts.iterator.zipWithIndex.flatMap { case ((pt, _, states), t) =>
+          states.iterator.zipWithIndex.map { case (st, s) =>
+            (trip, pt, st.linkId, st.offsetRatio, st.dist, gamma(t)(s))
+          }
+        }
+      }
+    }.toDF("trip", "pt", "link_id", "offset_ratio", "cand_dist", "prob")
   }
 
   /** G5 — observed travel time allocated to the links of each matched leg
