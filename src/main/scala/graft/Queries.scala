@@ -4165,6 +4165,28 @@ object Queries {
       FROM stp WHERE DIR < 2 AND qc201 <= 20 AND route > 0
       GROUP BY 1, 2"""))
 
+  /** meanTimes rule method (SFMuniDataAggregator.py:1218-1254): datetime
+    * mean = integer mean of whole epoch seconds (the reference's
+    * Python-2 integer arithmetic end-to-end, sub-second truncation, null
+    * for an all-null group), alongside ordinary rules in the same
+    * engine pass. */
+  val q113RuleaggMeantime = Q(
+    "q113_ruleagg_meantime",
+    (s, d) => {
+      val rules = Seq(
+        AggRule("mean_ts", "ts", AggMethod.MeanTime),
+        AggRule("n", "event_id", AggMethod.Count),
+        AggRule("sum_value", "value", AggMethod.Sum))
+      RuleAgg.aggregate(events(s, d), Seq("event_type"), rules)
+        .select(col("event_type"), col("mean_ts"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+    },
+    Some("""SELECT event_type,
+        make_timestamp(((sum(epoch_us(ts) // 1000000) // count(ts))
+          * 1000000)::BIGINT) AS mean_ts,
+        count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4193,5 +4215,5 @@ object Queries {
     q99BucketedJoin, q100Bm25, q101IncrementalDedup, q102LengthHistogram,
     q103HashSplit, q104TopPerLang, q105SpanDedup, q106TrajectorySim,
     q107PrefixJaccard, q108Resize, q109AnnMultiprobe, q110MovementSkim,
-    q111OdCrosswalk, q112StpRegistry)
+    q111OdCrosswalk, q112StpRegistry, q113RuleaggMeantime)
 }

@@ -41,6 +41,15 @@ object AggMethod {
     * total weight is 0 yields null (pandas would produce inf/NaN; ANSI Spark
     * would throw, so we guard). */
   case object WgtAvg        extends AggMethod
+  /** meanTimes (SFMuniDataAggregator.py:1218-1254): the average of a
+    * datetime column. The reference sums whole seconds per row (ordinal
+    * days + h/m/s — sub-second truncation) and integer-divides by the
+    * non-null count (its arithmetic is Python-2 integer division
+    * end-to-end), returning null for an all-null group. Realized as
+    * built-in aggregates over unix micros — no UDAF, map-side partials
+    * intact. Second-sums stay well inside long range (~1.7e9 s/row ×
+    * up to ~5e9 rows per group). */
+  case object MeanTime      extends AggMethod
   /** Escape hatch for one-off aggregate expressions. */
   final case class Custom(build: String => Column) extends AggMethod
 }
@@ -88,6 +97,9 @@ object RuleAgg {
       case Count         => count(lit(1))
       case CountDistinct => if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
       case CountNonZero  => count_if(c =!= lit(0))
+      case MeanTime      => expr(
+        s"timestamp_seconds(sum(unix_micros(`${rule.in}`) div 1000000) " +
+          s"div count(`${rule.in}`))")
       case WgtSum        => sum(c * w)
       case WgtAvg        => { val tw = sum(w); when(tw =!= 0, sum(c * w) / tw) }
       case Custom(f)     => f(rule.in)

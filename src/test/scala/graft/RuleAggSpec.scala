@@ -78,6 +78,25 @@ class RuleAggSpec extends SparkSpec {
     assert(out.getDouble(1) == 2.0 && out.getDouble(2) == 3.0)
   }
 
+  test("meanTime: whole-second integer mean, truncation, all-null group") {
+    val t = Seq(
+      // "a": 10:00:00.900 and 10:00:03.900 -> whole seconds 0 and 3
+      // since the hour -> mean floor((0+3)/2) = 1 -> 10:00:01
+      ("a", Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00.9"))),
+      ("a", Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:03.9"))),
+      // "b": one null is SKIPPED (count of non-null divides), not zeroed
+      ("b", Some(java.sql.Timestamp.valueOf("2024-01-01 12:00:10"))),
+      ("b", None),
+      ("c", None) // all-null group -> null mean
+    ).toDF("k", "ts")
+    val out = RuleAgg.aggregate(t, Seq("k"),
+        Seq(AggRule("m", "ts", AggMethod.MeanTime)))
+      .orderBy("k").select(col("m").cast("string"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("2024-01-01 10:00:01"), Some("2024-01-01 12:00:10"),
+      None))
+  }
+
   test("maxLevel filters rules") {
     val out = RuleAgg.aggregate(df, Seq("k"), Seq(
       AggRule("s", "x", AggMethod.Sum, maxLevel = 2),
