@@ -46,14 +46,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** True when the active session carries the named injected function.
+  /** True when the GIVEN session carries the named injected function.
     * Checked at plan-build time on the driver; SPARK_GRAFT_HOF is the A/B
     * kill-switch that forces every call site onto its HOF/expression
-    * fallback for benchmarking. */
-  def has(fn: String): Boolean =
-    !sys.env.contains("SPARK_GRAFT_HOF") &&
-      org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
-        try s.catalog.functionExists(fn)
-        catch { case _: Throwable => false }
-      }
+    * fallback for benchmarking.
+    *
+    * Callers must pass the session the plan is BUILT against
+    * (df.sparkSession), not the thread-local active session: in a
+    * multi-session process the active session may carry the extension
+    * while the DataFrame's does not, and the optimistic
+    * `call_function` would then fail analysis instead of falling back. */
+  def has(spark: org.apache.spark.sql.SparkSession, fn: String): Boolean =
+    !sys.env.contains("SPARK_GRAFT_HOF") && {
+      try spark.catalog.functionExists(fn)
+      catch { case _: Throwable => false }
+    }
 }

@@ -61,7 +61,13 @@ case class HausdorffDistance(left: Expression, right: Expression)
 object HausdorffDistance {
 
   /** max over a of min over b of euclidean dist; early-break once a
-    * point's running min cannot raise the running max (exact). */
+    * point's running min cannot raise the running max (exact).
+    *
+    * PRECONDITION: no NaN coordinates. The `d < mn` comparison ignores
+    * NaN distances (an all-NaN row would leave mn = +Infinity), while
+    * the HOF fallback's array_min/array_max order NaN as the largest
+    * double — the two paths agree only on NaN-free input, which
+    * TrajectorySim.traj enforces by dropping NaN-valued points. */
   private def directed(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
     var hmax = 0.0

@@ -99,7 +99,8 @@ object Clustering {
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       .join(assigned.withColumnRenamed(idCol, "__id"), "__id")
     // norms once per vector BELOW the join, not per pair (q44 pattern)
-    val side = withVec.withColumn("__n", Similarity.norm(col("__v")))
+    val side = withVec.withColumn("__n",
+      Similarity.norm(points.sparkSession, col("__v")))
     val a = side.select(col("__id").as("id1"), col("__v").as("v1"),
       col("__n").as("n1"), col("cluster"))
     val b = side.select(col("__id").as("id2"), col("__v").as("v2"),
@@ -107,7 +108,8 @@ object Clustering {
     val nn = col("n1") * col("n2")
     val dropped = a.join(b, Seq("cluster"))
       .where(col("id1") < col("id2"))
-      .where(when(nn > 0, Similarity.dot(col("v1"), col("v2")) / nn)
+      .where(when(nn > 0,
+        Similarity.dot(points.sparkSession, col("v1"), col("v2")) / nn)
         >= threshold)
       .select(col("id2").as("__id")).distinct()
     withVec.join(dropped.withColumn("__drop", lit(true)), Seq("__id"), "left")

@@ -237,7 +237,7 @@ object Dedup {
     // helper key gets a reserved name: joining on "id" then drop("id")
     // would also drop the caller's column when idCol == "id"
     val bits =
-      if (graft.GraftExtensions.has("graft_simhash"))
+      if (graft.GraftExtensions.has(df.sparkSession, "graft_simhash"))
         toks.groupBy("id")
           .agg(call_function("graft_simhash", col("h")).as(out))
           .select(col("id").as("__simhash_id"), col(out))
@@ -366,12 +366,12 @@ object Dedup {
     // candidate pair)
     val s = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.hyperplaneSketch(col("v"), planes, dims))
-      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("nrm", Similarity.norm(df.sparkSession, col("v")))
     val a = s.as("a"); val b = s.as("b")
     val nn = col("a.nrm") * col("b.nrm")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos",
-        when(nn > 0, Similarity.dot(col("a.v"), col("b.v")) / nn))
+        when(nn > 0, Similarity.dot(df.sparkSession, col("a.v"), col("b.v")) / nn))
       .where(col("cos") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         round(col("cos"), 6).as("cos"))

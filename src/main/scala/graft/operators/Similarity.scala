@@ -11,31 +11,37 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** True when the active session carries the GraftExtensions-injected
+  /** True when the given session carries the GraftExtensions-injected
     * native kernels (graft_dot / graft_cosine). Checked at plan-build
     * time on the driver — cheap, and lets every call site transparently
     * upgrade to the fused codegen loop while sessions without the
     * extension (e.g. an embedding host's bare session) keep the
-    * semantically identical HOF plan. */
-  private def nativeAvailable: Boolean =
-    graft.GraftExtensions.has("graft_dot")
+    * semantically identical HOF plan. Callers pass the session the plan
+    * is built against (df.sparkSession) — NOT the thread-local active
+    * session, which in a multi-session process may disagree about the
+    * extension and turn the intended silent fallback into an
+    * unresolved-function analysis error. */
+  private def nativeAvailable(s: org.apache.spark.sql.SparkSession): Boolean =
+    graft.GraftExtensions.has(s, "graft_dot")
 
   /** Dot product of two array columns, computed in double. Fused native
-    * kernel when GraftExtensions is installed; zip_with/aggregate HOF
-    * otherwise (same element order + accumulation → identical results). */
-  def dot(a: Column, b: Column): Column =
-    if (nativeAvailable) call_function("graft_dot", a, b)
+    * kernel when GraftExtensions is installed in `s` (the session the
+    * plan is built against); zip_with/aggregate HOF otherwise (same
+    * element order + accumulation → identical results). */
+  def dot(s: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (nativeAvailable(s)) call_function("graft_dot", a, b)
     else aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(s: org.apache.spark.sql.SparkSession, a: Column): Column =
+    sqrt(dot(s, a, a))
 
   /** Cosine similarity; null when either norm is 0. */
-  def cosine(a: Column, b: Column): Column =
-    if (nativeAvailable) call_function("graft_cosine", a, b)
+  def cosine(s: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (nativeAvailable(s)) call_function("graft_cosine", a, b)
     else {
-      val d = dot(a, b)
-      val nn = norm(a) * norm(b)
+      val d = dot(s, a, b)
+      val nn = norm(s, a) * norm(s, b)
       when(nn > 0, d / nn)
     }
 
@@ -47,16 +53,17 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       probeIdCol: String, k: Int): DataFrame = {
+    val ss = corpus.sparkSession
     // norms are per-vector, not per-pair: compute them BEFORE the join
     // (cosine() inline would re-reduce both arrays for every candidate)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      norm(col(vecCol)).as("__cn"))
+      norm(ss, col(vecCol)).as("__cn"))
     val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
-      norm(col(vecCol)).as("__pn"))
+      norm(ss, col(vecCol)).as("__pn"))
     val scored = c.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos",
         when(col("__cn") * col("__pn") > 0,
-          dot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))))
+          dot(ss, col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -124,6 +131,7 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       probeIdCol: String, centroids: DataFrame, k: Int,
       nprobe: Int = 1): DataFrame = {
+    val ss = corpus.sparkSession
     def assigned(df: DataFrame, outId: String, n: Int): DataFrame = {
       val d2 = aggregate(
         zip_with(col("__v"), col("centroid"),
@@ -138,17 +146,17 @@ object Similarity {
     }
     val c = assigned(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"),
-        norm(col(vecCol)).as("__cn")), "neighbor_id", 1)
+        norm(ss, col(vecCol)).as("__cn")), "neighbor_id", 1)
       .withColumnRenamed("__v", "__cv")
     val p = assigned(
       probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__v"),
-        norm(col(vecCol)).as("__pn")), "probe_id", nprobe)
+        norm(ss, col(vecCol)).as("__pn")), "probe_id", nprobe)
       .withColumnRenamed("__v", "__pv")
     val scored = c.join(broadcast(p), Seq("cell"))
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos",
         when(col("__cn") * col("__pn") > 0,
-          dot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))))
+          dot(ss, col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -161,26 +169,33 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       probeIdCol: String, k: Int, planes: Int = 6, dims: Int = 64,
       multiProbe: Boolean = false): DataFrame = {
+    val ss = corpus.sparkSession
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-        norm(col(vecCol)).as("__cn"))
+        norm(ss, col(vecCol)).as("__cn"))
       .withColumn("bucket", hyperplaneSketch(col("__cv"), planes, dims))
     // multi-probe: each probe also searches the `planes` buckets one
     // hyperplane-sign flip away (the classic recall knob — a vector near
     // a plane lands on either side with near-even odds, so the 1-bit
     // neighborhood recovers most banding misses at (planes+1)x probe
     // fan-out and ZERO extra corpus-side work: the corpus still indexes
-    // each vector once, only the broadcast probe table widens)
+    // each vector once, only the broadcast probe table widens).
+    // The base sketch lands in a COLUMN first and the flip set XORs
+    // col("__sig"): inlining hyperplaneSketch inside the transform lambda
+    // would re-reduce the planes x dims projection once per flipped
+    // bucket per probe row (the Text.wordShingles outer-expression
+    // re-evaluation trap — benign here only because probes are small,
+    // but free to avoid).
+    val pBase = probes.select(col(probeIdCol).as("probe_id"),
+        col(vecCol).as("__pv"), norm(ss, col(vecCol)).as("__pn"))
+      .withColumn("__sig", hyperplaneSketch(col("__pv"), planes, dims))
     val probeBuckets: Column =
       if (multiProbe)
         explode(concat(
-          array(hyperplaneSketch(col("__pv"), planes, dims)),
+          array(col("__sig")),
           transform(sequence(lit(0), lit(planes - 1)), b =>
-            hyperplaneSketch(col("__pv"), planes, dims)
-              .bitwiseXOR(call_function("shiftleft", lit(1L), b)))))
-      else hyperplaneSketch(col("__pv"), planes, dims)
-    val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
-        norm(col(vecCol)).as("__pn"))
-      .withColumn("bucket", probeBuckets)
+            col("__sig").bitwiseXOR(call_function("shiftleft", lit(1L), b)))))
+      else col("__sig")
+    val p = pBase.withColumn("bucket", probeBuckets).drop("__sig")
     // no pair dedup needed in EITHER mode: the probe's multi-probe
     // buckets (s, s^1, s^2, ...) are pairwise distinct (XOR with
     // distinct single bits) and each corpus vector carries exactly one
@@ -190,7 +205,7 @@ object Similarity {
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos",
         when(col("__cn") * col("__pn") > 0,
-          dot(col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))))
+          dot(ss, col("__cv"), col("__pv")) / (col("__cn") * col("__pn"))))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -49,6 +49,14 @@ object TrajectorySim {
   private def traj(events: DataFrame, keyCol: String, tsCol: String,
                    tieCol: String, valCol: String): DataFrame =
     events
+      // no-NaN precondition of the Hausdorff kernels, enforced here: the
+      // native early-break loop ignores NaN distances (its `d < mn`
+      // comparison is false for NaN) while the HOF fallback's
+      // array_min/array_max order NaN as the LARGEST double, so a NaN
+      // value could score differently between the two paths. Dropping
+      // NaN points makes both paths see the same (NaN-free) trajectory;
+      // NULL values are already skipped by collect_list.
+      .where(!isnan(col(valCol).cast("double")))
       .groupBy(col(keyCol).as("id"))
       .agg(
         sort_array(collect_list(struct(
@@ -99,7 +107,7 @@ object TrajectorySim {
     // (bit-identical value: the break skips work that cannot change the
     // max — see HausdorffDistance); nested-HOF fallback otherwise
     val h =
-      if (graft.GraftExtensions.has("graft_hausdorff"))
+      if (graft.GraftExtensions.has(events.sparkSession, "graft_hausdorff"))
         call_function("graft_hausdorff", col("ta"), col("tb"))
       else greatest(directed(col("ta"), col("tb")),
         directed(col("tb"), col("ta")))

@@ -82,6 +82,15 @@ object Workbook {
         // per-file window (not a global one): the canary-safe shape, and
         // correct if a glob ever matches several sheet files
         val w = Window.partitionBy(col("__file"))
+        // INTENTIONAL: a blank row anywhere after the header starts the
+        // footer — blanks reach detection un-filtered so a footer block
+        // that OPENS with its blank separator line still triggers (the
+        // BART workbook shape). Corollary: a blank row in the middle of
+        // the data block truncates everything below it, exactly like
+        // the reference's read_excel footer handling of a sheet whose
+        // data region ends at the first non-parsing row; mid-data
+        // blanks are a malformed sheet, not a supported layout
+        // (WorkbookSpec pins both behaviors).
         val badLine = when(col(k).try_cast("double").isNull, col("__lineno"))
         data0
           .withColumn("__footer_start", min(badLine).over(w))

@@ -87,7 +87,7 @@ class NativeExprSpec extends SparkSpec {
 
   test("Similarity.dot routes through the native kernel when available") {
     val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
-    val plan = df.select(Similarity.dot(col("v"), col("v")))
+    val plan = df.select(Similarity.dot(df.sparkSession, col("v"), col("v")))
       .queryExecution.analyzed.toString
     assert(plan.contains("graft_dot"))
   }

@@ -51,6 +51,25 @@ class WorkbookSpec extends SparkSpec {
       s"totals row below the blank separator leaked: ${rows.toSeq}")
   }
 
+  test("mid-data blank row truncates the rest of the block (documented)") {
+    // a blank row INSIDE the data region is indistinguishable from a
+    // footer separator at read time; the documented contract (see
+    // Workbook.readSheet) is that it starts the footer and everything
+    // below is dropped — a malformed sheet truncates loudly-by-count
+    // rather than silently re-including post-blank rows
+    val dir = Files.createTempDirectory("wb4").toString
+    writeSheet(dir, "Data", Seq(
+      "Year,Val",
+      "2001,10.5",
+      "",               // malformed: blank inside the data block
+      "2002,11.0",      // parseable but below the blank: dropped
+      "2003,12.0"))
+    val df = Workbook.readSheet(spark, dir, "Data",
+      skipRows = 0, footerKey = Some("Year"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(("2001", "10.5")))
+  }
+
   test("no footerKey keeps every post-header row") {
     val dir = Files.createTempDirectory("wb2").toString
     writeSheet(dir, "Data", Seq("K,V", "1,a", "x,b"))
