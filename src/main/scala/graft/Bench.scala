@@ -70,10 +70,27 @@ object Bench {
     // every round, so raw total seconds alone would read as a regression
     val mean = if (results.nonEmpty) total / results.size else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // steady-state evidence for the hottest queries: the single-shot
+    // numbers above vary ±40% on this VM (and the round-4 driver run was
+    // 10-20x contention-polluted on a handful) — three further
+    // iterations per top-10 query, recorded next to the single shots,
+    // let a reader separate a real regression from a noisy shot without
+    // a separate adjudication run
+    val hot = results.sortBy(-_._2).take(10).map(_._1).toSet
+    val steady = Queries.all.filter(q => hot.contains(q.name)).map { q =>
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      "\"" + q.name + "\":[" + times.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"mean_per_query":${r3(mean)},"queries":$qs,"sf":"$sfDir"}"""
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{\"queries\":{", ",",
-        s"},\"total\":${r3(total)},\"n_failed\":${failed.size},\"failed\":$failedJson,\"sf\":\"$sfDir\"}")
+        s"},\"total\":${r3(total)},\"n_failed\":${failed.size},\"failed\":$failedJson,\"steady_state\":$steady,\"sf\":\"$sfDir\"}")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     println(line)
