@@ -1736,22 +1736,32 @@ object Queries {
     (s, d) =>
       // sketch estimates are engine-specific, so raw values can't hash
       // against DuckDB — instead the query ASSERTS the sketches' error
-      // bounds against the exact aggregates computed in the same pass
-      // (the SketchSpec bounds, driver-checkable): a drifting sketch
-      // flips a boolean to false and hash-mismatches the all-true oracle.
-      // approx_count_distinct's default rsd is 0.05; approx_percentile at
-      // default accuracy sits well inside 2% on these distributions.
-      lineitem(s, d).groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey")).as("__approx_parts"),
-          expr("percentile(l_extendedprice, 0.95)").as("__exact_p95"),
-          expr("approx_percentile(l_extendedprice, 0.95)").as("__approx_p95"))
-        .select(col("l_returnflag"), col("n"), col("exact_parts"),
-          (abs(col("__approx_parts") - col("exact_parts")) /
-            col("exact_parts") <= 0.05).as("parts_within_5pct"),
-          (abs(col("__approx_p95") - col("__exact_p95")) /
-            col("__exact_p95") <= 0.02).as("p95_within_2pct")),
+      // bounds against the exact aggregates (the SketchSpec bounds,
+      // driver-checkable): a drifting sketch flips a boolean to false
+      // and hash-mismatches the all-true oracle. approx_count_distinct's
+      // default rsd is 0.05; approx_percentile at default accuracy sits
+      // well inside 2% on these distributions.
+      // The exact distinct count runs as its OWN two-stage aggregation
+      // joined back on the 3-row group frame: countDistinct inline with
+      // the percentile aggregates would plan an Expand that doubles
+      // every input row through the sort-heavy percentile path
+      // (measured 9 s steady vs ~3 s split).
+      {
+        val base = lineitem(s, d).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            approx_count_distinct(col("l_partkey")).as("__approx_parts"),
+            expr("percentile(l_extendedprice, 0.95)").as("__exact_p95"),
+            expr("approx_percentile(l_extendedprice, 0.95)").as("__approx_p95"))
+        val dist = lineitem(s, d).select("l_returnflag", "l_partkey")
+          .distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+        base.join(broadcast(dist), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n"), col("exact_parts"),
+            (abs(col("__approx_parts") - col("exact_parts")) /
+              col("exact_parts") <= 0.05).as("parts_within_5pct"),
+            (abs(col("__approx_p95") - col("__exact_p95")) /
+              col("__exact_p95") <= 0.02).as("p95_within_2pct"))
+      },
     Some("""SELECT l_returnflag, count(*) AS n,
         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         true AS parts_within_5pct, true AS p95_within_2pct
