@@ -80,8 +80,12 @@ object Bench {
     val steady = Queries.all.filter(q => hot.contains(q.name)).map { q =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
+        // loud, like the single-shot loop: a silent catch here would be
+        // exactly the swallowed-error class the log-sweep discipline bans
         try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] steady-state ${q.name} FAILED: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       spark.catalog.clearCache()

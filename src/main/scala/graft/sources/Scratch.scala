@@ -15,7 +15,16 @@ package graft.sources
   */
 object Scratch {
   private val root: java.io.File = {
-    val f = new java.io.File("/root/repo/tmp",
+    val base = new java.io.File("/root/repo/tmp")
+    // a kill -9 skips the shutdown hook, so orphaned run dirs from dead
+    // processes would otherwise accumulate ~100s of MB per run; sweep
+    // siblings untouched for a day (any LIVE run is hours old at most)
+    val dayMs = 24L * 3600 * 1000
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.getName.startsWith("run_") &&
+        d.lastModified() < System.currentTimeMillis() - dayMs)
+      .foreach(d => Sinks.rmrf(d.getPath))
+    val f = new java.io.File(base,
       s"run_${ProcessHandle.current().pid()}_" +
         java.lang.Long.toHexString(System.nanoTime()))
     f.mkdirs()

@@ -118,6 +118,9 @@ object StpRegistry {
   def read(
       spark: SparkSession, path: String,
       cols: Seq[Entry] = defaultColumns): DataFrame = {
+    require(cols.exists(_.name == "SEQ"),
+      "StpRegistry.read needs SEQ in the column set: the mid-file header " +
+        "dropna keys on it (SFMuniDataHelper.py:443,459)")
     val df = FixedWidth.read(spark, path, readerSpecs(cols),
       naValues = Seq("ID"))
     val forced = cols.map { e =>
