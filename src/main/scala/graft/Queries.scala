@@ -4214,6 +4214,41 @@ object Queries {
         count(*) AS n, round(sum(value), 4) AS sum_value
       FROM events GROUP BY 1"""))
 
+  /** G4+ — smoother posteriors under the driver gate
+    * (Trajectory.py:220-235): two identical parallel links equidistant
+    * from a centerline trip make every path-cost term symmetric, so the
+    * forward-backward posterior is EXACTLY 1/2 per candidate (and 1.0
+    * for an offset trip that sees a single candidate) — transcendental
+    * exp() never reaches the output, so the values hash against a
+    * VALUES oracle. */
+  val q114ViterbiPosteriors = Q(
+    "q114_viterbi_posteriors",
+    (s, d) => {
+      import graft.pipelines.MapMatch
+      import s.implicits._
+      val links = Seq(
+        MapMatch.Link(31L, 20000, 100, 21000, 100, 50),
+        MapMatch.Link(32L, 20000, -100, 21000, -100, 50))
+      val skim = MapMatch.linkSkimPenalized(
+        links, MapMatch.geometricMovements(links))
+      val byId = links.map(l => l.linkId -> l).toMap
+      val pts = Seq(
+        // trip A rides the centerline: both links at distance 100
+        ("A", 0L, 0.0, 20600.0, 0.0), ("A", 1L, 60.0, 20900.0, 0.0),
+        // trip B rides offset +80: link 31 at 20, link 32 at 180 (> 150)
+        ("B", 0L, 0.0, 20600.0, 80.0), ("B", 1L, 60.0, 20900.0, 80.0)
+      ).toDF("trip", "pt", "ts", "x", "y")
+      val cands = MapMatch.candidateStates(pts, links, "trip", "pt", "x", "y")
+      MapMatch.viterbiPosteriors(cands, "trip", "pt", "ts", skim, byId)
+        .select(col("trip"), col("pt"), col("link_id"),
+          round(col("prob"), 6).as("prob"))
+    },
+    Some("""SELECT * FROM (VALUES
+        ('A', 0, 31, 0.5), ('A', 0, 32, 0.5),
+        ('A', 1, 31, 0.5), ('A', 1, 32, 0.5),
+        ('B', 0, 31, 1.0), ('B', 1, 31, 1.0))
+      t(trip, pt, link_id, prob)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4242,5 +4277,6 @@ object Queries {
     q99BucketedJoin, q100Bm25, q101IncrementalDedup, q102LengthHistogram,
     q103HashSplit, q104TopPerLang, q105SpanDedup, q106TrajectorySim,
     q107PrefixJaccard, q108Resize, q109AnnMultiprobe, q110MovementSkim,
-    q111OdCrosswalk, q112StpRegistry, q113RuleaggMeantime)
+    q111OdCrosswalk, q112StpRegistry, q113RuleaggMeantime,
+    q114ViterbiPosteriors)
 }
