@@ -77,13 +77,15 @@ object Bench {
     // let a reader separate a real regression from a noisy shot without
     // a separate adjudication run
     val hot = results.sortBy(-_._2).take(10).map(_._1).toSet
+    val steadyFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     val steady = Queries.all.filter(q => hot.contains(q.name)).map { q =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        // loud, like the single-shot loop: a silent catch here would be
-        // exactly the swallowed-error class the log-sweep discipline bans
+        // loud AND in the artifact, like the single-shot loop: a failed
+        // iteration must not masquerade as a fast steady sample
         try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
+          if (!steadyFailed.contains(q.name)) steadyFailed += q.name
           System.err.println(s"[bench] steady-state ${q.name} FAILED: $e")
         }
         (System.nanoTime() - t0) / 1e9
@@ -91,10 +93,12 @@ object Bench {
       spark.catalog.clearCache()
       "\"" + q.name + "\":[" + times.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val steadyFailedJson =
+      steadyFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"mean_per_query":${r3(mean)},"queries":$qs,"sf":"$sfDir"}"""
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{\"queries\":{", ",",
-        s"},\"total\":${r3(total)},\"n_failed\":${failed.size},\"failed\":$failedJson,\"steady_state\":$steady,\"sf\":\"$sfDir\"}")
+        s"},\"total\":${r3(total)},\"n_failed\":${failed.size},\"failed\":$failedJson,\"steady_state\":$steady,\"steady_failed\":$steadyFailedJson,\"sf\":\"$sfDir\"}")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     println(line)

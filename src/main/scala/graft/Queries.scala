@@ -1739,8 +1739,13 @@ object Queries {
       // bounds against the exact aggregates (the SketchSpec bounds,
       // driver-checkable): a drifting sketch flips a boolean to false
       // and hash-mismatches the all-true oracle. approx_count_distinct's
-      // default rsd is 0.05; approx_percentile at default accuracy sits
-      // well inside 2% on these distributions.
+      // default rsd 0.05 is ONE standard deviation of HLL++ relative
+      // error, not a guarantee — the assertion uses 3x rsd (= 15%,
+      // ~99.7% coverage) so a legitimate 1-sigma excursion at an
+      // untested scale can't fake a correctness failure; the tight 5%
+      // observation stays asserted in SketchSpec on the known tables.
+      // approx_percentile at default accuracy sits orders of magnitude
+      // inside 2% on these group sizes.
       // The exact distinct count runs as its OWN two-stage aggregation
       // joined back on the 3-row group frame: countDistinct inline with
       // the percentile aggregates would plan an Expand that doubles
@@ -1758,13 +1763,13 @@ object Queries {
         base.join(broadcast(dist), Seq("l_returnflag"))
           .select(col("l_returnflag"), col("n"), col("exact_parts"),
             (abs(col("__approx_parts") - col("exact_parts")) /
-              col("exact_parts") <= 0.05).as("parts_within_5pct"),
+              col("exact_parts") <= 0.15).as("parts_within_3rsd"),
             (abs(col("__approx_p95") - col("__exact_p95")) /
               col("__exact_p95") <= 0.02).as("p95_within_2pct"))
       },
     Some("""SELECT l_returnflag, count(*) AS n,
         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-        true AS parts_within_5pct, true AS p95_within_2pct
+        true AS parts_within_3rsd, true AS p95_within_2pct
       FROM lineitem GROUP BY 1"""))
 
   /** T6 — anchored cumulative reconstruction: monthly net changes plus one

@@ -44,11 +44,16 @@ object AggMethod {
   /** meanTimes (SFMuniDataAggregator.py:1218-1254): the average of a
     * datetime column. The reference sums whole seconds per row (ordinal
     * days + h/m/s — sub-second truncation) and integer-divides by the
-    * non-null count (its arithmetic is Python-2 integer division
-    * end-to-end), returning null for an all-null group. Realized as
-    * built-in aggregates over unix micros — no UDAF, map-side partials
-    * intact. Second-sums stay well inside long range (~1.7e9 s/row ×
-    * up to ~5e9 rows per group). */
+    * non-null count (Python-2 integer division end-to-end), returning
+    * null for an all-null group. Both steps here are FLOOR division
+    * (via pmod), not Spark's truncate-toward-zero `div`: the reference's
+    * second counts are always positive (ordinal days run from year 1)
+    * so it never distinguishes the two, but epoch-based arithmetic
+    * meets negative values on pre-1970 timestamps, where floor is what
+    * Python's // and DuckDB's // both do. Realized as built-in
+    * aggregates over unix micros — no UDAF, map-side partials intact.
+    * Second-sums stay well inside long range (~1.7e9 s/row × up to
+    * ~5e9 rows per group). */
   case object MeanTime      extends AggMethod
   /** Escape hatch for one-off aggregate expressions. */
   final case class Custom(build: String => Column) extends AggMethod
@@ -97,9 +102,14 @@ object RuleAgg {
       case Count         => count(lit(1))
       case CountDistinct => if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
       case CountNonZero  => count_if(c =!= lit(0))
-      case MeanTime      => expr(
-        s"timestamp_seconds(sum(unix_micros(`${rule.in}`) div 1000000) " +
-          s"div count(`${rule.in}`))")
+      case MeanTime      => {
+        // floor(a/b) = (a - pmod(a, b)) div b: pmod is non-negative, so
+        // the subtraction makes the division exact (truncate == floor)
+        val us = s"unix_micros(`${rule.in}`)"
+        val rowSec = s"(($us - pmod($us, 1000000)) div 1000000)"
+        val n = s"count(`${rule.in}`)"
+        expr(s"timestamp_seconds((sum($rowSec) - pmod(sum($rowSec), $n)) div $n)")
+      }
       case WgtSum        => sum(c * w)
       case WgtAvg        => { val tw = sum(w); when(tw =!= 0, sum(c * w) / tw) }
       case Custom(f)     => f(rule.in)

@@ -17,12 +17,19 @@ object Scratch {
   private val root: java.io.File = {
     val base = new java.io.File("/root/repo/tmp")
     // a kill -9 skips the shutdown hook, so orphaned run dirs from dead
-    // processes would otherwise accumulate ~100s of MB per run; sweep
-    // siblings untouched for a day (any LIVE run is hours old at most)
-    val dayMs = 24L * 3600 * 1000
+    // processes would otherwise accumulate ~100s of MB per run. The dir
+    // name encodes the owning pid: sweep a sibling only when that pid no
+    // longer exists — precise for live runs of ANY age (an mtime
+    // heuristic could rmrf a >1-day run mid-read), and merely
+    // conservative on pid reuse (the dir survives until the recycled
+    // pid dies).
     Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.getName.startsWith("run_") &&
-        d.lastModified() < System.currentTimeMillis() - dayMs)
+      .filter { d =>
+        d.getName.startsWith("run_") && {
+          val pid = d.getName.split("_").lift(1).flatMap(_.toLongOption)
+          pid.exists(p => !ProcessHandle.of(p).isPresent)
+        }
+      }
       .foreach(d => Sinks.rmrf(d.getPath))
     val f = new java.io.File(base,
       s"run_${ProcessHandle.current().pid()}_" +

@@ -87,14 +87,19 @@ class RuleAggSpec extends SparkSpec {
       // "b": one null is SKIPPED (count of non-null divides), not zeroed
       ("b", Some(java.sql.Timestamp.valueOf("2024-01-01 12:00:10"))),
       ("b", None),
-      ("c", None) // all-null group -> null mean
+      ("c", None), // all-null group -> null mean
+      // "d": pre-1970 — floor semantics, not truncate-toward-zero:
+      // 23:59:59.5 floors to epoch second -1 (trunc would give 0), and
+      // the mean floor((-1 + 2) / 2) = 0 (trunc of the old sum gave 1)
+      ("d", Some(java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5"))),
+      ("d", Some(java.sql.Timestamp.valueOf("1970-01-01 00:00:02")))
     ).toDF("k", "ts")
     val out = RuleAgg.aggregate(t, Seq("k"),
         Seq(AggRule("m", "ts", AggMethod.MeanTime)))
       .orderBy("k").select(col("m").cast("string"))
       .as[Option[String]].collect().toSeq
     assert(out == Seq(Some("2024-01-01 10:00:01"), Some("2024-01-01 12:00:10"),
-      None))
+      None, Some("1970-01-01 00:00:00")))
   }
 
   test("maxLevel filters rules") {
