@@ -4254,6 +4254,194 @@ object Queries {
         ('B', 0, 31, 1.0), ('B', 1, 31, 1.0))
       t(trip, pt, link_id, prob)"""))
 
+  /** CCNet-style LM quality scoring (Wenzek et al., LREC 2020): an
+    * add-one bigram model trained on the deterministic hash-split
+    * "train" slice scores every document's mean bigram NLL — the
+    * "perplexity against a reference model" curation signal. The bigram
+    * count table joins by shuffle (it scales with corpus, not vocab);
+    * unigrams + vocab size broadcast. */
+  val q115LmPerplexity = Q(
+    "q115_lm_perplexity",
+    (s, d) =>
+      graft.operators.LangModel.bigramNll(
+        documents(s, d), "doc_id", "text",
+        Curation.hashSplit(col("doc_id")) === "train"),
+    Some(s"""WITH t AS ($duckToksSql),
+      ref AS (
+        SELECT doc_id, toks FROM t
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80),
+      uni AS (
+        SELECT w, count(*) AS c1
+        FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY 1),
+      v AS (SELECT count(*) AS v FROM uni),
+      bi AS (
+        SELECT bg, count(*) AS c12 FROM (
+          SELECT toks[i] || ' ' || toks[i + 1] AS bg
+          FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                FROM ref WHERE len(toks) >= 2))
+        GROUP BY 1),
+      db AS (
+        SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE len(toks) >= 2)),
+      sc AS (
+        SELECT db.doc_id,
+          CAST(round(-ln((coalesce(bi.c12, 0) + 1.0) /
+                         (coalesce(uni.c1, 0) + v.v)), 9) AS DECIMAL(28,9)) AS nll
+        FROM db LEFT JOIN bi USING (bg)
+                LEFT JOIN uni ON db.w1 = uni.w
+                CROSS JOIN v)
+      SELECT doc_id, count(*) AS n_bigrams,
+        round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+      FROM sc GROUP BY 1"""))
+
+  /** DSIR hashed importance weights (Xie et al., NeurIPS 2023): rank the
+    * corpus by target-likeness of its hashed unigram distribution —
+    * target = three sources, raw = everything. One explode pass, a
+    * 256-row broadcast log-ratio dimension, decimal-exact weight sums. */
+  val q116DsirWeights = Q(
+    "q116_dsir_weights",
+    (s, d) =>
+      Curation.dsirWeights(documents(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2")),
+    Some("""WITH d AS (
+        SELECT doc_id, source IN ('src0', 'src1', 'src2') AS t,
+          CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+          END AS toks
+        FROM documents),
+      bc AS (
+        SELECT doc_id, t,
+          ('0x' || substr(md5('7:' || tok), 1, 15))::BIGINT % 256 AS bucket,
+          count(*) AS n
+        FROM (SELECT doc_id, t, unnest(toks) AS tok FROM d)
+        GROUP BY 1, 2, 3),
+      pb AS (
+        SELECT bucket, sum(CASE WHEN t THEN n ELSE 0 END) AS ct, sum(n) AS cr
+        FROM bc GROUP BY 1),
+      tt AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM pb),
+      dim AS (
+        SELECT bucket,
+          round(ln((ct + 1.0) / (tt + 256.0)) - ln((cr + 1.0) / (tr + 256.0)), 9) AS lr
+        FROM pb CROSS JOIN tt),
+      sc AS (
+        SELECT bc.doc_id, bc.n,
+          CAST(round(bc.n * dim.lr, 9) AS DECIMAL(28,9)) AS c
+        FROM bc JOIN dim USING (bucket))
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        round(CAST(sum(c) AS DOUBLE), 6) AS dsir_weight
+      FROM sc GROUP BY 1"""))
+
+  /** The Gopher quality-rule battery (Rae et al. 2021, Appendix A1.1)
+    * rolled up per language: how many documents pass each published rule
+    * and all of them together. Map-only per-row flags + one tiny groupBy
+    * — filtering 100 TB at this step never shuffles the corpus. */
+  val q117GopherRules = Q(
+    "q117_gopher_rules",
+    (s, d) =>
+      Curation.gopherFlags(documents(s, d), "text", stopwords)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("r_words")).as("n_words_ok"),
+          count_if(col("r_meanlen")).as("n_meanlen_ok"),
+          count_if(col("r_symbol")).as("n_symbol_ok"),
+          count_if(col("r_bullet")).as("n_bullet_ok"),
+          count_if(col("r_ellipsis")).as("n_ellipsis_ok"),
+          count_if(col("r_alpha")).as("n_alpha_ok"),
+          count_if(col("r_stop")).as("n_stop_ok"),
+          count_if(col("pass_all")).as("n_pass")),
+    Some("""WITH f AS (
+        SELECT lang,
+          len(toks) AS n_words,
+          CASE WHEN len(toks) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_words,
+          CASE WHEN len(toks) > 0 AND
+                 (length(norm) - (len(toks) - 1)) / len(toks) BETWEEN 3.0 AND 10.0
+               THEN 1 ELSE 0 END AS r_meanlen,
+          CASE WHEN len(toks) > 0 AND
+                 len(regexp_extract_all(text, '#|\.\.\.')) / len(toks) <= 0.1
+               THEN 1 ELSE 0 END AS r_symbol,
+          CASE WHEN len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+                 / len(lines) <= 0.9 THEN 1 ELSE 0 END AS r_bullet,
+          CASE WHEN len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                 / len(lines) <= 0.3 THEN 1 ELSE 0 END AS r_ellipsis,
+          CASE WHEN len(toks) > 0 AND
+                 len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                 / len(toks) >= 0.8 THEN 1 ELSE 0 END AS r_alpha,
+          CASE WHEN len(list_filter(toks, w -> w IN ('the', 'a', 'and', 'of', 'in'))) >= 2
+               THEN 1 ELSE 0 END AS r_stop
+        FROM (
+          SELECT lang, text,
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+            CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+            END AS toks,
+            string_split(text, chr(10)) AS lines
+          FROM documents))
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(r_words) AS BIGINT) AS n_words_ok,
+        CAST(sum(r_meanlen) AS BIGINT) AS n_meanlen_ok,
+        CAST(sum(r_symbol) AS BIGINT) AS n_symbol_ok,
+        CAST(sum(r_bullet) AS BIGINT) AS n_bullet_ok,
+        CAST(sum(r_ellipsis) AS BIGINT) AS n_ellipsis_ok,
+        CAST(sum(r_alpha) AS BIGINT) AS n_alpha_ok,
+        CAST(sum(r_words * r_meanlen * r_symbol * r_bullet * r_ellipsis * r_alpha * r_stop) AS BIGINT) AS n_pass,
+        CAST(sum(r_stop) AS BIGINT) AS n_stop_ok
+      FROM f GROUP BY 1"""))
+
+  /** Length-aware zipper pair packing vs adjacent baseline: pairing
+    * longest-with-shortest inside each hash shard concentrates pair
+    * lengths around the mean, cutting fixed-capacity padding waste — the
+    * sorted-batching heuristic, shard-keyed so no global sort exists at
+    * any scale. Two window passes over the same shard partitioning, one
+    * summary row per strategy. */
+  val q118ZipperPack = Q(
+    "q118_zipper_pack",
+    (s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      def roll(df: DataFrame, tag: String) =
+        df.groupBy().agg(count(lit(1)).as("n_pairs"),
+            sum("padding").as("total_padding"),
+            sum("overflow").as("total_overflow"),
+            sum("pair_tokens").as("total_tokens"))
+          .withColumn("strategy", lit(tag))
+      roll(Packing.zipperPack(docs, "doc_id", "n_tokens", 8, 128, zipper = true),
+          "zipper")
+        .unionByName(
+          roll(Packing.zipperPack(docs, "doc_id", "n_tokens", 8, 128, zipper = false),
+            "adjacent"))
+    },
+    Some(s"""WITH t AS ($duckToksSql),
+      d AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+        FROM t),
+      rz AS (
+        SELECT shard, n_tokens,
+          row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rk,
+          count(*) OVER (PARTITION BY shard) AS n
+        FROM d),
+      pz AS (
+        SELECT shard, least(rk, n + 1 - rk) AS pair, sum(n_tokens) AS pt
+        FROM rz GROUP BY 1, 2),
+      ra AS (
+        SELECT shard, n_tokens,
+          row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
+        FROM d),
+      pa AS (
+        SELECT shard, (rk + 1) // 2 AS pair, sum(n_tokens) AS pt
+        FROM ra GROUP BY 1, 2),
+      u AS (
+        SELECT 'zipper' AS strategy, pt FROM pz
+        UNION ALL
+        SELECT 'adjacent' AS strategy, pt FROM pa)
+      SELECT count(*) AS n_pairs,
+        CAST(sum(greatest(0, 128 - pt)) AS BIGINT) AS total_padding,
+        CAST(sum(greatest(0, pt - 128)) AS BIGINT) AS total_overflow,
+        CAST(sum(pt) AS BIGINT) AS total_tokens,
+        strategy
+      FROM u GROUP BY strategy"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4283,5 +4471,6 @@ object Queries {
     q103HashSplit, q104TopPerLang, q105SpanDedup, q106TrajectorySim,
     q107PrefixJaccard, q108Resize, q109AnnMultiprobe, q110MovementSkim,
     q111OdCrosswalk, q112StpRegistry, q113RuleaggMeantime,
-    q114ViterbiPosteriors)
+    q114ViterbiPosteriors, q115LmPerplexity, q116DsirWeights,
+    q117GopherRules, q118ZipperPack)
 }

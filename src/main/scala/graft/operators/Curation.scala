@@ -143,4 +143,112 @@ object Curation {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
   }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023): score every document by how target-like its hashed unigram
+    * feature distribution is,
+    *
+    *   weight(doc) = sum over tokens of
+    *     ln p_target(bucket(tok)) - ln p_raw(bucket(tok))
+    *
+    * with add-alpha-smoothed bucket distributions over `buckets` hashed
+    * feature buckets, target = the `isTarget` slice, raw = the whole
+    * corpus. The bucket hash is the engine-portable md5-derived 64-bit
+    * hash ([[graft.functions.Text.md5Hash64]]), so the DuckDB oracle
+    * reproduces bucketing exactly.
+    *
+    * Plan shape: ONE explode pass builds per-(doc, bucket) token counts
+    * with map-side combine; both distributions fall out of that table in
+    * a <= `buckets`-row aggregate (the target flag rides the groupBy, so
+    * no second corpus scan for the target counts); the per-bucket
+    * log-ratio table is a broadcast dimension of `buckets` rows; the only
+    * data-sized shuffle is the (doc, bucket) aggregation. At 100 TB the
+    * per-(doc, bucket) frame would be persisted once and reused — here it
+    * is evaluated for the dimension build and the scoring join (two scans,
+    * same discipline as contamination).
+    *
+    * Per-bucket log-ratios are rounded to 9 dp; each (doc, bucket)
+    * contribution n * lr is a double product of identical operands on
+    * both engines, re-rounded to 9 dp and summed as exact decimal
+    * (order-independent — the bm25 discipline).
+    *
+    * Returns (idCol, n_tokens, dsir_weight) for docs with >= 1 token.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 256,
+                  alpha: Double = 1.0, seed: Int = 7): DataFrame = {
+    require(buckets > 0, s"dsirWeights needs a positive bucket count, got $buckets")
+    val bcnt = df
+      .select(col(idCol).as("id"), isTarget.as("__t"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", pmod(Text.md5Hash64(col("tok"), seed), lit(buckets.toLong)))
+      .groupBy("id", "__t", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val perBucket = bcnt.groupBy("bucket")
+      .agg(sum(when(col("__t"), col("n")).otherwise(0L)).as("ct"),
+        sum(col("n")).as("cr"))
+    val totals = perBucket
+      .agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+      .withColumn("__k", Guards.constKey(col("tt")))
+    val lr = round(
+      log((col("ct") + lit(alpha)) / (col("tt") + lit(alpha * buckets))) -
+        log((col("cr") + lit(alpha)) / (col("tr") + lit(alpha * buckets))), 9)
+    val dim = perBucket
+      .withColumn("__k", Guards.constKey(col("bucket")))
+      .join(broadcast(totals), "__k")
+      .select(col("bucket"), lr.as("lr"))
+    bcnt
+      .join(broadcast(dim), "bucket")
+      .withColumn("__c", round(col("n") * col("lr"), 9).cast("decimal(28,9)"))
+      .groupBy("id")
+      .agg(sum(col("n")).as("n_tokens"),
+        round(sum(col("__c")).cast("double"), 6).as("dsir_weight"))
+      .select(col("id").as(idCol), col("n_tokens"), col("dsir_weight"))
+  }
+
+  /** The Gopher document-quality rule battery (Rae et al., "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * 2021, Appendix A1.1) as pure per-row expressions — the published
+    * heuristic filter suite every large text pipeline runs before
+    * training. Map-only: filtering 100 TB never shuffles.
+    *
+    * Rules (each a boolean column; `pass_all` is their conjunction):
+    *  - `r_words`:    50 <= word count <= 100,000
+    *  - `r_meanlen`:  3 <= mean word length <= 10 (computed integrally
+    *                  from the normalized text: (chars - spaces) / words)
+    *  - `r_symbol`:   (# of '#' or '...' occurrences) / words <= 0.1
+    *  - `r_bullet`:   <= 90% of lines start with a bullet
+    *  - `r_ellipsis`: <= 30% of lines end with an ellipsis
+    *  - `r_alpha`:    >= 80% of words contain an alphabetic character
+    *  - `r_stop`:     >= 2 stopword occurrences
+    */
+  def gopherFlags(df: DataFrame, textCol: String,
+                  stopwords: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val norm = Text.normalize(t)
+    val nWords = Text.tokenCount(t).cast("long")
+    val meanLen = (length(norm) - (nWords - 1)).cast("double") / nWords
+    val symbols = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+    val lines = split(t, "\n")
+    val bulletFrac = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+      .cast("double") / size(lines)
+    val ellipsisFrac = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+      .cast("double") / size(lines)
+    val alphaFrac = size(filter(Text.tokens(t), w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val stopCount = size(filter(Text.tokens(t), w => w.isInCollection(stopwords)))
+    df
+      .withColumn("n_words", nWords)
+      .withColumn("r_words", nWords.between(50L, 100000L))
+      .withColumn("r_meanlen", nWords > 0 && meanLen.between(3.0, 10.0))
+      .withColumn("r_symbol", nWords > 0 && symbols / nWords.cast("double") <= 0.1)
+      .withColumn("r_bullet", bulletFrac <= 0.9)
+      .withColumn("r_ellipsis", ellipsisFrac <= 0.3)
+      .withColumn("r_alpha", nWords > 0 && alphaFrac >= 0.8)
+      .withColumn("r_stop", stopCount >= 2)
+      .withColumn("pass_all",
+        col("r_words") && col("r_meanlen") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
 }

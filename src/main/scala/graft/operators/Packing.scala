@@ -94,6 +94,47 @@ object Packing {
           .as("epochs"))
   }
 
+  /** Length-aware pair packing ("zipper" pairing): within each shard,
+    * rank documents by token length descending and pair rank r with rank
+    * n+1-r — longest with shortest — so pair lengths concentrate around
+    * the mean and fixed-capacity padding waste drops versus arbitrary
+    * pairing (the classic sorted-batching heuristic behind
+    * length-grouped batch samplers; first-fit-decreasing quality at
+    * window-only cost). An odd shard leaves its median document as a
+    * singleton pair.
+    *
+    * Everything is keyed by the md5-derived shard: 1000 shards = 1000
+    * independent rank windows, no global sort at any scale. Returns one
+    * row per pair: (shard, pair, n_docs, pair_tokens, padding, overflow)
+    * where padding = capacity - pair_tokens when the pair fits and
+    * overflow = the excess when it does not.
+    */
+  def zipperPack(
+      df: DataFrame, idCol: String, tokensCol: String, shards: Int,
+      capacity: Int, zipper: Boolean = true, salt: Int = 0): DataFrame = {
+    require(shards > 0 && capacity > 0,
+      s"zipperPack needs positive shards/capacity, got $shards/$capacity")
+    val tok = col(tokensCol).cast("long")
+    // zipper: rank by length desc (id tiebreak — total order) and fold the
+    // ranking in half; baseline: adjacent pairs in arrival (id) order
+    val order = if (zipper) Seq(tok.desc, col(idCol)) else Seq(col(idCol))
+    val w = Window.partitionBy(col("shard")).orderBy(order: _*)
+    val n = Window.partitionBy(col("shard"))
+    val pair =
+      if (zipper) least(col("__rk"), col("__n") + 1 - col("__rk"))
+      else ((col("__rk") + 1) / 2).cast("long")
+    df
+      .withColumn("shard",
+        pmod(Text.md5Hash64(col(idCol).cast("string"), salt), lit(shards.toLong)))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("pair", pair)
+      .groupBy("shard", "pair")
+      .agg(count(lit(1)).as("n_docs"), sum(tok).as("pair_tokens"))
+      .withColumn("padding", greatest(lit(0L), lit(capacity.toLong) - col("pair_tokens")))
+      .withColumn("overflow", greatest(lit(0L), col("pair_tokens") - capacity))
+  }
+
   /** Deterministic corpus shuffle as (shard, position): the md5-derived
     * hash spreads rows uniformly over `shards` shards and orders them
     * within each shard — the reproducible global shuffle every training

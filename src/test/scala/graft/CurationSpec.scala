@@ -88,4 +88,50 @@ class CurationSpec extends SparkSpec {
     assert(m(47L)._1, "exact dup of the corpus variant")
     assert(!m(57L)._1 && m(57L)._2 == 0L, "unrelated doc matches nothing")
   }
+
+  test("dsirWeights: all-target corpus scores exactly zero everywhere") {
+    // target == raw -> ct == cr per bucket -> every log-ratio is 0
+    val df = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = Curation.dsirWeights(df, "doc_id", "text", lit(true))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 3L, 0.0), (2L, 2L, 0.0)))
+  }
+
+  test("dsirWeights: target-exclusive tokens outweigh raw-only tokens") {
+    val df = Seq(
+      (1L, "alpha alpha alpha", true),
+      (2L, "beta beta beta", false)
+    ).toDF("doc_id", "text", "t")
+    val byId = Curation.dsirWeights(df, "doc_id", "text", col("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 1's tokens appear in the target slice, doc 2's never do
+    assert(byId(1L) > 0.0 && byId(2L) < 0.0 && byId(1L) > byId(2L))
+  }
+
+  test("gopherFlags: each published rule trips on its crafted violation") {
+    val good = ("the fox and dog run fast " * 10).trim // 60 words, 2x10 stopwords
+    val docs = Seq(
+      (1L, good),
+      (2L, "the and fox dog"),                      // too few words
+      (3L, ("x# " * 60).trim),                      // symbol ratio 1.0
+      (4L, "- item one\n- item two\n- item three"), // all bullet lines
+      (5L, "more to come...\nand then...\nwait..."),// all ellipsis lines
+      (6L, "111 222 333 444"),                      // no alphabetic words
+      (7L, "fox dog cat bird")                      // no stopwords
+    ).toDF("doc_id", "text")
+    val f = Curation.gopherFlags(docs, "text", Seq("the", "a", "and", "of", "in"))
+      .select("doc_id", "r_words", "r_meanlen", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop", "pass_all")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getBoolean(8), "the clean 60-word doc passes every rule")
+    assert(!f(2L).getBoolean(1) && f(2L).getBoolean(7), "short doc fails words only of these")
+    assert(!f(3L).getBoolean(3), "hash-mark doc fails the symbol ratio")
+    assert(!f(4L).getBoolean(4), "bullet-lines doc fails the bullet rule")
+    assert(!f(5L).getBoolean(5), "ellipsis-lines doc fails the ellipsis rule")
+    assert(!f(6L).getBoolean(6), "digit doc fails the alpha-word rule")
+    assert(!f(7L).getBoolean(7), "stopword-free doc fails the stopword rule")
+    assert(Seq(2L, 3L, 4L, 5L, 6L, 7L).forall(id => !f(id).getBoolean(8)))
+  }
 }

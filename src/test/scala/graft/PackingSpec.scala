@@ -86,4 +86,34 @@ class PackingSpec extends SparkSpec {
     val sizes = out.groupBy(_._2).map(_._2.length)
     assert(sizes.max < 64 && sizes.min > 8)
   }
+
+  test("zipperPack: longest-with-shortest pairing eliminates crafted waste") {
+    // lengths 10/20/30/40 at capacity 50: zipper pairs (40,10) and
+    // (30,20) -> zero padding, zero overflow; adjacent id-order pairs
+    // (10,20) and (30,40) -> 20 padding + 20 overflow
+    val docs = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40))
+      .toDF("doc_id", "n_tokens")
+    def totals(zip: Boolean): (Long, Long, Long) = {
+      val r = Packing.zipperPack(docs, "doc_id", "n_tokens",
+          shards = 1, capacity = 50, zipper = zip)
+        .agg(sum("n_docs"), sum("padding"), sum("overflow"))
+        .as[(Long, Long, Long)].collect().head
+      r
+    }
+    assert(totals(zip = true) == ((4L, 0L, 0L)))
+    assert(totals(zip = false) == ((4L, 20L, 20L)))
+  }
+
+  test("zipperPack: odd shard leaves the median as a singleton") {
+    val docs = Seq((1L, 5), (2L, 10), (3L, 20), (4L, 30), (5L, 40))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.zipperPack(docs, "doc_id", "n_tokens",
+        shards = 1, capacity = 50, zipper = true)
+      .orderBy("pair")
+      .select("pair", "n_docs", "pair_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    // rank desc: 40 30 20 10 5 -> pairs (40,5), (30,10), 20 alone
+    assert(out == Seq((1L, 2L, 45L), (2L, 2L, 40L), (3L, 1L, 20L)))
+    assert(out.map(_._2).sum == 5L)
+  }
 }
