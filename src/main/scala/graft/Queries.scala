@@ -4442,6 +4442,64 @@ object Queries {
         strategy
       FROM u GROUP BY strategy"""))
 
+  /** Product quantization + ADC top-k (Jégou et al., TPAMI 2011): M=8
+    * subspaces x K=16 codewords over the 64-dim embeddings; every vector
+    * encoded map-side against the literal codebook, the query's ADC
+    * table precomputed on the driver, approximate distance = 8 table
+    * lookups summed as exact decimal. Exact squared-L2 reported beside
+    * it as the recall yardstick. No join, no shuffle — encode + score is
+    * one projection pass, then TakeOrdered. */
+  val q119PqAdc = Q(
+    "q119_pq_adc",
+    (s, d) => {
+      import graft.operators.Quantization
+      val e = embeddings(s, d)
+      val cb = Quantization.initCodebook(e, "vec_id", "embedding", 16)
+      val query = cb(5)
+      val table = Quantization.adcTable(query, cb, 8)
+      e.withColumn("codes", Quantization.pqCodes(col("embedding"), cb, 8, 64))
+        .withColumn("approx_d", Quantization.adcScore(col("codes"), table))
+        .withColumn("exact_d",
+          round(Quantization.exactDist(col("embedding"), query), 6))
+        .orderBy(col("approx_d"), col("vec_id")).limit(20)
+        .select(col("vec_id"), col("approx_d"), col("exact_d"))
+    },
+    Some("""WITH p AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
+        FROM (SELECT vec_id, v FROM p ORDER BY vec_id LIMIT 16)),
+      q AS (SELECT cv AS qv FROM cb WHERE k = 5),
+      ms AS (SELECT unnest(range(0, 8)) AS m),
+      dd AS (
+        SELECT p.vec_id, ms.m, cb.k,
+          round(list_aggregate(list_transform(range(1, 9),
+            i -> (p.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]) *
+                 (p.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])), 'sum'), 6) AS dpart
+        FROM p CROSS JOIN ms CROSS JOIN cb),
+      code AS (
+        SELECT vec_id, m, min(struct_pack(d := dpart, c := k)) AS best
+        FROM dd GROUP BY 1, 2),
+      qt AS (
+        SELECT ms.m, cb.k,
+          round(list_aggregate(list_transform(range(1, 9),
+            i -> (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]) *
+                 (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])), 'sum'), 6) AS t
+        FROM q CROSS JOIN ms CROSS JOIN cb),
+      approx AS (
+        SELECT code.vec_id,
+          CAST(sum(CAST(qt.t AS DECIMAL(18,6))) AS DOUBLE) AS approx_d
+        FROM code JOIN qt ON code.m = qt.m AND code.best.c = qt.k
+        GROUP BY 1),
+      ex AS (
+        SELECT p.vec_id,
+          round(list_aggregate(list_transform(range(1, 65),
+            i -> (p.v[i] - q.qv[i]) * (p.v[i] - q.qv[i])), 'sum'), 6) AS exact_d
+        FROM p CROSS JOIN q)
+      SELECT vec_id, approx_d, exact_d
+      FROM approx JOIN ex USING (vec_id)
+      ORDER BY approx_d, vec_id LIMIT 20"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4472,5 +4530,5 @@ object Queries {
     q107PrefixJaccard, q108Resize, q109AnnMultiprobe, q110MovementSkim,
     q111OdCrosswalk, q112StpRegistry, q113RuleaggMeantime,
     q114ViterbiPosteriors, q115LmPerplexity, q116DsirWeights,
-    q117GopherRules, q118ZipperPack)
+    q117GopherRules, q118ZipperPack, q119PqAdc)
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding columns (Jégou/Douze/Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+  * memory-bound ANN standard: split each D-dim vector into M subvectors,
+  * encode each against a per-subspace codebook of K centroids (M small
+  * codes replace D floats, a 32x compression at M=8/K=16 over 64 floats),
+  * and score candidates with an asymmetric distance computation (ADC)
+  * table: the query precomputes its M x K subspace distances once, and a
+  * database vector's approximate distance is M table lookups — no float
+  * math per candidate at query time.
+  *
+  * Everything here is deterministic and engine-portable (the
+  * [[Clustering]] discipline): codebooks are the subvectors of the K
+  * smallest ids (a bounded K-row collect — the init stage of per-subspace
+  * Lloyd; production training would run [[Clustering.kmeansAssign]]
+  * rounds per subspace and ship the same literal shape), distances are
+  * rounded to 6 dp with ties broken by code id, and the ADC table is
+  * driver-computed in the same ascending-dimension order the SQL oracle
+  * replays.
+  *
+  * Scale shape: encode and ADC scoring are PURE map-side projections over
+  * literal codebook/table matrices (no join, no shuffle — the vectors
+  * never move), exactly like [[Clustering.assignColumn]]; top-k is a
+  * TakeOrdered. Encoding 100 TB of embeddings is one pass; the codes
+  * table it emits is what a cluster-scale IVF-PQ index would persist.
+  */
+object Quantization {
+
+  /** Deterministic init codebook: the full vectors of the `k` smallest
+    * ids (each subspace slices its own window out of these rows).
+    * Bounded k-row collect, like Clustering's init. */
+  def initCodebook(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int): IndexedSeq[IndexedSeq[Double]] =
+    df.orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol), x => x.cast("double")))
+      .collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+
+  /** Squared-L2 distance between a vector slice [lo, lo+len) and a
+    * literal codeword slice, as a codegen-friendly fold (ascending
+    * dimension order — the oracle's list order). */
+  private def sliceDist(vec: Column, word: IndexedSeq[Double],
+                        lo: Int, len: Int): Column = {
+    val sub = slice(vec, lit(lo + 1), lit(len))
+    val w = array(word.slice(lo, lo + len).map(lit): _*)
+    aggregate(zip_with(sub, w, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** PQ codes as one array<int> column of length `m`: per subspace, the
+    * argmin codeword over the 6-dp-rounded squared-L2 distance, ties to
+    * the smaller code. `dims` must match the vector length (same caller
+    * contract as kmeansAssign). */
+  def pqCodes(vec: Column, codebook: IndexedSeq[IndexedSeq[Double]],
+              m: Int, dims: Int): Column = {
+    require(m > 0 && dims % m == 0, s"dims $dims must split into $m subspaces")
+    val len = dims / m
+    val v = transform(vec, x => x.cast("double"))
+    val codes = (0 until m).map { mi =>
+      val scored = codebook.indices.map { k =>
+        struct(round(sliceDist(v, codebook(k), mi * len, len), 6).as("d"),
+          lit(k).as("c"))
+      }
+      least(scored: _*).getField("c")
+    }
+    array(codes: _*)
+  }
+
+  /** The query's ADC table: adcTable(m)(k) = 6-dp-rounded squared-L2
+    * between the query's m-th subvector and codeword k's — computed on
+    * the driver in ascending-dimension order (M x K doubles,
+    * config-scale). */
+  def adcTable(query: IndexedSeq[Double],
+               codebook: IndexedSeq[IndexedSeq[Double]],
+               m: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val dims = query.length
+    require(m > 0 && dims % m == 0, s"dims $dims must split into $m subspaces")
+    val len = dims / m
+    (0 until m).map { mi =>
+      codebook.map { word =>
+        var acc = 0.0
+        var i = mi * len
+        while (i < (mi + 1) * len) {
+          val d = query(i) - word(i); acc += d * d; i += 1
+        }
+        BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+  }
+
+  /** Approximate (ADC) squared distance of a codes column against a
+    * literal table: M element_at lookups, each an exactly-representable
+    * 6-dp value, summed as exact decimal (order-independent — the
+    * cross-engine discipline) — zero float math against the vector
+    * itself. */
+  def adcScore(codesCol: Column, table: IndexedSeq[IndexedSeq[Double]]): Column =
+    table.zipWithIndex.map { case (row, mi) =>
+      element_at(array(row.map(lit): _*), element_at(codesCol, mi + 1) + 1)
+        .cast("decimal(18,6)")
+    }.reduce(_ + _).cast("double")
+
+  /** Exact squared-L2 against a literal query (the recall yardstick the
+    * catalog query reports beside the ADC estimate). */
+  def exactDist(vec: Column, query: IndexedSeq[Double]): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val q = array(query.map(lit): _*)
+    aggregate(zip_with(v, q, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v2) => acc + v2)
+  }
+}
