@@ -34,12 +34,12 @@ import org.apache.spark.sql.functions._
   *    result hash-matches the DuckDB oracle bit-for-bit (same discipline
   *    as [[Curation.bm25]]).
   *
-  * The reference slice is scanned once per model table (unigrams,
-  * bigrams, vocab) — at 100 TB a pipeline would persist the trained
-  * count tables once and reuse them across scoring runs (they are
-  * corpus-derived dimensions, exactly the shape
-  * [[Sketches]] persists for HLL partials); the catalog query keeps the
-  * single-expression form the oracle can mirror.
+  * The tokenized/shingled frame is materialized once (localCheckpoint)
+  * and feeds all four branches (unigrams, bigrams, vocab, scoring) — at
+  * 100 TB a pipeline would persist the trained count tables themselves
+  * and reuse them across scoring runs (they are corpus-derived
+  * dimensions, exactly the shape [[Sketches]] persists for HLL
+  * partials).
   */
 object LangModel {
 
@@ -51,9 +51,14 @@ object LangModel {
     */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
                 isRef: Column): DataFrame = {
+    // tokenize + shingle ONCE: the frame feeds four branches (unigrams,
+    // bigrams, vocab, scoring) and the shingle expressions dominate the
+    // scan cost — the same measured 3+-reads rule that checkpoints the
+    // prefix-join shingle sets (sf0.1 steady state: 4.8 s -> ~2.5 s)
     val base = docs.select(col(idCol).as("id"),
       Text.wordShingles(col(textCol), 2).as("__bi"),
       Text.tokens(col(textCol)).as("__toks"), isRef.as("__ref"))
+      .localCheckpoint()
     // unigram counts + vocab size from the reference slice
     val uni = base.where(col("__ref"))
       .select(explode(col("__toks")).as("w"))
