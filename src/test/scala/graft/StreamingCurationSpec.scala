@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Curation, Quantization}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The curation tier's map-only operators are streaming-safe by
+  * construction (pure per-row expressions, no state) — these specs prove
+  * it with row-level batch/stream parity through a parquet source, the
+  * same harness the W5/dedup streaming twins use. A daily-crawl pipeline
+  * runs exactly this: filter + split + encode each micro-batch as it
+  * lands, no rescan of the corpus. */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def streamed(dir: String, batch: DataFrame,
+                       f: DataFrame => DataFrame, name: String): DataFrame = {
+    val q = f(spark.readStream.schema(batch.schema).parquet(dir))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.sql(s"SELECT * FROM $name")
+  }
+
+  test("gopher filter + hash split: streaming rows match batch exactly") {
+    val docs = Seq(
+      (1L, ("the fox and dog run fast " * 10).trim),
+      (2L, "the and fox dog"),
+      (3L, ("x# " * 60).trim),
+      (4L, "111 222 333 444")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_stream_gopher").toString
+    docs.write.mode("overwrite").parquet(dir)
+    def pipeline(df: DataFrame): DataFrame =
+      Curation.gopherFlags(df, "text", Seq("the", "a", "and", "of", "in"))
+        .withColumn("split", Curation.hashSplit(col("doc_id")))
+        .select("doc_id", "n_words", "pass_all", "split")
+    val batch = pipeline(spark.read.parquet(dir))
+      .as[(Long, Long, Boolean, String)].collect().toSeq.sorted
+    val stream = streamed(dir, docs, pipeline, "gopher_stream")
+      .as[(Long, Long, Boolean, String)].collect().toSeq.sorted
+    assert(stream == batch && batch.nonEmpty)
+  }
+
+  test("PQ encode + ADC score: streaming ingestion matches batch encode") {
+    val cb = IndexedSeq(
+      IndexedSeq(0.0, 0.0, 10.0, 10.0),
+      IndexedSeq(1.0, 1.0, -10.0, -10.0))
+    val table = Quantization.adcTable(IndexedSeq(1.0, 0.0, 0.0, 0.0), cb, m = 2)
+    val vecs = Seq(
+      (1L, Seq(0.1f, 0.0f, -9.0f, -9.0f)),
+      (2L, Seq(0.9f, 1.1f, 9.0f, 9.0f)),
+      (3L, Seq(0.5f, 0.5f, 10.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_stream_pq").toString
+    vecs.write.mode("overwrite").parquet(dir)
+    def pipeline(df: DataFrame): DataFrame = df
+      .withColumn("codes", Quantization.pqCodes(col("embedding"), cb, 2, 4))
+      .withColumn("approx_d", Quantization.adcScore(col("codes"), table))
+      .select("vec_id", "codes", "approx_d")
+    val batch = pipeline(spark.read.parquet(dir))
+      .as[(Long, Seq[Int], Double)].collect().toSeq.sortBy(_._1)
+    val stream = streamed(dir, vecs, pipeline, "pq_stream")
+      .as[(Long, Seq[Int], Double)].collect().toSeq.sortBy(_._1)
+    assert(stream == batch && batch.size == 3)
+    // and a second micro-batch encodes incrementally (the daily-crawl shape)
+    Seq((4L, Seq(0.0f, 0.0f, 10.0f, 10.0f))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(dir)
+    val q = pipeline(spark.readStream.schema(vecs.schema).parquet(dir))
+      .writeStream.outputMode("append").format("memory").queryName("pq_inc").start()
+    q.processAllAvailable()
+    q.stop()
+    val inc = spark.sql("SELECT vec_id, codes FROM pq_inc WHERE vec_id = 4")
+      .as[(Long, Seq[Int])].collect().toSeq
+    assert(inc == Seq((4L, Seq(0, 0)))) // exactly codeword 0 in both subspaces
+  }
+}
