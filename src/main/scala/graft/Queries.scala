@@ -4500,6 +4500,109 @@ object Queries {
       FROM approx JOIN ex USING (vec_id)
       ORDER BY approx_d, vec_id LIMIT 20"""))
 
+  /** IVF-PQ composition — the production ANN index shape (FAISS's
+    * IVFPQ): coarse cells prune the corpus to nprobe=2 probed cells,
+    * then PQ codes + the ADC table re-rank ONLY the surviving
+    * candidates. Coarse assignment is q81's broadcast-centroid argmin
+    * (keyed window), candidate filter is a broadcast equi-join on cell,
+    * and the PQ stage is the q119 map-side projection — at 100 TB the
+    * scan-to-score path touches each vector once and does float math
+    * only against the 5-row centroid table. */
+  val q120IvfPq = Q(
+    "q120_ivf_pq",
+    (s, d) => {
+      import graft.operators.Quantization
+      val e = embeddings(s, d)
+      val cent = e.select(col("label").as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("a"))
+        .select(col("cell"), transform(col("a"), x => x.getField("cv")).as("centroid"))
+      val cb = Quantization.initCodebook(e, "vec_id", "embedding", 16)
+      val qv = cb(5)
+      val table = Quantization.adcTable(qv, cb, 8)
+      val d2 = aggregate(zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v)
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("__cd"), col("cell"))
+      val cells = e.crossJoin(broadcast(cent))
+        .withColumn("__cd", d2)
+        .withColumn("__cr", row_number().over(w))
+        .where(col("__cr") === 1)
+      val qd = aggregate(zip_with(col("centroid"), array(qv.map(lit): _*),
+          (c, x) => (c - x) * (c - x)), lit(0.0), (acc, v) => acc + v)
+      val probe = cent.withColumn("__qd", qd)
+        .orderBy(col("__qd"), col("cell")).limit(2).select("cell")
+      cells.join(broadcast(probe), "cell")
+        .withColumn("codes", Quantization.pqCodes(col("embedding"), cb, 8, 64))
+        .withColumn("approx_d", Quantization.adcScore(col("codes"), table))
+        .withColumn("exact_d",
+          round(Quantization.exactDist(col("embedding"), qv), 6))
+        .orderBy(col("approx_d"), col("vec_id")).limit(10)
+        .select(col("vec_id"), col("cell"), col("approx_d"), col("exact_d"))
+    },
+    Some("""WITH idx AS (
+        SELECT label AS cell, embedding,
+          unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings),
+      dims AS (
+        SELECT cell, pos,
+          round(avg(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)), 6) AS cv
+        FROM idx GROUP BY 1, 2),
+      cent AS (
+        SELECT cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY 1),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      ca AS (
+        SELECT vec_id, e, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              i -> (e[i] - centroid[i]) * (e[i] - centroid[i]))), cell) AS cr
+        FROM v, cent),
+      cells AS (SELECT vec_id, e, cell FROM ca WHERE cr = 1),
+      cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, e AS cv
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+      q AS (SELECT cv AS qv FROM cb WHERE k = 5),
+      probe AS (
+        SELECT cell FROM cent CROSS JOIN q
+        ORDER BY list_sum(list_transform(range(1, 65),
+          i -> (centroid[i] - qv[i]) * (centroid[i] - qv[i]))), cell
+        LIMIT 2),
+      cand AS (
+        SELECT cells.vec_id, cells.e, cells.cell
+        FROM cells JOIN probe USING (cell)),
+      ms AS (SELECT unnest(range(0, 8)) AS m),
+      dd AS (
+        SELECT cand.vec_id, ms.m, cb.k,
+          round(list_aggregate(list_transform(range(1, 9),
+            i -> (cand.e[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]) *
+                 (cand.e[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])), 'sum'), 6) AS dpart
+        FROM cand CROSS JOIN ms CROSS JOIN cb),
+      code AS (
+        SELECT vec_id, m, min(struct_pack(d := dpart, c := k)) AS best
+        FROM dd GROUP BY 1, 2),
+      qt AS (
+        SELECT ms.m, cb.k,
+          round(list_aggregate(list_transform(range(1, 9),
+            i -> (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]) *
+                 (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])), 'sum'), 6) AS t
+        FROM q CROSS JOIN ms CROSS JOIN cb),
+      approx AS (
+        SELECT code.vec_id,
+          CAST(sum(CAST(qt.t AS DECIMAL(18,6))) AS DOUBLE) AS approx_d
+        FROM code JOIN qt ON code.m = qt.m AND code.best.c = qt.k
+        GROUP BY 1),
+      ex AS (
+        SELECT cand.vec_id, cand.cell,
+          round(list_aggregate(list_transform(range(1, 65),
+            i -> (cand.e[i] - q.qv[i]) * (cand.e[i] - q.qv[i])), 'sum'), 6) AS exact_d
+        FROM cand CROSS JOIN q)
+      SELECT vec_id, cell, approx_d, exact_d
+      FROM approx JOIN ex USING (vec_id)
+      ORDER BY approx_d, vec_id LIMIT 10"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4530,5 +4633,5 @@ object Queries {
     q107PrefixJaccard, q108Resize, q109AnnMultiprobe, q110MovementSkim,
     q111OdCrosswalk, q112StpRegistry, q113RuleaggMeantime,
     q114ViterbiPosteriors, q115LmPerplexity, q116DsirWeights,
-    q117GopherRules, q118ZipperPack, q119PqAdc)
+    q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq)
 }

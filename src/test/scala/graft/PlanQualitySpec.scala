@@ -23,6 +23,10 @@ class PlanQualitySpec extends SparkSpec {
     "q77_mode_lookup",
     // IVF assignment: vectors x broadcast centroid table (10 rows)
     "q81_ivf_ann",
+    // IVF-PQ coarse assignment: same vectors x broadcast centroid shape
+    // (5 label cells); the candidate filter and ADC stages are
+    // equi-join / map-only
+    "q120_ivf_pq",
     // temperature-mix normalization: per-stratum counts x the ONE global
     // totals row — a single-row broadcast build side is the optimal plan
     // (no hash table needed); bounded by construction
