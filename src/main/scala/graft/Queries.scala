@@ -2909,23 +2909,18 @@ object Queries {
     "q81_ivf_ann",
     (s, d) => {
       val e = embeddings(s, d)
-      val cent = e.select(col("label").as("cell"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("a"))
-        .select(col("cell"), transform(col("a"), x => x.getField("cv")).as("centroid"))
+      val cent = Clustering.labelCentroids(e, "label", "embedding")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10),
         "vec_id", "embedding", "vec_id", cent, k = 5, nprobe = 2)
     },
     Some("""WITH idx AS (
-        SELECT label AS cell, embedding,
+        SELECT label AS cell, embedding::DOUBLE[] AS ev,
           unnest(generate_series(1, len(embedding))) AS pos
         FROM embeddings),
       dims AS (
         SELECT cell, pos,
-          round(avg(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)), 6) AS cv
+          round(CAST(sum(CAST(ev[CAST(pos AS INT)] AS DECIMAL(28,12))) AS DOUBLE)
+            / count(*), 6) AS cv
         FROM idx GROUP BY 1, 2),
       cent AS (
         SELECT cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY 1),
@@ -4339,7 +4334,7 @@ object Queries {
   val q117GopherRules = Q(
     "q117_gopher_rules",
     (s, d) =>
-      Curation.gopherFlags(documents(s, d), "text", stopwords)
+      Curation.gopherFlags(documents(s, d), "text")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           count_if(col("r_words")).as("n_words_ok"),
@@ -4358,7 +4353,8 @@ object Queries {
                  (length(norm) - (len(toks) - 1)) / len(toks) BETWEEN 3.0 AND 10.0
                THEN 1 ELSE 0 END AS r_meanlen,
           CASE WHEN len(toks) > 0 AND
-                 len(regexp_extract_all(text, '#|\.\.\.')) / len(toks) <= 0.1
+                 len(regexp_extract_all(text, '#')) / len(toks) <= 0.1 AND
+                 len(regexp_extract_all(text, '\.\.\.')) / len(toks) <= 0.1
                THEN 1 ELSE 0 END AS r_symbol,
           CASE WHEN len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
                  / len(lines) <= 0.9 THEN 1 ELSE 0 END AS r_bullet,
@@ -4367,7 +4363,8 @@ object Queries {
           CASE WHEN len(toks) > 0 AND
                  len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
                  / len(toks) >= 0.8 THEN 1 ELSE 0 END AS r_alpha,
-          CASE WHEN len(list_filter(toks, w -> w IN ('the', 'a', 'and', 'of', 'in'))) >= 2
+          CASE WHEN len(list_distinct(list_intersect(toks,
+                 ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))) >= 2
                THEN 1 ELSE 0 END AS r_stop
         FROM (
           SELECT lang, text,
@@ -4503,39 +4500,36 @@ object Queries {
   /** IVF-PQ composition — the production ANN index shape (FAISS's
     * IVFPQ): coarse cells prune the corpus to nprobe=2 probed cells,
     * then PQ codes + the ADC table re-rank ONLY the surviving
-    * candidates. Coarse assignment is q81's broadcast-centroid argmin
-    * (keyed window), candidate filter is a broadcast equi-join on cell,
-    * and the PQ stage is the q119 map-side projection — at 100 TB the
-    * scan-to-score path touches each vector once and does float math
-    * only against the 5-row centroid table. */
+    * candidates. The coarse centroids (decimal-exact label means) are
+    * collected once — |cells| x dims doubles, config-scale — so the
+    * coarse assignment is a LITERAL argmin projection (pqCodes with
+    * m=1), the probe cells are picked on the driver, and the whole
+    * corpus-side plan is scan -> filter -> project -> TakeOrdered: one
+    * pass, no join, no shuffle at any scale. */
   val q120IvfPq = Q(
     "q120_ivf_pq",
     (s, d) => {
       import graft.operators.Quantization
       val e = embeddings(s, d)
-      val cent = e.select(col("label").as("cell"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("a"))
-        .select(col("cell"), transform(col("a"), x => x.getField("cv")).as("centroid"))
+      val centRows = Clustering.labelCentroids(e, "label", "embedding")
+        .orderBy(col("cell")).collect()
+      val cellIds = centRows.map(_.getInt(0)).toIndexedSeq
+      val cents = centRows
+        .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
       val cb = Quantization.initCodebook(e, "vec_id", "embedding", 16)
       val qv = cb(5)
       val table = Quantization.adcTable(qv, cb, 8)
-      val d2 = aggregate(zip_with(col("embedding"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, v) => acc + v)
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("__cd"), col("cell"))
-      val cells = e.crossJoin(broadcast(cent))
-        .withColumn("__cd", d2)
-        .withColumn("__cr", row_number().over(w))
-        .where(col("__cr") === 1)
-      val qd = aggregate(zip_with(col("centroid"), array(qv.map(lit): _*),
-          (c, x) => (c - x) * (c - x)), lit(0.0), (acc, v) => acc + v)
-      val probe = cent.withColumn("__qd", qd)
-        .orderBy(col("__qd"), col("cell")).limit(2).select("cell")
-      cells.join(broadcast(probe), "cell")
+      // probe cells: 2 nearest centroids to the query, computed on the
+      // driver with the same rounded ascending-dim fold the oracle uses
+      val qd = Quantization.adcTable(qv, cents, 1)(0)
+      val probeCells = cellIds.zip(qd).sortBy { case (c, dd) => (dd, c) }
+        .take(2).map(_._1)
+      // coarse assignment = PQ argmin with one subspace spanning all dims
+      val cellIdx = element_at(
+        Quantization.pqCodes(col("embedding"), cents, 1, 64), 1)
+      val cellOf = element_at(array(cellIds.map(lit): _*), cellIdx + 1)
+      e.withColumn("cell", cellOf)
+        .where(col("cell").isin(probeCells: _*))
         .withColumn("codes", Quantization.pqCodes(col("embedding"), cb, 8, 64))
         .withColumn("approx_d", Quantization.adcScore(col("codes"), table))
         .withColumn("exact_d",
@@ -4544,31 +4538,34 @@ object Queries {
         .select(col("vec_id"), col("cell"), col("approx_d"), col("exact_d"))
     },
     Some("""WITH idx AS (
-        SELECT label AS cell, embedding,
+        SELECT label AS cell, embedding::DOUBLE[] AS ev,
           unnest(generate_series(1, len(embedding))) AS pos
         FROM embeddings),
       dims AS (
         SELECT cell, pos,
-          round(avg(CAST(embedding[CAST(pos AS INT)] AS DOUBLE)), 6) AS cv
+          round(CAST(sum(CAST(ev[CAST(pos AS INT)] AS DECIMAL(28,12))) AS DOUBLE)
+            / count(*), 6) AS cv
         FROM idx GROUP BY 1, 2),
       cent AS (
         SELECT cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY 1),
       v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       ca AS (
-        SELECT vec_id, e, cell,
-          row_number() OVER (PARTITION BY vec_id ORDER BY
-            list_sum(list_transform(range(1, 65),
-              i -> (e[i] - centroid[i]) * (e[i] - centroid[i]))), cell) AS cr
-        FROM v, cent),
-      cells AS (SELECT vec_id, e, cell FROM ca WHERE cr = 1),
+        SELECT v.vec_id,
+          min(struct_pack(d := round(list_sum(list_transform(range(1, 65),
+              i -> (e[i] - centroid[i]) * (e[i] - centroid[i]))), 6),
+            c := cell)) AS best
+        FROM v CROSS JOIN cent GROUP BY v.vec_id),
+      cells AS (
+        SELECT ca.vec_id, v.e, ca.best.c AS cell
+        FROM ca JOIN v USING (vec_id)),
       cb AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, e AS cv
         FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
       q AS (SELECT cv AS qv FROM cb WHERE k = 5),
       probe AS (
         SELECT cell FROM cent CROSS JOIN q
-        ORDER BY list_sum(list_transform(range(1, 65),
-          i -> (centroid[i] - qv[i]) * (centroid[i] - qv[i]))), cell
+        ORDER BY round(list_sum(list_transform(range(1, 65),
+          i -> (centroid[i] - qv[i]) * (centroid[i] - qv[i]))), 6), cell
         LIMIT 2),
       cand AS (
         SELECT cells.vec_id, cells.e, cells.cell

@@ -77,6 +77,24 @@ object Clustering {
       .select(col("__id").as(idCol), col("cluster").cast("long").as("cluster"))
   }
 
+  /** Per-cell mean vectors from an existing label/cluster column — the
+    * coarse-quantizer build for IVF-family indexes. Means use exact
+    * DECIMAL(28,12) sums (partition-order-independent, the kmeansAssign
+    * update discipline — a plain double avg depends on Spark's partial-
+    * aggregation order and can flip a 6-dp rounding boundary between
+    * runs or engines) rounded to 6 dp. One explode + two partial-agg
+    * groupBys; output is |cells| rows. */
+  def labelCentroids(df: DataFrame, cellCol: String, vecCol: String): DataFrame =
+    df.select(col(cellCol).as("cell"),
+        posexplode(transform(col(vecCol), x => x.cast("double")))
+          .as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double")
+        / count(lit(1)), 6).as("cv"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("a"))
+      .select(col("cell"), transform(col("a"), x => x.getField("cv")).as("centroid"))
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     * embeddings, then inside each cluster drop every vector that has a
     * LOWER-id cluster-mate with cosine similarity >= `threshold`

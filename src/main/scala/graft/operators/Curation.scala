@@ -207,29 +207,40 @@ object Curation {
       .select(col("id").as(idCol), col("n_tokens"), col("dsir_weight"))
   }
 
+  /** Gopher's published stopword set (Rae et al. 2021, A1.1): a document
+    * must CONTAIN at least two of these — distinct containment, not
+    * occurrence count. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** The Gopher document-quality rule battery (Rae et al., "Scaling
     * Language Models: Methods, Analysis & Insights from Training Gopher",
     * 2021, Appendix A1.1) as pure per-row expressions — the published
     * heuristic filter suite every large text pipeline runs before
     * training. Map-only: filtering 100 TB never shuffles.
     *
-    * Rules (each a boolean column; `pass_all` is their conjunction):
+    * Rules (each a boolean column; `pass_all` is their conjunction),
+    * matching the paper's semantics:
     *  - `r_words`:    50 <= word count <= 100,000
     *  - `r_meanlen`:  3 <= mean word length <= 10 (computed integrally
     *                  from the normalized text: (chars - spaces) / words)
-    *  - `r_symbol`:   (# of '#' or '...' occurrences) / words <= 0.1
+    *  - `r_symbol`:   hash-to-word ratio <= 0.1 AND ellipsis-to-word
+    *                  ratio <= 0.1 (each symbol thresholded SEPARATELY,
+    *                  per the paper)
     *  - `r_bullet`:   <= 90% of lines start with a bullet
     *  - `r_ellipsis`: <= 30% of lines end with an ellipsis
     *  - `r_alpha`:    >= 80% of words contain an alphabetic character
-    *  - `r_stop`:     >= 2 stopword occurrences
+    *  - `r_stop`:     contains >= 2 DISTINCT words of `stopwords`
+    *                  (default [[GopherStopwords]])
     */
   def gopherFlags(df: DataFrame, textCol: String,
-                  stopwords: Seq[String]): DataFrame = {
+                  stopwords: Seq[String] = GopherStopwords): DataFrame = {
     val t = col(textCol)
     val norm = Text.normalize(t)
     val nWords = Text.tokenCount(t).cast("long")
     val meanLen = (length(norm) - (nWords - 1)).cast("double") / nWords
-    val symbols = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+    val hashes = size(regexp_extract_all(t, lit("#"), lit(0)))
+    val ellipses = size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))
     val lines = split(t, "\n")
     val bulletFrac = size(filter(lines, l => trim(l).rlike("^[-*•]")))
       .cast("double") / size(lines)
@@ -237,16 +248,19 @@ object Curation {
       .cast("double") / size(lines)
     val alphaFrac = size(filter(Text.tokens(t), w => w.rlike("[A-Za-z]")))
       .cast("double") / nWords
-    val stopCount = size(filter(Text.tokens(t), w => w.isInCollection(stopwords)))
+    val stopDistinct =
+      size(array_intersect(Text.tokens(t), array(stopwords.map(lit): _*)))
     df
       .withColumn("n_words", nWords)
       .withColumn("r_words", nWords.between(50L, 100000L))
       .withColumn("r_meanlen", nWords > 0 && meanLen.between(3.0, 10.0))
-      .withColumn("r_symbol", nWords > 0 && symbols / nWords.cast("double") <= 0.1)
+      .withColumn("r_symbol", nWords > 0 &&
+        hashes / nWords.cast("double") <= 0.1 &&
+        ellipses / nWords.cast("double") <= 0.1)
       .withColumn("r_bullet", bulletFrac <= 0.9)
       .withColumn("r_ellipsis", ellipsisFrac <= 0.3)
       .withColumn("r_alpha", nWords > 0 && alphaFrac >= 0.8)
-      .withColumn("r_stop", stopCount >= 2)
+      .withColumn("r_stop", stopDistinct >= 2)
       .withColumn("pass_all",
         col("r_words") && col("r_meanlen") && col("r_symbol") &&
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))

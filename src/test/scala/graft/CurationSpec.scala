@@ -111,17 +111,23 @@ class CurationSpec extends SparkSpec {
   }
 
   test("gopherFlags: each published rule trips on its crafted violation") {
-    val good = ("the fox and dog run fast " * 10).trim // 60 words, 2x10 stopwords
+    val good = ("the fox and dog run fast " * 10).trim // 60 words; the+and distinct
     val docs = Seq(
       (1L, good),
       (2L, "the and fox dog"),                      // too few words
-      (3L, ("x# " * 60).trim),                      // symbol ratio 1.0
+      (3L, ("x# " * 60).trim),                      // hash ratio 1.0
       (4L, "- item one\n- item two\n- item three"), // all bullet lines
       (5L, "more to come...\nand then...\nwait..."),// all ellipsis lines
       (6L, "111 222 333 444"),                      // no alphabetic words
-      (7L, "fox dog cat bird")                      // no stopwords
+      (7L, "fox dog cat bird"),                     // no stopwords
+      // ONE Gopher stopword repeated: >= 2 occurrences but only 1
+      // DISTINCT — the paper's containment semantics must fail it
+      (8L, "the the the fox"),
+      // separate symbol thresholds: hash 3/50 = 0.06 and ellipsis
+      // 3/50 = 0.06 each pass 0.1, though the combined 0.12 would not
+      (9L, ("fox " * 44).trim + " a# b# c# d... e... f...")
     ).toDF("doc_id", "text")
-    val f = Curation.gopherFlags(docs, "text", Seq("the", "a", "and", "of", "in"))
+    val f = Curation.gopherFlags(docs, "text")
       .select("doc_id", "r_words", "r_meanlen", "r_symbol", "r_bullet",
         "r_ellipsis", "r_alpha", "r_stop", "pass_all")
       .collect().map(r => r.getLong(0) -> r).toMap
@@ -132,6 +138,8 @@ class CurationSpec extends SparkSpec {
     assert(!f(5L).getBoolean(5), "ellipsis-lines doc fails the ellipsis rule")
     assert(!f(6L).getBoolean(6), "digit doc fails the alpha-word rule")
     assert(!f(7L).getBoolean(7), "stopword-free doc fails the stopword rule")
-    assert(Seq(2L, 3L, 4L, 5L, 6L, 7L).forall(id => !f(id).getBoolean(8)))
+    assert(!f(8L).getBoolean(7), "repeated single stopword is NOT two distinct")
+    assert(f(9L).getBoolean(3), "0.06 + 0.06 symbol ratios pass separate thresholds")
+    assert(Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L).forall(id => !f(id).getBoolean(8)))
   }
 }

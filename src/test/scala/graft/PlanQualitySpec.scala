@@ -21,12 +21,10 @@ class PlanQualitySpec extends SparkSpec {
     "q74_annual_to_monthly",
     // wildcard-rule lookup: facts x broadcast rules table (4 rows)
     "q77_mode_lookup",
-    // IVF assignment: vectors x broadcast centroid table (10 rows)
+    // IVF assignment: vectors x broadcast centroid table (10 rows).
+    // NOTE q120_ivf_pq needs no entry: its coarse argmin is a literal
+    // projection (collected centroids), so its plan is join-free
     "q81_ivf_ann",
-    // IVF-PQ coarse assignment: same vectors x broadcast centroid shape
-    // (5 label cells); the candidate filter and ADC stages are
-    // equi-join / map-only
-    "q120_ivf_pq",
     // temperature-mix normalization: per-stratum counts x the ONE global
     // totals row — a single-row broadcast build side is the optimal plan
     // (no hash table needed); bounded by construction

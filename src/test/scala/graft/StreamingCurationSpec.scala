@@ -33,7 +33,7 @@ class StreamingCurationSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_stream_gopher").toString
     docs.write.mode("overwrite").parquet(dir)
     def pipeline(df: DataFrame): DataFrame =
-      Curation.gopherFlags(df, "text", Seq("the", "a", "and", "of", "in"))
+      Curation.gopherFlags(df, "text")
         .withColumn("split", Curation.hashSplit(col("doc_id")))
         .select("doc_id", "n_words", "pass_all", "split")
     val batch = pipeline(spark.read.parquet(dir))
@@ -61,18 +61,27 @@ class StreamingCurationSpec extends SparkSpec {
       .select("vec_id", "codes", "approx_d")
     val batch = pipeline(spark.read.parquet(dir))
       .as[(Long, Seq[Int], Double)].collect().toSeq.sortBy(_._1)
-    val stream = streamed(dir, vecs, pipeline, "pq_stream")
+    // ONE continuous query: batch 1 sees the initial files, then a new
+    // file lands and must arrive in its OWN micro-batch (true
+    // incremental processing, not a from-scratch replay)
+    val q = pipeline(spark.readStream.schema(vecs.schema).parquet(dir))
+      .writeStream.outputMode("append").format("memory").queryName("pq_stream").start()
+    q.processAllAvailable()
+    val firstBatch = spark.sql("SELECT * FROM pq_stream")
       .as[(Long, Seq[Int], Double)].collect().toSeq.sortBy(_._1)
-    assert(stream == batch && batch.size == 3)
-    // and a second micro-batch encodes incrementally (the daily-crawl shape)
+    assert(firstBatch == batch && batch.size == 3)
     Seq((4L, Seq(0.0f, 0.0f, 10.0f, 10.0f))).toDF("vec_id", "embedding")
       .write.mode("append").parquet(dir)
-    val q = pipeline(spark.readStream.schema(vecs.schema).parquet(dir))
-      .writeStream.outputMode("append").format("memory").queryName("pq_inc").start()
     q.processAllAvailable()
-    q.stop()
-    val inc = spark.sql("SELECT vec_id, codes FROM pq_inc WHERE vec_id = 4")
+    val afterAppend = spark.sql("SELECT vec_id, codes FROM pq_stream")
       .as[(Long, Seq[Int])].collect().toSeq
-    assert(inc == Seq((4L, Seq(0, 0)))) // exactly codeword 0 in both subspaces
+    q.stop()
+    // the sink grew by exactly the new row (codeword 0 in both
+    // subspaces), and the appended file was processed as an incremental
+    // micro-batch of ONE input row — not a replay of all four
+    assert(afterAppend.size == 4)
+    assert(afterAppend.filter(_._1 == 4L) == Seq((4L, Seq(0, 0))))
+    assert(q.recentProgress.exists(_.numInputRows == 1),
+      "appended file should arrive as its own 1-row micro-batch")
   }
 }
