@@ -75,9 +75,12 @@ object LangModel {
     val docBi = base
       .select(col("id"), explode(col("__bi")).as("bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
-    val nll = round(-log(
+    // v = 0 (an EMPTY reference slice) leaves the model undefined; the
+    // guard returns null scores instead of tripping ANSI divide-by-zero
+    // (n_bigrams stays honest, so the caller can see what went unscored)
+    val nll = when(col("v") > 0, round(-log(
       (coalesce(col("c12"), lit(0L)) + lit(1.0)) /
-        (coalesce(col("c1"), lit(0L)) + col("v"))), 9)
+        (coalesce(col("c1"), lit(0L)) + col("v"))), 9))
     docBi
       .join(bi, Seq("bg"), "left")
       .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"), "left")

@@ -100,4 +100,31 @@ class EdgeCaseSpec extends SparkSpec {
       .collect()
     assert(out.length == 1 && !out(0).getBoolean(1) && out(0).getLong(2) == 0L)
   }
+
+  test("round-5 curation edge cases: degenerate text and slices") {
+    import graft.operators.{Curation, LangModel, Packing}
+    // gopherFlags on empty/null/blank text: every rule evaluates to a
+    // boolean (no nulls, no division error), pass_all is false
+    val blank = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "   "))
+      .toDF("doc_id", "text")
+    val flags = Curation.gopherFlags(blank, "text")
+      .select("doc_id", "pass_all", "r_words", "r_stop").collect()
+    assert(flags.length == 3 && flags.forall(r => !r.isNullAt(1) && !r.getBoolean(1)))
+    // dsirWeights on empty input: empty output, no error
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.dsirWeights(emptyDocs, "doc_id", "text", lit(true)).count() == 0)
+    // bigramNll with an EMPTY reference slice: vocab 0 -> p = 1/0 ->
+    // the 9-dp decimal cast of -log(Inf) is null; scoring must not
+    // throw and n_bigrams stays honest
+    val docs = Seq((1L, "a b c", false), (2L, "x", false))
+      .toDF("doc_id", "text", "ref")
+    val nll = LangModel.bigramNll(docs, "doc_id", "text", col("ref"))
+      .orderBy("doc_id").collect()
+    assert(nll.length == 1 && nll(0).getLong(1) == 2L && nll(0).isNullAt(2))
+    // zipperPack singleton shard: one pair of one doc, padding = cap - len
+    val one = Seq((1L, 30)).toDF("doc_id", "n_tokens")
+    val z = Packing.zipperPack(one, "doc_id", "n_tokens", 1, 50).collect()
+    assert(z.length == 1 && z(0).getAs[Long]("n_docs") == 1L &&
+      z(0).getAs[Long]("padding") == 20L && z(0).getAs[Long]("overflow") == 0L)
+  }
 }

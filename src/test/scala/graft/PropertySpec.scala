@@ -192,4 +192,62 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("zipperPack invariants: token conservation, pair counts, both strategies") {
+    val lensGen = Gen.nonEmptyListOf(Gen.choose(1, 200))
+    forAll(lensGen, n = 4) { lens =>
+      val df = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+        .toDF("doc_id", "n_tokens")
+      Seq(true, false).foreach { zip =>
+        val pairs = graft.operators.Packing
+          .zipperPack(df, "doc_id", "n_tokens", shards = 3, capacity = 128,
+            zipper = zip)
+          .select("shard", "n_docs", "pair_tokens", "padding", "overflow")
+          .as[(Long, Long, Long, Long, Long)].collect()
+        // every document lands in exactly one pair; tokens conserved
+        assert(pairs.map(_._2).sum == lens.length)
+        assert(pairs.map(_._3).sum == lens.map(_.toLong).sum)
+        // per shard: ceil(n_s / 2) pairs, each of 1 or 2 docs
+        pairs.groupBy(_._1).foreach { case (_, ps) =>
+          val nDocs = ps.map(_._2).sum
+          assert(ps.length == (nDocs + 1) / 2)
+          assert(ps.forall(p => p._2 == 1 || p._2 == 2))
+        }
+        // padding and overflow are mutually exclusive per pair
+        assert(pairs.forall(p => p._4 == 0 || p._5 == 0))
+      }
+    }
+  }
+
+  test("PQ invariant: ADC of a codeword vector equals its exact distance") {
+    import graft.operators.Quantization
+    // multiples of 1/128: exactly representable in Float, so the float
+    // embedding column and the double codebook hold identical values and
+    // the only approx-vs-exact gap is the 4 per-subspace 6-dp roundings
+    val vecsGen = Gen.listOfN(6,
+      Gen.listOfN(8, Gen.choose(-640, 640).map(_ / 128.0)))
+    forAll(vecsGen, n = 4) { raw =>
+      val vecs = raw.distinct
+      if (vecs.length >= 3) {
+        val cb = vecs.take(2).map(_.toIndexedSeq).toIndexedSeq
+        val query = vecs.last.toIndexedSeq
+        val table = Quantization.adcTable(query, cb, m = 4)
+        val df = cb.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+          .toDF("vec_id", "embedding")
+        val out = df.select(col("vec_id"),
+            Quantization.adcScore(
+              Quantization.pqCodes(col("embedding"), cb, 4, 8), table).as("a"),
+            Quantization.exactDist(col("embedding"), query).as("e"))
+          .as[(Long, Double, Double)].collect()
+        // a vector that IS codeword j encodes to j in every subspace, so
+        // its ADC distance is the subspace decomposition of the exact
+        // squared L2 — equal up to the 4 x 0.5e-6 per-subspace roundings
+        out.foreach { case (_, a, e) =>
+          assert(a >= 0.0 && math.abs(a - e) <= 4 * 5e-7 + 1e-9,
+            s"ADC $a vs exact $e")
+        }
+      }
+    }
+  }
 }
