@@ -4600,6 +4600,35 @@ object Queries {
       FROM approx JOIN ex USING (vec_id)
       ORDER BY approx_d, vec_id LIMIT 10"""))
 
+  /** Deterministic per-source cap (the RefinedWeb/Gopher "limit documents
+    * per domain" rule, doubling as an exact-N stratified sample): rank
+    * every document inside its source by the md5-derived hash (a
+    * reproducible shuffle order — no RNG state), keep the first 8.
+    * Keyed window + rank filter: capping 100 TB parallelizes by source
+    * and never needs a global order or a count pass. */
+  val q121SourceCap = Q(
+    "q121_source_cap",
+    (s, d) =>
+      Curation.topNPerGroup(
+          documents(s, d).withColumn("__h",
+            Text.md5Hash64(col("doc_id").cast("string"), 13)),
+          Seq("source"), Seq(col("__h"), col("doc_id")), n = 8)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_checksum"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("kept_tokens")),
+    Some(s"""WITH t AS ($duckToksSql),
+      h AS (
+        SELECT d.doc_id, d.source, len(t.toks) AS n_tokens,
+          row_number() OVER (PARTITION BY d.source ORDER BY
+            ('0x' || substr(md5('13:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+            d.doc_id) AS rk
+        FROM documents d JOIN t USING (doc_id))
+      SELECT source, count(*) AS n_kept,
+        CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+      FROM h WHERE rk <= 8 GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4630,5 +4659,5 @@ object Queries {
     q107PrefixJaccard, q108Resize, q109AnnMultiprobe, q110MovementSkim,
     q111OdCrosswalk, q112StpRegistry, q113RuleaggMeantime,
     q114ViterbiPosteriors, q115LmPerplexity, q116DsirWeights,
-    q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq)
+    q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq, q121SourceCap)
 }
