@@ -96,4 +96,22 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(exchanges(sd) <= 3,
       s"spanDedup plans ${exchanges(sd)} shuffle exchanges")
   }
+
+  test("PQ encode/score plans are exchange-free single passes") {
+    val sf = "/root/testdata/sf0.001"
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "(?m)^(?!.*BroadcastExchange).*Exchange".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // q119: encode + ADC + top-k must stay scan -> project -> TakeOrdered
+    val pq = Queries.q119PqAdc.run(spark, sf)
+    assert(shuffles(pq) == 0,
+      s"q119 plans ${shuffles(pq)} shuffle exchanges; the PQ pass must be map-only")
+    // q120: the corpus-side IVF-PQ path is additionally join-free (the
+    // centroid/codebook builds run as separate bounded jobs before it)
+    val ivfpq = Queries.q120IvfPq.run(spark, sf)
+    val plan = ivfpq.queryExecution.executedPlan.toString
+    assert(shuffles(ivfpq) == 0,
+      s"q120 plans ${shuffles(ivfpq)} shuffle exchanges")
+    assert(!plan.contains("Join"), "q120's corpus-side plan must be join-free")
+  }
 }
