@@ -237,7 +237,11 @@ object Curation {
                   stopwords: Seq[String] = GopherStopwords): DataFrame = {
     val t = col(textCol)
     val norm = Text.normalize(t)
-    val nWords = Text.tokenCount(t).cast("long")
+    // tokenize once into a bound attribute: three rules consume the
+    // token array, and a repeated Text.tokens(t) tree leans on codegen
+    // subexpression elimination instead of guaranteeing one evaluation
+    val toks = col("__toks")
+    val nWords = size(toks).cast("long")
     val meanLen = (length(norm) - (nWords - 1)).cast("double") / nWords
     val hashes = size(regexp_extract_all(t, lit("#"), lit(0)))
     val ellipses = size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))
@@ -246,11 +250,12 @@ object Curation {
       .cast("double") / size(lines)
     val ellipsisFrac = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
       .cast("double") / size(lines)
-    val alphaFrac = size(filter(Text.tokens(t), w => w.rlike("[A-Za-z]")))
+    val alphaFrac = size(filter(toks, w => w.rlike("[A-Za-z]")))
       .cast("double") / nWords
     val stopDistinct =
-      size(array_intersect(Text.tokens(t), array(stopwords.map(lit): _*)))
+      size(array_intersect(toks, array(stopwords.map(lit): _*)))
     df
+      .withColumn("__toks", Text.tokens(t))
       .withColumn("n_words", nWords)
       .withColumn("r_words", nWords.between(50L, 100000L))
       .withColumn("r_meanlen", nWords > 0 && meanLen.between(3.0, 10.0))
@@ -264,5 +269,6 @@ object Curation {
       .withColumn("pass_all",
         col("r_words") && col("r_meanlen") && col("r_symbol") &&
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+      .drop("__toks")
   }
 }

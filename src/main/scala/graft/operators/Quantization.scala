@@ -104,11 +104,8 @@ object Quantization {
     }.reduce(_ + _).cast("double")
 
   /** Exact squared-L2 against a literal query (the recall yardstick the
-    * catalog query reports beside the ADC estimate). */
-  def exactDist(vec: Column, query: IndexedSeq[Double]): Column = {
-    val v = transform(vec, x => x.cast("double"))
-    val q = array(query.map(lit): _*)
-    aggregate(zip_with(v, q, (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v2) => acc + v2)
-  }
+    * catalog query reports beside the ADC estimate) — sliceDist over the
+    * full dimension range. */
+  def exactDist(vec: Column, query: IndexedSeq[Double]): Column =
+    sliceDist(transform(vec, x => x.cast("double")), query, 0, query.length)
 }
