@@ -49,4 +49,27 @@ class QuantizationSpec extends SparkSpec {
     val got = Quantization.initCodebook(df, "vec_id", "embedding", 2)
     assert(got == IndexedSeq(IndexedSeq(1.0, 1.0), IndexedSeq(3.0, 3.0)))
   }
+
+  test("persisted codes table scores without the vectors (the index shape)") {
+    // the 100 TB story: encode once, persist the (id, codes) table, and
+    // answer ADC queries from the codes alone — embeddings never rescan
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+    val vecs = Seq(
+      (1L, Seq(0.1f, 0.0f, -9.0f, -9.0f)),
+      (2L, Seq(0.9f, 1.1f, 9.0f, 9.0f)),
+      (3L, Seq(0.5f, 0.5f, 10.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    vecs.select(col("vec_id"),
+        Quantization.pqCodes(col("embedding"), cb, 2, 4).as("codes"))
+      .write.mode("overwrite").parquet(dir)
+    val table = Quantization.adcTable(IndexedSeq(1.0, 0.0, 0.0, 0.0), cb, 2)
+    val direct = vecs.select(col("vec_id"),
+        Quantization.adcScore(
+          Quantization.pqCodes(col("embedding"), cb, 2, 4), table).as("a"))
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    val fromIndex = spark.read.parquet(dir)
+      .select(col("vec_id"), Quantization.adcScore(col("codes"), table).as("a"))
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(fromIndex == direct && direct.size == 3)
+  }
 }
