@@ -4629,6 +4629,75 @@ object Queries {
         CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
       FROM h WHERE rk <= 8 GROUP BY 1"""))
 
+  /** Integrated curation sweep — the §3-style lifecycle for a training
+    * corpus: Gopher-filter the documents, cap each source at 8 survivors
+    * (hash order), split the kept set train/val/test, and report
+    * per-split document and token budgets. Every stage is an
+    * already-oracled operator (q117 -> q121 -> q103); the composition is
+    * what a daily curation run executes, and the whole plan is map-only
+    * until the one keyed rank window and final tiny groupBy. The
+    * stopword rule runs with the CORPUS's stopword list (the config
+    * input every deployment sets — q104's list for these tables;
+    * Gopher's own English set keeps zero documents of this synthetic
+    * vocabulary, which q117 reports per-rule). */
+  val q122CurationSweep = Q(
+    "q122_curation_sweep",
+    (s, d) => {
+      val kept = Curation.gopherFlags(documents(s, d), "text", stopwords)
+        .where(col("pass_all"))
+        .withColumn("__h", Text.md5Hash64(col("doc_id").cast("string"), 13))
+      Curation.topNPerGroup(kept, Seq("source"),
+          Seq(col("__h"), col("doc_id")), n = 8)
+        .withColumn("split", Curation.hashSplit(col("doc_id")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("doc_id")).as("id_checksum"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, source, lang, text,
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+          CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+          END AS toks,
+          string_split(text, chr(10)) AS lines
+        FROM documents),
+      f AS (
+        SELECT doc_id, source, len(toks) AS n_words
+        FROM base
+        WHERE len(toks) BETWEEN 50 AND 100000
+          AND len(toks) > 0
+          AND (length(norm) - (len(toks) - 1)) / len(toks) BETWEEN 3.0 AND 10.0
+          AND len(regexp_extract_all(text, '#')) / len(toks) <= 0.1
+          AND len(regexp_extract_all(text, '\.\.\.')) / len(toks) <= 0.1
+          AND len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+                / len(lines) <= 0.9
+          AND len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                / len(lines) <= 0.3
+          AND len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                / len(toks) >= 0.8
+          AND len(list_distinct(list_intersect(toks,
+                ['the', 'a', 'and', 'of', 'in']))) >= 2),
+      capped AS (
+        SELECT doc_id, source, n_words,
+          row_number() OVER (PARTITION BY source ORDER BY
+            ('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+            doc_id) AS rk
+        FROM f),
+      sp AS (
+        SELECT doc_id, source, n_words,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+        FROM capped WHERE rk <= 8)
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+        count(*) AS n_docs,
+        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(sum(n_words) AS BIGINT) AS total_words,
+        CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM sp GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4659,5 +4728,6 @@ object Queries {
     q107PrefixJaccard, q108Resize, q109AnnMultiprobe, q110MovementSkim,
     q111OdCrosswalk, q112StpRegistry, q113RuleaggMeantime,
     q114ViterbiPosteriors, q115LmPerplexity, q116DsirWeights,
-    q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq, q121SourceCap)
+    q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq, q121SourceCap,
+    q122CurationSweep)
 }
