@@ -239,8 +239,11 @@ object Curation {
     val norm = Text.normalize(t)
     // tokenize once into a bound attribute: three rules consume the
     // token array, and a repeated Text.tokens(t) tree leans on codegen
-    // subexpression elimination instead of guaranteeing one evaluation
-    val toks = col("__toks")
+    // subexpression elimination instead of guaranteeing one evaluation.
+    // The name is operator-scoped so a caller's own working columns
+    // (the bare __toks convention used by bm25/bigramNll frames) are
+    // never clobbered by the trailing drop
+    val toks = col("__gopher_toks")
     val nWords = size(toks).cast("long")
     val meanLen = (length(norm) - (nWords - 1)).cast("double") / nWords
     val hashes = size(regexp_extract_all(t, lit("#"), lit(0)))
@@ -255,7 +258,7 @@ object Curation {
     val stopDistinct =
       size(array_intersect(toks, array(stopwords.map(lit): _*)))
     df
-      .withColumn("__toks", Text.tokens(t))
+      .withColumn("__gopher_toks", Text.tokens(t))
       .withColumn("n_words", nWords)
       .withColumn("r_words", nWords.between(50L, 100000L))
       .withColumn("r_meanlen", nWords > 0 && meanLen.between(3.0, 10.0))
@@ -269,6 +272,6 @@ object Curation {
       .withColumn("pass_all",
         col("r_words") && col("r_meanlen") && col("r_symbol") &&
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
-      .drop("__toks")
+      .drop("__gopher_toks")
   }
 }

@@ -103,13 +103,18 @@ class EdgeCaseSpec extends SparkSpec {
 
   test("round-5 curation edge cases: degenerate text and slices") {
     import graft.operators.{Curation, LangModel, Packing}
-    // gopherFlags on empty/null/blank text: every rule evaluates to a
-    // boolean (no nulls, no division error), pass_all is false
+    // gopherFlags on empty/null/blank text: no division error, and
+    // pass_all is a NON-NULL false (the null-text line rules go null,
+    // but the conjunction short-circuits on the false word-count rule);
+    // the word/stopword rules themselves stay non-null false
     val blank = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "   "))
       .toDF("doc_id", "text")
     val flags = Curation.gopherFlags(blank, "text")
       .select("doc_id", "pass_all", "r_words", "r_stop").collect()
-    assert(flags.length == 3 && flags.forall(r => !r.isNullAt(1) && !r.getBoolean(1)))
+    assert(flags.length == 3 && flags.forall(r =>
+      !r.isNullAt(1) && !r.getBoolean(1) &&
+        !r.isNullAt(2) && !r.getBoolean(2) &&
+        !r.isNullAt(3) && !r.getBoolean(3)))
     // dsirWeights on empty input: empty output, no error
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Curation.dsirWeights(emptyDocs, "doc_id", "text", lit(true)).count() == 0)

@@ -78,11 +78,14 @@ class ScaleMechanicsSpec extends SparkSpec {
     * explode, so reintroducing a totals groupBy (a full-width shuffle of
     * every shingle/span) shows up as an extra Exchange. Counting
     * exchanges in the executed plan locks the shape in. */
+  /** Shuffle (non-broadcast) exchange count of an executed plan. */
+  private def shuffleExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    "(?m)^(?!.*BroadcastExchange).*Exchange".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
   test("contamination and span-dedup plans keep their exchange budget") {
     val sf = "/root/testdata/sf0.001"
-    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
-      "(?m)^(?!.*BroadcastExchange).*Exchange".r
-        .findAllIn(df.queryExecution.executedPlan.toString).length
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = shuffleExchanges(df)
     val cont = graft.operators.Corpus.contamination(
       Tables.documents(spark, sf), "doc_id", "text",
       col("doc_id") % 20 === 0, n = 8)
@@ -99,9 +102,7 @@ class ScaleMechanicsSpec extends SparkSpec {
 
   test("PQ encode/score plans are exchange-free single passes") {
     val sf = "/root/testdata/sf0.001"
-    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
-      "(?m)^(?!.*BroadcastExchange).*Exchange".r
-        .findAllIn(df.queryExecution.executedPlan.toString).length
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = shuffleExchanges(df)
     // q119: encode + ADC + top-k must stay scan -> project -> TakeOrdered
     val pq = Queries.q119PqAdc.run(spark, sf)
     assert(shuffles(pq) == 0,
