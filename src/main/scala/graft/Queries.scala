@@ -4698,6 +4698,64 @@ object Queries {
         CAST(sum(doc_id) AS BIGINT) AS id_checksum
       FROM sp GROUP BY 1"""))
 
+  /** One PageRank iteration as a DuckDB CTE triple — the same recurrence
+    * [[graft.graph.Graph.pageRank]] runs (12-dp-rounded addends, exact
+    * decimal sums, 12-dp-rounded new rank), unrolled once per round.
+    * Each round's state is AS MATERIALIZED: round k+1 references s_k
+    * three times, and DuckDB's default CTE inlining would otherwise
+    * expand the chain to 3^rounds copies of the base scan. */
+  private def pageRankRoundSql(prev: String, k: Int): String = s"""
+      c$k AS (
+        SELECT e.dst AS node,
+          CAST(sum(CAST(round(s.rank / s.outdeg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS in_sum
+        FROM $prev s JOIN e ON s.node = e.src
+        GROUP BY 1),
+      d$k AS (
+        SELECT coalesce(CAST(sum(CAST(round(rank, 12) AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS mass
+        FROM $prev WHERE outdeg IS NULL),
+      s$k AS MATERIALIZED (
+        SELECT s.node, s.outdeg, s.n,
+          round(CAST(0.15 AS DOUBLE) / s.n + CAST(0.85 AS DOUBLE) *
+            (coalesce(c.in_sum, 0.0) + d.mass / s.n), 12) AS rank
+        FROM $prev s LEFT JOIN c$k c USING (node) CROSS JOIN d$k d)"""
+
+  /** PageRank over the customer->supplier referral graph (distinct
+    * (o_custkey, l_suppkey) pairs) — the web-graph importance ranker a
+    * crawl-curation pipeline runs over its domain/link graph (Page et
+    * al. 1999; Common Crawl ships host-level ranks of this family).
+    * Every supplier is a sink, so the dangling-mass redistribution path
+    * is exercised on real data, not just in the unit spec. Top 30
+    * suppliers by rank; the oracle replays the identical 6-round
+    * recurrence as unrolled CTEs and the ranks hash-match at 12 dp. */
+  val q123PageRank = Q(
+    "q123_pagerank",
+    (s, d) => {
+      val e = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.graph.Graph.pageRank(e, iterations = 6)
+        .where(col("node").startsWith("s"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(30)
+        .select(col("node"), round(col("rank"), 12).as("rank"))
+    },
+    Some(s"""WITH e AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+      m AS (SELECT count(*) AS n FROM nodes),
+      s0 AS MATERIALIZED (
+        SELECT nd.node, dg.outdeg, m.n,
+          round(CAST(1.0 AS DOUBLE) / m.n, 12) AS rank
+        FROM nodes nd LEFT JOIN deg dg USING (node) CROSS JOIN m),
+      ${(1 to 6).map(k => pageRankRoundSql(s"s${k - 1}", k)).mkString(",\n")}
+      SELECT node, rank FROM s6
+      WHERE node LIKE 's%'
+      ORDER BY rank DESC, node LIMIT 30"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4729,5 +4787,5 @@ object Queries {
     q111OdCrosswalk, q112StpRegistry, q113RuleaggMeantime,
     q114ViterbiPosteriors, q115LmPerplexity, q116DsirWeights,
     q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq, q121SourceCap,
-    q122CurationSweep)
+    q122CurationSweep, q123PageRank)
 }

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** G2 — shortest paths.
@@ -43,6 +43,83 @@ object Graph {
       k += 1
     }
     (dist, pred)
+  }
+
+  /** Distributed PageRank with damping and dangling-mass redistribution —
+    * the web-graph importance ranker crawl-curation pipelines run over
+    * domain/link graphs (Page et al. 1999; Common Crawl publishes exactly
+    * this family of host-level rank).
+    *
+    * Plan shape per iteration (the standard Pregel decomposition, kept
+    * relational so Catalyst plans it):
+    *  - state is one frame (node, outdeg, rank); edges are joined on
+    *    node = src and contributions aggregated by dst — the only two
+    *    data-proportional shuffles, both on the node key, so at scale a
+    *    bucketing of both sides by node makes every round co-partitioned;
+    *  - the dangling mass (rank parked on sink nodes) and the node count
+    *    are ONE-row aggregates broadcast back on a non-foldable constant
+    *    key ([[graft.operators.Guards.constKey]] — the plan-canary
+    *    contract for one-row joins);
+    *  - `localCheckpoint` cuts lineage each round (the [[bfsHops]]
+    *    lesson: no geometric plan growth, one job per round).
+    *
+    * Cross-engine float determinism (the kmeans decimal-sum discipline):
+    * every cross-row reduction — contribution sums and the dangling mass —
+    * rounds its addends to 12 dp and sums EXACT decimal(28,12); scalar
+    * per-row arithmetic is identical IEEE on both engines; each new rank
+    * is re-rounded to 12 dp, so iteration K's state is bit-identical to
+    * the oracle's unrolled CTE chain.
+    *
+    * Returns (node, rank) with rank rounded to 12 dp summing to ~1.
+    *
+    * `teleport` is passed as its own literal rather than computed as
+    * `1.0 - damping`: the Scala subtraction yields 0.15000000000000002
+    * while a SQL oracle's `0.15` literal parses to the nearest double
+    * below — the two constants must be PARSED identically on both
+    * engines, not derived.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 8,
+               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    import graft.operators.Guards
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    // (node, outdeg) with outdeg null for sinks; N broadcast on constKey
+    val meta = nodes.agg(count(lit(1)).as("n"))
+      .withColumn("__k", Guards.constKey(col("n")))
+    var state = nodes.join(outdeg, Seq("node"), "left")
+      .withColumn("__k", Guards.constKey(col("node")))
+      .join(broadcast(meta), "__k")
+      .select(col("node"), col("outdeg"), col("n"),
+        round(lit(1.0) / col("n"), 12).as("rank"))
+      .localCheckpoint()
+    val exactSum12 = (c: Column) =>
+      sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+    var it = 0
+    while (it < iterations) {
+      val contribs = state.where(col("outdeg").isNotNull)
+        .join(e, state("node") === e("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(exactSum12(col("rank") / col("outdeg")).as("in_sum"))
+      val dangling = state
+        .agg(coalesce(exactSum12(when(col("outdeg").isNull, col("rank"))),
+          lit(0.0)).as("mass"))
+        .withColumn("__k", Guards.constKey(col("mass")))
+      state = state.drop("rank")
+        .join(contribs, Seq("node"), "left")
+        .withColumn("__k", Guards.constKey(col("node")))
+        .join(broadcast(dangling), "__k")
+        .select(col("node"), col("outdeg"), col("n"),
+          round(lit(teleport) / col("n") +
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
+              col("mass") / col("n")), 12).as("rank"))
+        .localCheckpoint()
+      it += 1
+    }
+    state.select(col("node"), col("rank"))
   }
 
   /** All-pairs minimum hop counts, capped at `maxHops`, by min-plus

@@ -73,6 +73,47 @@ class GraphSpatialSpec extends SparkSpec {
     assert(out.feature(0) == 65 / 255.0f && out.feature(1) == 66 / 255.0f)
   }
 
+  test("pageRank: one iteration matches the hand-solved recurrence") {
+    // a->b, b->a, a->c; c is a sink. N=3, r0 = 1/3 each.
+    // contribs: a gets r(b)/1 = 0.333333333333; b,c each get r(a)/2
+    // = 0.166666666667 (12-dp addends). dangling mass = r(c), /3 =
+    // 0.111111111111. new = 0.05 + 0.85*(in + 0.111111111111).
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("a") - 0.427777777778) < 1e-11, s"a=${got("a")}")
+    assert(math.abs(got("b") - 0.286111111111) < 1e-11, s"b=${got("b")}")
+    assert(math.abs(got("c") - 0.286111111111) < 1e-11, s"c=${got("c")}")
+  }
+
+  test("pageRank: converged ranks sum to 1 and order by in-link weight") {
+    // hub gets links from every other node; spoke0 additionally linked
+    // by hub, so: hub > spoke0 > the rest (which tie exactly). The
+    // hub<->spoke0 2-cycle oscillates with amplitude damping^2 per
+    // round-pair, so damping 0.5 converges well inside 12 rounds
+    // (0.85 would still be ~0.04 out of steady state).
+    val edges = (1 to 5).map(i => (s"spoke$i", "hub")) ++
+      Seq(("hub", "spoke0"), ("spoke0", "hub"))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iterations = 12,
+        damping = 0.5, teleport = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"sum=${got.values.sum}")
+    assert(got("hub") > got("spoke0"), "hub outranks spoke0")
+    assert(got("spoke0") > got("spoke1"), "linked spoke outranks leaves")
+    assert((1 to 5).map(i => got(s"spoke$i")).distinct.size == 1,
+      "symmetric leaves tie exactly (deterministic rounding)")
+  }
+
+  test("pageRank: partitioning-invariant (exact decimal sums)") {
+    val edges = (1L to 40L).map(i => (s"n${i % 7}", s"n${(i * 3) % 11}"))
+      .toDF("src", "dst")
+    val once = Graph.pageRank(edges.repartition(1), iterations = 4).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wide = Graph.pageRank(edges.repartition(13), iterations = 4).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(once == wide, "ranks must be bit-identical across partitionings")
+  }
+
   test("resize: nearest-neighbor index math over the byte grid") {
     // 9 bytes -> side 3 grid "ABC/DEF/GHI"; 2x2 nearest-neighbor picks
     // sx,sy in {0*3/2, 1*3/2} = {0, 1}: bytes A(0,0) B(1,0) D(0,1) E(1,1)
