@@ -4756,6 +4756,30 @@ object Queries {
       WHERE node LIKE 's%'
       ORDER BY rank DESC, node LIMIT 30"""))
 
+  /** Weighted sampling without replacement per language (Efraimidis-
+    * Spirakis keys over n_chars): 12 docs per lang, long documents
+    * proportionally likelier — the token-budget subsample a plain
+    * hash-frac filter cannot express. The oracle replays the identical
+    * md5-derived uniforms and pow keys, so the selected SET (not just
+    * counts) hash-matches. */
+  val q124WeightedSample = Q(
+    "q124_weighted_sample",
+    (s, d) =>
+      Packing.weightedSample(documents(s, d), "doc_id", Seq("lang"),
+          "n_chars", k = 12, salt = 7)
+        .select(col("lang"), col("es_rank"), col("doc_id"), col("n_chars")),
+    Some("""WITH p AS (
+        SELECT lang, doc_id, n_chars,
+          pow(CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 4294967296 + 1 AS DOUBLE) / CAST(4294967297 AS DOUBLE),
+              CAST(1.0 AS DOUBLE) / n_chars) AS pr
+        FROM documents WHERE n_chars > 0),
+      r AS (
+        SELECT lang, doc_id, n_chars,
+          row_number() OVER (PARTITION BY lang ORDER BY pr DESC, doc_id) AS es_rank
+        FROM p)
+      SELECT lang, es_rank, doc_id, n_chars FROM r WHERE es_rank <= 12"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4787,5 +4811,5 @@ object Queries {
     q111OdCrosswalk, q112StpRegistry, q113RuleaggMeantime,
     q114ViterbiPosteriors, q115LmPerplexity, q116DsirWeights,
     q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq, q121SourceCap,
-    q122CurationSweep, q123PageRank)
+    q122CurationSweep, q123PageRank, q124WeightedSample)
 }

@@ -66,6 +66,44 @@ object Packing {
       .where(sampleHash(col(idCol), col("__frac"), salt))
       .drop("frac", "__frac")
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): each row gets the key
+    * u^(1/w) with u a deterministic md5-derived uniform in (0,1), and
+    * the k LARGEST keys per stratum are exactly a weighted sample
+    * without replacement — the token-budget-proportional subsample
+    * ("pick k docs per language, long docs proportionally more likely")
+    * that a naive frac-filter cannot express.
+    *
+    * Engine-portable determinism: u = (md5-hash-64(id) mod 2^32 + 1) /
+    * (2^32 + 1) — integer arithmetic plus one double division, so the
+    * DuckDB oracle reproduces every uniform bit-for-bit. `pow` is the
+    * one libm call; both engines are correctly-rounded to <= 1 ulp, so a
+    * cross-engine ordering flip would need two keys within a last-ulp
+    * interval — vanishing for continuous md5-derived keys, and the
+    * id tie-break keeps the order total regardless.
+    *
+    * Plan: one map-side key projection + one keyed rank window per
+    * stratum (WindowGroupLimit prunes to k per partition before the
+    * shuffle on Spark 3.5+). Rows with weight <= 0 carry no sampling
+    * mass (A-ES is undefined there) and are dropped.
+    *
+    * Returns the surviving rows (all input columns) + `es_rank` (1..k).
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, stratumCols: Seq[String],
+      weightCol: String, k: Int, salt: Int = 0): DataFrame = {
+    require(k > 0, s"weightedSample needs k > 0, got $k")
+    val u = (pmod(Text.md5Hash64(col(idCol).cast("string"), salt),
+      lit(4294967296L)) + lit(1L)).cast("double") / lit(4294967297.0)
+    val w = Window.partitionBy(stratumCols.map(col): _*)
+      .orderBy(col("__es_key").desc, col(idCol))
+    df.where(col(weightCol).cast("double") > 0)
+      .withColumn("__es_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .withColumn("es_rank", row_number().over(w))
+      .where(col("es_rank") <= k)
+      .drop("__es_key")
+  }
+
   /** Temperature-based source mixing (the multilingual-corpus sampling
     * rule: p_s proportional to n_s^alpha): per stratum the raw share, the
     * temperature-flattened sampling weight, and the implied epochs over

@@ -116,4 +116,51 @@ class PackingSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 45L), (2L, 2L, 40L), (3L, 1L, 20L)))
     assert(out.map(_._2).sum == 5L)
   }
+
+  /** Sequential replay of weightedSample's exact key recurrence: md5 hex
+    * -> first 15 hex chars as long -> uniform -> pow(u, 1/w). Same JVM
+    * Math.pow as the executors, so selection must match EXACTLY. */
+  private def esKey(id: Long, w: Long, salt: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    val u = (java.lang.Long.parseLong(hex, 16) % 4294967296L + 1).toDouble /
+      4294967297.0
+    math.pow(u, 1.0 / w)
+  }
+
+  test("weightedSample: matches the sequential A-ES reference exactly") {
+    val rows = (1L to 120L).map(i => (i, s"g${i % 3}", 10L + (i % 7) * 40L))
+    val got = Packing.weightedSample(
+        rows.toDF("id", "grp", "w"), "id", Seq("grp"), "w", k = 8, salt = 3)
+      .select("grp", "id", "es_rank").as[(String, Long, Int)]
+      .collect().toSet
+    val expected = rows.groupBy(_._2).flatMap { case (g, members) =>
+      members.map { case (id, _, w) => (id, esKey(id, w, 3)) }
+        .sortBy { case (id, key) => (-key, id) }
+        .take(8).zipWithIndex
+        .map { case ((id, _), i) => (g, id, i + 1) }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("weightedSample: k per stratum, zero-weight rows carry no mass") {
+    val df = (1L to 50L).map(i => (i, "s", if (i <= 40) 5L else 0L))
+      .toDF("id", "grp", "w")
+    val out = Packing.weightedSample(df, "id", Seq("grp"), "w", k = 10)
+      .select("id").as[Long].collect()
+    assert(out.length == 10)
+    assert(out.forall(_ <= 40L), "zero-weight rows must never be sampled")
+  }
+
+  test("weightedSample: heavy weights dominate the sample") {
+    // 100 light (w=1) vs 100 heavy (w=200): P(light outranks heavy) per
+    // pair is ~1/201, so a 20-doc sample is overwhelmingly heavy.
+    val df = (1L to 200L).map(i => (i, "s", if (i <= 100) 1L else 200L))
+      .toDF("id", "grp", "w")
+    val picked = Packing.weightedSample(df, "id", Seq("grp"), "w", k = 20)
+      .select("id").as[Long].collect()
+    val heavy = picked.count(_ > 100L)
+    assert(heavy > 15, s"expected heavy docs to dominate, got $heavy/20")
+  }
 }
