@@ -4780,6 +4780,62 @@ object Queries {
         FROM p)
       SELECT lang, es_rank, doc_id, n_chars FROM r WHERE es_rank <= 12"""))
 
+  /** C4-style boilerplate line removal (q85's deterministic-augmentation
+    * pattern: the corpus is single-line word soup, so each doc is first
+    * re-wrapped into 10-word lines with id-derived variation — every
+    * (doc_id+i)%5==0 line gets nav-menu chrome, every remaining
+    * (doc_id+i)%3==0 line a terminal '.'), then [[Corpus.lineClean]]
+    * applies the published line rules. Page build + clean is ONE
+    * map-side HOF projection — no explode, no shuffle. */
+  val q125LineClean = Q(
+    "q125_line_clean",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val nLines = ceil(size(toks) / lit(10.0)).cast("int")
+      val page = array_join(
+        transform(sequence(lit(0), nLines - 1), i =>
+          concat(
+            array_join(slice(toks, i * lit(10) + lit(1), lit(10)), " "),
+            when((col("doc_id") + i) % 5 === 0, lit(" | home | about | contact"))
+              .when((col("doc_id") + i) % 3 === 0, lit("."))
+              .otherwise(lit("")))), "\n")
+      Corpus.lineClean(
+          documents(s, d).where(size(toks) > 0)
+            .select(col("doc_id"), page.as("page")),
+          "page")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          length(col("cleaned")).as("kept_chars"),
+          md5(col("cleaned")).as("cleaned_md5"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) > 0),
+      pg AS (
+        SELECT doc_id, array_to_string(
+          list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)), i ->
+            array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ') ||
+            CASE WHEN (doc_id + i) % 5 = 0 THEN ' | home | about | contact'
+                 WHEN (doc_id + i) % 3 = 0 THEN '.'
+                 ELSE '' END), chr(10)) AS page
+        FROM base),
+      cl AS (
+        SELECT doc_id, string_split(page, chr(10)) AS lines,
+          list_filter(string_split(page, chr(10)), l ->
+            regexp_matches(l, '[.!?"]\s*$') AND len(trim(l)) >= 30
+            AND len(string_split_regex(trim(l), '\s+')) >= 3) AS kept
+        FROM pg),
+      j AS (
+        -- array_to_string of an EMPTY list is NULL in DuckDB but '' in
+        -- Spark's array_join: coalesce to keep md5/length comparable
+        SELECT doc_id, lines, kept,
+          coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+        FROM cl)
+      SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+        CAST(len(kept) AS INT) AS n_kept,
+        CAST(length(cleaned) AS INT) AS kept_chars,
+        md5(cleaned) AS cleaned_md5
+      FROM j"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4811,5 +4867,5 @@ object Queries {
     q111OdCrosswalk, q112StpRegistry, q113RuleaggMeantime,
     q114ViterbiPosteriors, q115LmPerplexity, q116DsirWeights,
     q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq, q121SourceCap,
-    q122CurationSweep, q123PageRank, q124WeightedSample)
+    q122CurationSweep, q123PageRank, q124WeightedSample, q125LineClean)
 }

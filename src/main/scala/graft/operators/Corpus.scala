@@ -137,6 +137,39 @@ object Corpus {
           col("n_spans"), 6).as("dup_ratio"))
   }
 
+  /** Intra-document boilerplate line removal — C4's published line rules
+    * (Raffel et al. 2020, JMLR: "we only retained lines that ended in a
+    * terminal punctuation mark ... discarded [pages] with fewer than N
+    * words per line on average"; jusText/CCNet run the same family): a
+    * line survives iff it (a) ends in terminal punctuation [.!?"],
+    * (b) is at least `minChars` chars trimmed, (c) has at least
+    * `minWords` whitespace words. Navigation chrome, footers, and menu
+    * fragments fail (a)+(c).
+    *
+    * The whole operator is ONE map-side projection — split / filter /
+    * array_join higher-order functions, no explode, no shuffle, nothing
+    * but the scan at any corpus size (the q87 chunking contract). The
+    * lambda predicates are engine-portable: the DuckDB oracle's
+    * list_filter evaluates the identical rules.
+    *
+    * Adds (n_lines, n_kept, cleaned) to the input rows; `cleaned` is the
+    * surviving lines re-joined with newlines.
+    */
+  def lineClean(df: DataFrame, textCol: String, minChars: Int = 30,
+                minWords: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]\\s*$") &&
+        length(trim(l)) >= minChars &&
+        size(split(trim(l), "\\s+")) >= minWords)
+    df.withColumn("__lines", lines)
+      .withColumn("__kept", kept)
+      .withColumn("n_lines", size(col("__lines")))
+      .withColumn("n_kept", size(col("__kept")))
+      .withColumn("cleaned", array_join(col("__kept"), "\n"))
+      .drop("__lines", "__kept")
+  }
+
   /** Corpus vocabulary + per-document out-of-vocabulary rate — the
     * vocabulary-coverage quality filter. The top-K vocab is a global
     * word count then a bounded orderBy(count desc, word).limit(K)

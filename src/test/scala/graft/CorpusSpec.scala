@@ -92,6 +92,43 @@ class CorpusSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L, 0.0)))
   }
 
+  test("lineClean: C4 line rules — punctuation, length, word count") {
+    val page = Seq(
+      "This line is long enough and properly ends with a period.", // kept
+      "No terminal punctuation on this sufficiently long line here", // no punct
+      "Short line.",                                    // < 30 chars
+      "home | about | contact | search | login | register | help", // no punct
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa.",      // 1 word < 3
+      "  Trailing spaces after the final question mark stay fine?  " // kept
+    ).mkString("\n")
+    val out = Corpus.lineClean(Seq((1L, page)).toDF("id", "text"), "text")
+      .select("n_lines", "n_kept", "cleaned")
+      .as[(Int, Int, String)].collect()(0)
+    assert(out._1 == 6 && out._2 == 2, s"got $out")
+    assert(out._3.startsWith("This line") && out._3.contains("question mark"))
+  }
+
+  test("lineClean: the plan has no shuffle — map-only at any scale") {
+    val docs = Seq((1L, "line one.\nline two")).toDF("doc_id", "text")
+    val plan = Corpus.lineClean(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"lineClean plan shuffles:\n$plan")
+  }
+
+  test("lineClean: empty text and all-boilerplate pages survive as empty") {
+    val out = Corpus.lineClean(
+        Seq((1L, ""), (2L, "nav | nav\nnav | nav")).toDF("id", "text"), "text")
+      .select("id", "n_kept", "cleaned").as[(Long, Int, String)]
+      .collect().toMap2b
+    assert(out(1L) == ((0, "")))
+    assert(out(2L) == ((0, "")))
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Long, Int, String)]) {
+    def toMap2b: Map[Long, (Int, String)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
   private implicit class Tup5Ops(rows: Array[(Long, Long, Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Long, Long, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
