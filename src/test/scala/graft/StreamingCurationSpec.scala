@@ -43,6 +43,24 @@ class StreamingCurationSpec extends SparkSpec {
     assert(stream == batch && batch.nonEmpty)
   }
 
+  test("lineClean: streaming rows match batch exactly (stateless HOFs)") {
+    val docs = Seq(
+      (1L, "This line is long enough and properly ends with a period.\nnav | nav"),
+      (2L, "home | about | contact\nAnother sufficiently long surviving line here."),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_stream_lineclean").toString
+    docs.write.mode("overwrite").parquet(dir)
+    def pipeline(df: DataFrame): DataFrame =
+      graft.operators.Corpus.lineClean(df, "text")
+        .select("doc_id", "n_lines", "n_kept", "cleaned")
+    val batch = pipeline(spark.read.parquet(dir))
+      .as[(Long, Int, Int, String)].collect().toSeq.sorted
+    val stream = streamed(dir, docs, pipeline, "lineclean_stream")
+      .as[(Long, Int, Int, String)].collect().toSeq.sorted
+    assert(stream == batch && batch.count(_._3 > 0) == 2)
+  }
+
   test("PQ encode + ADC score: streaming ingestion matches batch encode") {
     val cb = IndexedSeq(
       IndexedSeq(0.0, 0.0, 10.0, 10.0),
