@@ -32,6 +32,18 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
+    // prior-round per-query seconds, parsed from the committed
+    // BENCH_DETAIL.json BEFORE this run overwrites it — the 5x-regression
+    // trigger for the steady-state net below. Number-valued pairs only:
+    // the steady_state arrays (`"name":[...]`) don't match the regex.
+    val prior: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
+        "\"(q[0-9]+_[a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+
     // local-iteration subset filter (comma-separated name substrings);
     // the driver never sets it, so its runs always cover the catalog
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
@@ -65,10 +77,14 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total/mean cover COMPLETED queries only: a failed query's
+    // time-to-exception is not a runtime, and mixing it in skews the
+    // aggregates exactly when they matter most (r05 advice item)
+    val completed = results.filterNot { case (k, _) => failed.contains(k) }
+    val total = completed.map(_._2).sum
     // n_queries/mean give cross-round comparability: the catalog grows
     // every round, so raw total seconds alone would read as a regression
-    val mean = if (results.nonEmpty) total / results.size else 0.0
+    val mean = if (completed.nonEmpty) total / completed.size else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // steady-state evidence for the hottest queries: the single-shot
     // numbers above vary ±40% on this VM (and the round-4 driver run was
@@ -76,7 +92,12 @@ object Bench {
     // iterations per top-10 query, recorded next to the single shots,
     // let a reader separate a real regression from a noisy shot without
     // a separate adjudication run
-    val hot = results.sortBy(-_._2).take(10).map(_._1).toSet
+    // net (r05 verdict item 6): top-10 by single shot PLUS every query
+    // whose single shot exceeds 10 s or 5x its prior-round time — the
+    // r05 top-10 missed q112/q119/q64, which were slow but not top-10
+    val hot = (completed.sortBy(-_._2).take(10).map(_._1) ++
+      completed.collect { case (k, v)
+        if v > 10.0 || prior.get(k).exists(p => v > 5 * p) => k }).toSet
     val steadyFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     val steady = Queries.all.filter(q => hot.contains(q.name)).map { q =>
       val times = (1 to 3).map { _ =>

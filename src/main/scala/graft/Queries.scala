@@ -1829,7 +1829,10 @@ object Queries {
       Windows.sessionize(events(s, d), Seq("user_id"), "ts", Seq("event_id"),
           gapMinutes = 60.0, sessionCol = "trip_id")
         .withColumn("dur_s",
-          max(col("ts").cast("double")).over(g) - min(col("ts").cast("double")).over(g))
+          // TIMESTAMP_NTZ can't cast straight to double; go via timestamp
+          // (identity when already TIMESTAMP, wall-clock no-op under UTC)
+          max(col("ts").cast("timestamp").cast("double")).over(g) -
+            min(col("ts").cast("timestamp").cast("double")).over(g))
         .withColumn("__sumv",
           sum(col("value").cast("decimal(18,6)")).over(g).cast("double"))
         .withColumn("alloc_s",
@@ -3335,6 +3338,36 @@ object Queries {
           (SELECT cid, list(x ORDER BY i) AS cv FROM m$n GROUP BY cid) mm
           ON mm.cid = c.cid)"""
 
+  /** One per-subspace-Lloyd PQ training round in DuckDB (m=8 subspaces of
+    * 8 dims, 64 total, k=16 codewords) — replays
+    * [[graft.operators.Quantization.trainCodebook]] exactly: encode under
+    * the previous codebook (`pa`), decimal-exact per-(codeword, dim)
+    * means over each dim's OWN subspace rows (`pm`), empty cells keep the
+    * previous value (`cb$n`). Expects CTEs `p` (vec_id, v) and `ms`
+    * (subspace ids 0..7) in scope. */
+  private def pqTrainRoundSql(prev: String, n: Int): String = s"""
+      pa$n AS (
+        SELECT p.vec_id, ms.m,
+          min(struct_pack(d := round(list_aggregate(list_transform(range(1, 9),
+              i -> (p.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]) *
+                   (p.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])), 'sum'), 6),
+            c := cb.k)) AS best
+        FROM p CROSS JOIN ms CROSS JOIN $prev cb GROUP BY 1, 2),
+      pm$n AS (
+        SELECT a.best.c AS k, d.i,
+          round(CAST(sum(CAST(p.v[d.i] AS DECIMAL(28,12))) AS DOUBLE)
+            / count(*), 6) AS x
+        FROM pa$n a JOIN p USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+        WHERE a.m = (d.i - 1) // 8
+        GROUP BY 1, 2),
+      cb$n AS (
+        SELECT cb.k, list(COALESCE(mm.x, cb.cv[d.i]) ORDER BY d.i) AS cv
+        FROM $prev cb
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+        LEFT JOIN pm$n mm ON mm.k = cb.k AND mm.i = d.i
+        GROUP BY cb.k)"""
+
   /** Deterministic distributed k-means (2 Lloyd rounds, k=8) over the
     * embeddings table — the SemDeDup/topic-bucketing clustering pre-pass.
     * Assignment is a map-side argmin against a literal centroid matrix
@@ -4451,7 +4484,11 @@ object Queries {
     (s, d) => {
       import graft.operators.Quantization
       val e = embeddings(s, d)
-      val cb = Quantization.initCodebook(e, "vec_id", "embedding", 16)
+      // TRAINED codebook: 2 per-subspace Lloyd rounds from the
+      // deterministic init (r05 verdict item 3 — init-only PQ loses
+      // recall it doesn't have to; QuantizationSpec pins the recall win)
+      val cb = Quantization.trainCodebook(e, "vec_id", "embedding",
+        k = 16, m = 8, dims = 64, iters = 2)
       val query = cb(5)
       val table = Quantization.adcTable(query, cb, 8)
       e.withColumn("codes", Quantization.pqCodes(col("embedding"), cb, 8, 64))
@@ -4461,13 +4498,16 @@ object Queries {
         .orderBy(col("approx_d"), col("vec_id")).limit(20)
         .select(col("vec_id"), col("approx_d"), col("exact_d"))
     },
-    Some("""WITH p AS (
+    Some(s"""WITH p AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cb AS (
+      ms AS (SELECT unnest(range(0, 8)) AS m),
+      cb0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
         FROM (SELECT vec_id, v FROM p ORDER BY vec_id LIMIT 16)),
+      ${pqTrainRoundSql("cb0", 1)},
+      ${pqTrainRoundSql("cb1", 2)},
+      cb AS (SELECT k, cv FROM cb2),
       q AS (SELECT cv AS qv FROM cb WHERE k = 5),
-      ms AS (SELECT unnest(range(0, 8)) AS m),
       dd AS (
         SELECT p.vec_id, ms.m, cb.k,
           round(list_aggregate(list_transform(range(1, 9),
@@ -4516,7 +4556,8 @@ object Queries {
       val cellIds = centRows.map(_.getInt(0)).toIndexedSeq
       val cents = centRows
         .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-      val cb = Quantization.initCodebook(e, "vec_id", "embedding", 16)
+      val cb = Quantization.trainCodebook(e, "vec_id", "embedding",
+        k = 16, m = 8, dims = 64, iters = 2)
       val qv = cb(5)
       val table = Quantization.adcTable(qv, cb, 8)
       // probe cells: 2 nearest centroids to the query, computed on the
@@ -4537,7 +4578,7 @@ object Queries {
         .orderBy(col("approx_d"), col("vec_id")).limit(10)
         .select(col("vec_id"), col("cell"), col("approx_d"), col("exact_d"))
     },
-    Some("""WITH idx AS (
+    Some(s"""WITH idx AS (
         SELECT label AS cell, embedding::DOUBLE[] AS ev,
           unnest(generate_series(1, len(embedding))) AS pos
         FROM embeddings),
@@ -4558,9 +4599,14 @@ object Queries {
       cells AS (
         SELECT ca.vec_id, v.e, ca.best.c AS cell
         FROM ca JOIN v USING (vec_id)),
-      cb AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, e AS cv
-        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+      p AS (SELECT vec_id, e AS v FROM v),
+      ms AS (SELECT unnest(range(0, 8)) AS m),
+      cb0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
+        FROM (SELECT vec_id, v FROM p ORDER BY vec_id LIMIT 16)),
+      ${pqTrainRoundSql("cb0", 1)},
+      ${pqTrainRoundSql("cb1", 2)},
+      cb AS (SELECT k, cv FROM cb2),
       q AS (SELECT cv AS qv FROM cb WHERE k = 5),
       probe AS (
         SELECT cell FROM cent CROSS JOIN q
@@ -4570,7 +4616,6 @@ object Queries {
       cand AS (
         SELECT cells.vec_id, cells.e, cells.cell
         FROM cells JOIN probe USING (cell)),
-      ms AS (SELECT unnest(range(0, 8)) AS m),
       dd AS (
         SELECT cand.vec_id, ms.m, cb.k,
           round(list_aggregate(list_transform(range(1, 9),
@@ -4836,6 +4881,50 @@ object Queries {
         md5(cleaned) AS cleaned_md5
       FROM j"""))
 
+  /** Type-contract pin for the round-5 regression class: events written
+    * back out as parquet TIMESTAMP_NTZ (isAdjustedToUTC=false — exactly
+    * the encoding the driver's testdata moved to), read back so Spark
+    * types the column `TimestampNTZType`, then pushed through window
+    * arithmetic using the engine's via-timestamp cast convention. If any
+    * step in the chain rejects NTZ, this query errs at the driver gate
+    * itself — the canary the unit suite alone could not be
+    * (TimestampTypeCanarySpec analyzes; this executes + hash-compares).
+    * UTC session ⇒ the NTZ wall-clock values equal DuckDB's naive read
+    * of the original events table, so the oracle needs no fixture. */
+  val q126NtzRoundtrip = Q(
+    "q126_ntz_roundtrip",
+    (s, d) => {
+      val tag = d.replaceAll(".*/", "")
+      val path = graft.sources.Scratch.dir(s"ntz_$tag")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .write.mode("overwrite").parquet(path)
+      val ntz = s.read.parquet(path)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ntz
+        .withColumn("gap_s",
+          col("ts").cast("timestamp").cast("double") -
+            lag(col("ts"), 1).over(w).cast("timestamp").cast("double"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("gap_s").cast("decimal(18,6)")).cast("double") /
+            count(col("gap_s")), 4).as("mean_gap_s"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+    },
+    Some("""WITH g AS (
+        SELECT user_id, ts, event_id,
+          epoch(ts) - epoch(lag(ts) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+        FROM events)
+      SELECT user_id, count(*) AS n,
+        round(CAST(sum(CAST(gap_s AS DECIMAL(18,6))) AS DOUBLE)
+          / count(gap_s), 4) AS mean_gap_s,
+        min(ts) AS first_ts, max(ts) AS last_ts
+      FROM g GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4867,5 +4956,6 @@ object Queries {
     q111OdCrosswalk, q112StpRegistry, q113RuleaggMeantime,
     q114ViterbiPosteriors, q115LmPerplexity, q116DsirWeights,
     q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq, q121SourceCap,
-    q122CurationSweep, q123PageRank, q124WeightedSample, q125LineClean)
+    q122CurationSweep, q123PageRank, q124WeightedSample, q125LineClean,
+    q126NtzRoundtrip)
 }

@@ -105,7 +105,10 @@ object RuleAgg {
       case MeanTime      => {
         // floor(a/b) = (a - pmod(a, b)) div b: pmod is non-negative, so
         // the subtraction makes the division exact (truncate == floor)
-        val us = s"unix_micros(`${rule.in}`)"
+        // cast-to-timestamp first: unix_micros rejects TIMESTAMP_NTZ, and
+        // the cast is an identity no-op when the input is already TIMESTAMP
+        // (UTC session ⇒ wall-clock-preserving for NTZ inputs too)
+        val us = s"unix_micros(cast(`${rule.in}` as timestamp))"
         val rowSec = s"(($us - pmod($us, 1000000)) div 1000000)"
         val n = s"count(`${rule.in}`)"
         expr(s"timestamp_seconds((sum($rowSec) - pmod(sum($rowSec), $n)) div $n)")

@@ -82,7 +82,14 @@ object Graph {
                damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     import graft.operators.Guards
     require(iterations >= 1, "pageRank needs at least one iteration")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // The contributions join hits `e` on src EVERY round: shuffle it onto
+    // that key once, here, and checkpoint — the checkpointed LogicalRDD
+    // preserves its hash partitioning, so each round's join elides the
+    // edge-side exchange entirely (state is likewise node-partitioned by
+    // its own round-end checkpoint). Without this the plan re-shuffled
+    // the full edge frame six times (r05 verdict, top perf target).
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src").as("node"))

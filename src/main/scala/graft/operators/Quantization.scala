@@ -40,6 +40,50 @@ object Quantization {
       .collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
 
+  /** Trained codebook: per-subspace Lloyd rounds from the [[initCodebook]]
+    * seed — the PQ training stage proper (Jégou et al. §III trains K-means
+    * independently in each subspace; FAISS's ProductQuantizer::train is
+    * the production twin). All M subspaces train in ONE pass per round:
+    * encode every row against the current codebook (a map-side literal
+    * projection, [[pqCodes]]), explode to (dim, value) pairs, key each by
+    * (dim, code-of-its-subspace), and take decimal-exact means — so a
+    * round costs one corpus scan plus one bounded shuffle of
+    * (partitions x dims x k) partial sums, the [[Clustering.kmeansAssign]]
+    * shape, NOT m separate per-subspace jobs. A (dim, code) cell with no
+    * assigned rows keeps its previous value (empty-cluster rule, same as
+    * kmeansAssign). Means round to 6 dp each round boundary, so two
+    * engines replaying the recurrence stay bit-identical.
+    *
+    * Scale shape: centroid state is k x dims doubles on the driver
+    * (config-scale); the corpus-side work per round is a whole-stage-
+    * codegen projection + partial-agg groupBy. At 100 TB you train on a
+    * sample (FAISS trains on ~1M vectors) — the recurrence is unchanged.
+    */
+  def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, m: Int, dims: Int,
+                    iters: Int): IndexedSeq[IndexedSeq[Double]] = {
+    require(m > 0 && dims % m == 0, s"dims $dims must split into $m subspaces")
+    val len = dims / m
+    var cb = initCodebook(df, idCol, vecCol, k)
+    val pts = df.select(transform(col(vecCol), x => x.cast("double")).as("__v"))
+    for (_ <- 1 to iters) {
+      val rows = pts.withColumn("__c", pqCodes(col("__v"), cb, m, dims))
+        .select(col("__c"), posexplode(col("__v")).as(Seq("pos", "x")))
+        // pos is 0-based; its subspace owns the code that updates it
+        .withColumn("code",
+          element_at(col("__c"), (col("pos") / len).cast("int") + 1))
+        .groupBy(col("pos"), col("code"))
+        .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("mean"))
+        .collect()
+      val byKey = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cb = (0 until k).map { c =>
+        (0 until dims).map(i => byKey.getOrElse((i, c), cb(c)(i)))
+      }
+    }
+    cb
+  }
+
   /** Squared-L2 distance between a vector slice [lo, lo+len) and a
     * literal codeword slice, as a codegen-friendly fold (ascending
     * dimension order — the oracle's list order). */
@@ -102,6 +146,24 @@ object Quantization {
       element_at(array(row.map(lit): _*), element_at(codesCol, mi + 1) + 1)
         .cast("decimal(18,6)")
     }.reduce(_ + _).cast("double")
+
+  /** Decode a PQ codes column back to its reconstructed vector — per
+    * subspace, the literal codeword slice the code names, concatenated.
+    * A pure literal-lookup projection (M element_at's over constant
+    * nested arrays, no join): scoring any metric against decode(codes)
+    * IS the ADC estimate for that metric, which lets a downstream
+    * operator (e.g. the q127 SemDeDup rerank) run cosine/L2 against a
+    * side that ships M bytes of codes instead of `dims` floats. */
+  def decode(codesCol: Column, codebook: IndexedSeq[IndexedSeq[Double]],
+             m: Int, dims: Int): Column = {
+    require(m > 0 && dims % m == 0, s"dims $dims must split into $m subspaces")
+    val len = dims / m
+    flatten(array((0 until m).map { mi =>
+      val words = array(codebook.map(w =>
+        array(w.slice(mi * len, (mi + 1) * len).map(lit): _*)): _*)
+      element_at(words, element_at(codesCol, mi + 1) + 1)
+    }: _*))
+  }
 
   /** Exact squared-L2 against a literal query (the recall yardstick the
     * catalog query reports beside the ADC estimate) — sliceDist over the

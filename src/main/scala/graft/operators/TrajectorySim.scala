@@ -60,7 +60,9 @@ object TrajectorySim {
       .groupBy(col(keyCol).as("id"))
       .agg(
         sort_array(collect_list(struct(
-          unix_micros(col(tsCol)).as("us"),
+          // cast first: unix_micros rejects TIMESTAMP_NTZ; identity no-op
+          // when the column is already TIMESTAMP (UTC session convention)
+          unix_micros(col(tsCol).cast("timestamp")).as("us"),
           col(tieCol).as("tie"),
           col(valCol).cast("double").as("v")))).as("pts"),
         min(col(valCol).cast("double")).as("min_v"))

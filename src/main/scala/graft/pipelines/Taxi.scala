@@ -69,7 +69,10 @@ object Taxi {
 
     val measured = points
       .withColumn("seconds",
-        col(tsCol).cast("double") - lag(col(tsCol), 1).over(w).cast("double"))
+        // via-timestamp cast keeps this total over TIMESTAMP_NTZ inputs
+        // (identity when already TIMESTAMP, wall-clock no-op under UTC)
+        col(tsCol).cast("timestamp").cast("double") -
+          lag(col(tsCol), 1).over(w).cast("timestamp").cast("double"))
       .withColumn("feet",
         sqrt(pow(col(xCol) - lag(col(xCol), 1).over(w), 2) +
              pow(col(yCol) - lag(col(yCol), 1).over(w), 2)))

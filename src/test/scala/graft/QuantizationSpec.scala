@@ -50,6 +50,74 @@ class QuantizationSpec extends SparkSpec {
     assert(got == IndexedSeq(IndexedSeq(1.0, 1.0), IndexedSeq(3.0, 3.0)))
   }
 
+  test("trainCodebook: one Lloyd round, hand-solved per-subspace means") {
+    // init = first-2 ids = v1, v2. Subspace 1 assigns {v1,v3}->cw0,
+    // {v2,v4}->cw1; subspace 2 the same split. Means: cw0=(.1,.1,9.5,9.5),
+    // cw1=(.9,.9,-9.5,-9.5).
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 10.0f, 10.0f)),
+      (2L, Seq(1.0f, 1.0f, -10.0f, -10.0f)),
+      (3L, Seq(0.2f, 0.2f, 9.0f, 9.0f)),
+      (4L, Seq(0.8f, 0.8f, -9.0f, -9.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Quantization.trainCodebook(df, "vec_id", "embedding",
+      k = 2, m = 2, dims = 4, iters = 1)
+    def close(a: IndexedSeq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 }
+    assert(close(got(0), Seq(0.1, 0.1, 9.5, 9.5)), s"cw0 was ${got(0)}")
+    assert(close(got(1), Seq(0.9, 0.9, -9.5, -9.5)), s"cw1 was ${got(1)}")
+  }
+
+  test("trainCodebook: empty (dim, code) cells keep their previous value") {
+    // with k=2 but only one distinct point, codeword 1 never wins a row
+    // in either subspace after init — it must survive unchanged
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(5.0f, 5.0f, 5.0f, 5.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.1f, 0.1f, 0.1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val got = Quantization.trainCodebook(df, "vec_id", "embedding",
+      k = 2, m = 2, dims = 4, iters = 2)
+    // cw1 keeps pulling only v2 (its own seed): stays (5,5,5,5)
+    assert(got(1) == IndexedSeq(5.0, 5.0, 5.0, 5.0))
+  }
+
+  test("trained-codebook ADC recall@20 dominates the init codebook") {
+    // the r05 verdict's acceptance: training must actually buy recall
+    // against the q26 brute-force ground truth. Averaged over 10 spread
+    // queries — single-query recall is a coin flip (20 of 500 rows), and
+    // the claim under test is the MEAN quantization error dropping
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where(col("vec_id") % 50 === 7)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    assert(queries.size == 10)
+    def recall(cb: IndexedSeq[IndexedSeq[Double]]): Double = {
+      val per = queries.map { query =>
+        val exactTop = e.select(col("vec_id"),
+            Quantization.exactDist(col("embedding"), query).as("d"))
+          .orderBy(col("d"), col("vec_id")).limit(20)
+          .as[(Long, Double)].collect().map(_._1).toSet
+        val table = Quantization.adcTable(query, cb, 8)
+        val approxTop = e.select(col("vec_id"),
+            Quantization.adcScore(
+              Quantization.pqCodes(col("embedding"), cb, 8, 64), table).as("a"))
+          .orderBy(col("a"), col("vec_id")).limit(20)
+          .as[(Long, Double)].collect().map(_._1).toSet
+        approxTop.intersect(exactTop).size / 20.0
+      }
+      per.sum / per.size
+    }
+    val init = Quantization.initCodebook(e, "vec_id", "embedding", 16)
+    val trained = Quantization.trainCodebook(e, "vec_id", "embedding",
+      k = 16, m = 8, dims = 64, iters = 2)
+    val (rInit, rTrained) = (recall(init), recall(trained))
+    info(f"mean recall@20 over 10 queries: init=$rInit%.3f trained=$rTrained%.3f")
+    assert(rTrained > rInit,
+      f"training did not improve recall: init=$rInit%.3f trained=$rTrained%.3f")
+  }
+
   test("persisted codes table scores without the vectors (the index shape)") {
     // the 100 TB story: encode once, persist the (id, codes) table, and
     // answer ADC queries from the codes alone — embeddings never rescan
