@@ -4925,6 +4925,129 @@ object Queries {
         min(ts) AS first_ts, max(ts) AS last_ts
       FROM g GROUP BY 1"""))
 
+  /** SemDeDup scored over PQ codes — the quantized rerank at the
+    * semantic-dedup call site (the r05 verdict's stretch item): k-means
+    * buckets bound the pair join exactly as in q96, but the compare side
+    * ships the trained-codebook PQ codes and cosine is scored raw vs
+    * [[graft.operators.Quantization.decode]]'d — the ADC estimate. At
+    * 100 TB the codes table is the persisted index: the quadratic side
+    * of the join moves 8 small ints per candidate instead of 64 floats.
+    * Oracle replays kmeans (q93 CTEs), PQ training (q119 CTEs), the
+    * encode, and per-id reconstruction, then the same keep-first rule. */
+  val q127SemdedupPq = Q(
+    "q127_semdedup_pq",
+    (s, d) => {
+      import graft.operators.{Clustering, Quantization}
+      val e = embeddings(s, d)
+      val cb = Quantization.trainCodebook(e, "vec_id", "embedding",
+        k = 16, m = 8, dims = 64, iters = 2)
+      Clustering.semDeDupPq(e, "vec_id", "embedding", k = 8, iters = 2,
+        codebook = cb, m = 8, dims = 64, threshold = 0.4)
+    },
+    Some(s"""WITH p AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      k0 AS (SELECT vec_id, v FROM p ORDER BY vec_id LIMIT 8),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM k0),
+      ${kmeansRoundSql("c0", 1)},
+      ${kmeansRoundSql("c1", 2)},
+      a3 AS (
+        SELECT p.vec_id,
+          min(struct_pack(d := round(list_aggregate(list_transform(range(1, 65),
+              i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])), 'sum'), 6),
+            c := c.cid)) AS best
+        FROM p CROSS JOIN c2 c GROUP BY p.vec_id),
+      j AS (
+        SELECT a.vec_id, CAST(a.best.c AS BIGINT) AS cluster, p.v
+        FROM a3 a JOIN p USING (vec_id)),
+      ms AS (SELECT unnest(range(0, 8)) AS m),
+      cb0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
+        FROM (SELECT vec_id, v FROM p ORDER BY vec_id LIMIT 16)),
+      ${pqTrainRoundSql("cb0", 1)},
+      ${pqTrainRoundSql("cb1", 2)},
+      enc AS (
+        SELECT p.vec_id, ms.m,
+          min(struct_pack(d := round(list_aggregate(list_transform(range(1, 9),
+              i -> (p.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]) *
+                   (p.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])), 'sum'), 6),
+            c := cb.k)) AS best
+        FROM p CROSS JOIN ms CROSS JOIN cb2 cb GROUP BY 1, 2),
+      rec AS (
+        SELECT e.vec_id,
+          flatten(list(list_slice(cb.cv, e.m * 8 + 1, e.m * 8 + 8)
+            ORDER BY e.m)) AS vhat
+        FROM enc e JOIN cb2 cb ON cb.k = e.best.c
+        GROUP BY 1),
+      drp AS (
+        SELECT DISTINCT b.vec_id
+        FROM j a JOIN j b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN rec r ON r.vec_id = b.vec_id
+        WHERE list_cosine_similarity(a.v, r.vhat) >= 0.4)
+      SELECT vec_id, cluster,
+        vec_id NOT IN (SELECT vec_id FROM drp) AS kept
+      FROM j"""))
+
+  /** CCNet's selection step proper (Wenzek et al. 2020 §4.3): split each
+    * language's documents into equal head/middle/tail thirds by LM
+    * perplexity — head is the cleanest slice, tail is usually discarded.
+    * Composes q115's bigram-LM scorer with a per-lang ntile(3) over the
+    * total order (avg_nll, doc_id). Unscored documents (<2 tokens) carry
+    * no perplexity and take no bucket, as in the paper's pipeline.
+    * Scale shape: the scorer is q115's (corpus-scaled bigram dim joined,
+    * never broadcast); the bucketing is a per-language window — at
+    * 100 TB you replace ntile with approx-percentile CUTOFFS per
+    * language (two numbers) and a map-only comparison, the same
+    * window-to-broadcast swap the sketches family documents. */
+  val q128CcnetBuckets = Q(
+    "q128_ccnet_buckets",
+    (s, d) => {
+      val docs = documents(s, d)
+      val scored = graft.operators.LangModel.bigramNll(docs, "doc_id", "text",
+        Curation.hashSplit(col("doc_id")) === "train")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_nll"), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored, "doc_id")
+        .withColumn("bucket",
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            ntile(3).over(w)))
+        .select(col("doc_id"), col("lang"), col("avg_nll"), col("bucket"))
+    },
+    Some(s"""WITH t AS ($duckToksSql),
+      ref AS (
+        SELECT doc_id, toks FROM t
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80),
+      uni AS (
+        SELECT w, count(*) AS c1
+        FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY 1),
+      v AS (SELECT count(*) AS v FROM uni),
+      bi AS (
+        SELECT bg, count(*) AS c12 FROM (
+          SELECT toks[i] || ' ' || toks[i + 1] AS bg
+          FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                FROM ref WHERE len(toks) >= 2))
+        GROUP BY 1),
+      db AS (
+        SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE len(toks) >= 2)),
+      sc AS (
+        SELECT db.doc_id,
+          CAST(round(-ln((coalesce(bi.c12, 0) + 1.0) /
+                         (coalesce(uni.c1, 0) + v.v)), 9) AS DECIMAL(28,9)) AS nll
+        FROM db LEFT JOIN bi USING (bg)
+                LEFT JOIN uni ON db.w1 = uni.w
+                CROSS JOIN v),
+      scored AS (
+        SELECT doc_id, round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+        FROM sc GROUP BY 1)
+      SELECT s.doc_id, d.lang, s.avg_nll,
+        CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_nll, s.doc_id)
+          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+      FROM scored s JOIN documents d USING (doc_id)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -4957,5 +5080,5 @@ object Queries {
     q114ViterbiPosteriors, q115LmPerplexity, q116DsirWeights,
     q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq, q121SourceCap,
     q122CurationSweep, q123PageRank, q124WeightedSample, q125LineClean,
-    q126NtzRoundtrip)
+    q126NtzRoundtrip, q127SemdedupPq, q128CcnetBuckets)
 }

@@ -82,14 +82,24 @@ object Graph {
                damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     import graft.operators.Guards
     require(iterations >= 1, "pageRank needs at least one iteration")
-    // The contributions join hits `e` on src EVERY round: shuffle it onto
-    // that key once, here, and checkpoint — the checkpointed LogicalRDD
-    // preserves its hash partitioning, so each round's join elides the
-    // edge-side exchange entirely (state is likewise node-partitioned by
-    // its own round-end checkpoint). Without this the plan re-shuffled
-    // the full edge frame six times (r05 verdict, top perf target).
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint()
+    // The contributions join hits `e` on src every round. Two ways to pay
+    // for that, A/B-measured at sf0.1 local[32] (r06, per-round times):
+    //  - materialized-RDD checkpoint (this code): each round re-shuffles
+    //    the compact deduped edge RDD into the join — ~1-2 s/round; the
+    //    checkpointed LogicalRDD reports UnknownPartitioning under AQE,
+    //    so the exchange is NOT elided, but it moves only ~20 MB of
+    //    UnsafeRows already in RAM;
+    //  - repartition(src) + persist: the cached InMemoryTableScan DOES
+    //    keep hashpartitioning(src) and the plan provably drops the
+    //    edge-side exchange (and outdeg's), yet rounds run 2-10x SLOWER
+    //    (2.5-22 s): per-round columnar-cache decompression costs more
+    //    than the small shuffle it saves at this scale.
+    // So: checkpoint locally. On a real cluster, where the per-round
+    // shuffle is network-bound and the cache is distributed, the
+    // co-location win flips the trade — the cluster answer is a bucketed
+    // edge table on src (one-time layout, zero per-round edge movement),
+    // not a runtime persist.
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src").as("node"))

@@ -93,6 +93,30 @@ class ClusteringSpec extends SparkSpec {
     assert(got.values.map(_._1).toSet.size == 2)
   }
 
+  test("semDeDupPq with an exact codebook matches semDeDup") {
+    // when every distinct vector is its own codeword, decode is the
+    // identity and the PQ-coded compare must reproduce the exact
+    // operator bit-for-bit — isolates the codes/decode plumbing from
+    // the approximation error a trained codebook introduces
+    import graft.operators.Quantization
+    val pts: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0, 1.0, 0.0),
+      1L -> Seq(0.96, 0.28, 0.96, 0.28), // cos vs id 0 = 0.96 -> dup
+      2L -> Seq(0.0, 1.0, 0.0, 1.0),
+      3L -> Seq(-50.0, -50.0, -50.0, -50.0))
+    val df = pts.toDF("vec_id", "embedding")
+    val cb = Quantization.initCodebook(df, "vec_id", "embedding", 4)
+    val exact = Clustering.semDeDup(df, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.9)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val pq = Clustering.semDeDupPq(df, "vec_id", "embedding",
+        k = 2, iters = 2, codebook = cb, m = 2, dims = 4, threshold = 0.9)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(pq == exact)
+    // and the dup actually dropped (the test isn't vacuous)
+    assert(pq.exists { case (_, _, kept) => !kept })
+  }
+
   test("empty cluster keeps its previous centroid") {
     // k=3 but only two real blobs and the 3rd-smallest id sits inside
     // blob 0 -> its cluster empties after round 1 and must not crash
