@@ -40,8 +40,15 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
-        "\"(q[0-9]+_[a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+        val all = "\"(q[0-9]+_[a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // a failed query's recorded time is time-to-exception, not a
+        // runtime — using it as the 5x baseline would trip the trigger
+        // on every healthy successor run
+        val priorFailed = "\"failed\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+          .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
+        all.view.filterKeys(k => !priorFailed.contains(k)).toMap
       } catch { case _: Throwable => Map.empty }
 
     // local-iteration subset filter (comma-separated name substrings);
@@ -120,8 +127,12 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{\"queries\":{", ",",
         s"},\"total\":${r3(total)},\"n_failed\":${failed.size},\"failed\":$failedJson,\"steady_state\":$steady,\"steady_failed\":$steadyFailedJson,\"sf\":\"$sfDir\"}")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      detail.getBytes("UTF-8"))
+    // subset runs (SPARK_GRAFT_ONLY) are local iteration: writing their
+    // handful of queries over BENCH_DETAIL.json would hollow out the
+    // next full run's prior baseline (and the committed artifact)
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detail.getBytes("UTF-8"))
     println(line)
     spark.stop()
   }

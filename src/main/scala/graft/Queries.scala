@@ -5048,6 +5048,82 @@ object Queries {
           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
       FROM scored s JOIN documents d USING (doc_id)"""))
 
+  /** Bloom-filter incremental membership (Bloom 1970) — the cross-batch
+    * dedup pattern q101's anti-join cannot give you when yesterday's key
+    * set no longer fits a join: build the bitmap over the "seen" slice
+    * (one explode + bit_or partial agg, collect bounded at mBits/64
+    * longs = 8 KiB), then test the new slice MAP-SIDE against the
+    * literal bitmap — no join against the seen keys at all. Output is
+    * the (bloom_hit, exact_seen) confusion matrix vs the exact equality
+    * join; the no-false-negatives guarantee means the
+    * (false, true) cell must be absent, and the oracle replays the
+    * identical md5-position bit math so the FP count is pinned too. */
+  val q129BloomMembership = Q(
+    "q129_bloom_membership",
+    (s, d) => {
+      import graft.operators.Sketches
+      val docs = documents(s, d)
+        // membership key: the document's leading trigram — full-text
+        // keys have zero cross-split overlap in the synthetic corpus,
+        // which would leave the matrix's hit cells empty and the
+        // guarantee untested
+        .withColumn("__key",
+          array_join(slice(split(col("text"), " "), 1, 3), " "))
+      val isSeen = Curation.hashSplit(col("doc_id")) === "train"
+      val seen = docs.where(isSeen)
+      // m sized for a VISIBLE false-positive cell at gate scale (load
+      // ~0.6 -> FP ~8%): the oracle pins the exact count, so the rate
+      // is an assertion, not an accident
+      val m = 2048
+      val seeds = Seq(1, 2, 3)
+      val bitmap = Sketches.bloomBitmap(seen, col("__key"), m, seeds)
+      val exact = seen.select(col("__key")).distinct()
+        .withColumn("__seen", lit(true))
+      docs.where(!isSeen)
+        .withColumn("bloom_hit",
+          Sketches.bloomMightContain(col("__key"), bitmap, m, seeds))
+        .join(exact, Seq("__key"), "left")
+        .groupBy(col("bloom_hit"),
+          coalesce(col("__seen"), lit(false)).as("exact_seen"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH lbl AS (
+        SELECT doc_id,
+          array_to_string(string_split(text, ' ')[1:3], ' ') AS k,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80
+            AS is_seen
+        FROM documents),
+      sds AS (SELECT unnest([1, 2, 3]) AS s),
+      -- UBIGINT bit math: DuckDB's signed << traps on 1 << 63, and
+      -- OR/AND are bit-pattern identical either way (bm is internal,
+      -- so the signedness never reaches the compared output)
+      bm AS (
+        SELECT p // 64 AS w, bit_or(1::UBIGINT << CAST(p % 64 AS INT)) AS bits
+        FROM (
+          SELECT ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || k), 1, 15))::BIGINT
+                   % 2048 AS p
+          FROM lbl CROSS JOIN sds WHERE is_seen)
+        GROUP BY 1),
+      probe AS (SELECT doc_id, k FROM lbl WHERE NOT is_seen),
+      hits AS (
+        SELECT doc_id, bool_and(
+          (COALESCE(bm.bits, 0::UBIGINT) & (1::UBIGINT << CAST(pp.p % 64 AS INT))) <> 0)
+          AS bloom_hit
+        FROM (
+          SELECT doc_id,
+            ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || k), 1, 15))::BIGINT
+              % 2048 AS p
+          FROM probe CROSS JOIN sds) pp
+        LEFT JOIN bm ON bm.w = pp.p // 64
+        GROUP BY 1),
+      ex AS (
+        SELECT DISTINCT p.doc_id
+        FROM probe p JOIN (SELECT DISTINCT k FROM lbl WHERE is_seen) sn
+          ON p.k = sn.k)
+      SELECT h.bloom_hit, h.doc_id IN (SELECT doc_id FROM ex) AS exact_seen,
+        count(*) AS n
+      FROM hits h GROUP BY 1, 2"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -5080,5 +5156,6 @@ object Queries {
     q114ViterbiPosteriors, q115LmPerplexity, q116DsirWeights,
     q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq, q121SourceCap,
     q122CurationSweep, q123PageRank, q124WeightedSample, q125LineClean,
-    q126NtzRoundtrip, q127SemdedupPq, q128CcnetBuckets)
+    q126NtzRoundtrip, q127SemdedupPq, q128CcnetBuckets,
+    q129BloomMembership)
 }

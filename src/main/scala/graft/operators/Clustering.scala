@@ -109,52 +109,6 @@ object Clustering {
     * the expected cluster size stays in the thousands; the compare cost
     * then grows linearly with the corpus.
     */
-  /** SemDeDup with a PQ-coded compare side — the composition a 100 TB
-    * pipeline actually runs (FAISS-style quantized rerank at the
-    * semantic-dedup call site): the cluster-bounded pair join is
-    * unchanged from [[semDeDup]], but the right side carries ONLY the
-    * M-byte PQ codes; [[Quantization.decode]] reconstructs the codebook's
-    * representation at compare time and cosine is scored raw-vs-decoded
-    * (the ADC estimate for cosine). At scale the (id, cluster, codes)
-    * table is the persisted index — the pair join moves M small ints per
-    * candidate instead of `dims` floats, a ~32x shuffle-width cut on the
-    * quadratic side of the operator, for the usual PQ approximation
-    * error (bounded by the trained codebook's quantization MSE).
-    *
-    * Same keep-first determinism and plan shape as [[semDeDup]]: one
-    * equi-join on cluster id, never a corpus-wide cross product.
-    */
-  def semDeDupPq(points: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int,
-      codebook: IndexedSeq[IndexedSeq[Double]], m: Int, dims: Int,
-      threshold: Double): DataFrame = {
-    val assigned = kmeansAssign(points, idCol, vecCol, k, iters)
-    val pts = points
-      .select(col(idCol).as("__id"),
-        transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .join(assigned.withColumnRenamed(idCol, "__id"), "__id")
-    val a = pts
-      .withColumn("__n", Similarity.norm(points.sparkSession, col("__v")))
-      .select(col("__id").as("id1"), col("__v").as("v1"),
-        col("__n").as("n1"), col("cluster"))
-    val b = pts
-      .withColumn("__codes",
-        Quantization.pqCodes(col("__v"), codebook, m, dims))
-      .select(col("__id").as("id2"), col("__codes"), col("cluster"))
-      .withColumn("__vhat", Quantization.decode(col("__codes"), codebook, m, dims))
-      .withColumn("n2", Similarity.norm(points.sparkSession, col("__vhat")))
-    val nn = col("n1") * col("n2")
-    val dropped = a.join(b, Seq("cluster"))
-      .where(col("id1") < col("id2"))
-      .where(when(nn > 0,
-        Similarity.dot(points.sparkSession, col("v1"), col("__vhat")) / nn)
-        >= threshold)
-      .select(col("id2").as("__id")).distinct()
-    pts.join(dropped.withColumn("__drop", lit(true)), Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("cluster"),
-        coalesce(!col("__drop"), lit(true)).as("kept"))
-  }
-
   def semDeDup(points: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double): DataFrame = {
     val assigned = kmeansAssign(points, idCol, vecCol, k, iters)
@@ -177,6 +131,61 @@ object Clustering {
         >= threshold)
       .select(col("id2").as("__id")).distinct()
     withVec.join(dropped.withColumn("__drop", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cluster"),
+        coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
+
+  /** SemDeDup with a PQ-coded compare side — the composition a 100 TB
+    * pipeline actually runs (FAISS-style quantized rerank at the
+    * semantic-dedup call site): the cluster-bounded pair join is
+    * unchanged from [[semDeDup]], but the right side carries ONLY the
+    * M-int PQ codes plus one precomputed scalar (the decoded vector's
+    * norm) into the cluster exchange; [[Quantization.decode]] runs
+    * INSIDE the pair predicate, so the codebook's representation is
+    * reconstructed per candidate pair at the join operator, never
+    * shuffled. Cosine scored raw-vs-decoded is the ADC estimate for
+    * cosine. At scale the (id, cluster, codes) table is the persisted
+    * index — the quadratic side of the join moves ~m ints + 1 double
+    * per candidate instead of `dims` floats, for the usual PQ
+    * approximation error (bounded by the trained codebook's
+    * quantization MSE).
+    *
+    * Same keep-first determinism and plan shape as [[semDeDup]]: one
+    * equi-join on cluster id, never a corpus-wide cross product.
+    */
+  def semDeDupPq(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int,
+      codebook: IndexedSeq[IndexedSeq[Double]], m: Int, dims: Int,
+      threshold: Double): DataFrame = {
+    val assigned = kmeansAssign(points, idCol, vecCol, k, iters)
+    val pts = points
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .join(assigned.withColumnRenamed(idCol, "__id"), "__id")
+    val a = pts
+      .withColumn("__n", Similarity.norm(points.sparkSession, col("__v")))
+      .select(col("__id").as("id1"), col("__v").as("v1"),
+        col("__n").as("n1"), col("cluster"))
+    // b side: codes + decoded-norm scalar ONLY — the decoded vector
+    // itself must not exist below the exchange or the shuffle-width cut
+    // is fiction (a projection computed under the join ships its output)
+    val b = pts
+      .withColumn("__codes",
+        Quantization.pqCodes(col("__v"), codebook, m, dims))
+      .withColumn("n2", Similarity.norm(points.sparkSession,
+        Quantization.decode(col("__codes"), codebook, m, dims)))
+      .select(col("__id").as("id2"), col("__codes"), col("n2"), col("cluster"))
+    val nn = col("n1") * col("n2")
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("id1") < col("id2"))
+      // decode inline in the predicate: it references both sides, so it
+      // stays in the join condition and evaluates post-exchange per pair
+      .where(when(nn > 0,
+        Similarity.dot(points.sparkSession, col("v1"),
+          Quantization.decode(col("__codes"), codebook, m, dims)) / nn)
+        >= threshold)
+      .select(col("id2").as("__id")).distinct()
+    pts.join(dropped.withColumn("__drop", lit(true)), Seq("__id"), "left")
       .select(col("__id").as(idCol), col("cluster"),
         coalesce(!col("__drop"), lit(true)).as("kept"))
   }

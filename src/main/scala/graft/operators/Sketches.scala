@@ -37,4 +37,57 @@ object Sketches {
 
   /** Estimate straight from one group's sketch column. */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** Bloom-filter bitmap over a key column (Bloom 1970) — the
+    * broadcastable "probably seen before" membership set for
+    * cross-batch incremental dedup: build the bitmap over yesterday's
+    * corpus once, ship `mBits/8` bytes to every executor, and filter
+    * today's 100 TB with a map-only test (no join against yesterday's
+    * keys at all). No false negatives; false-positive rate
+    * ~(1-e^(-k*n/m))^k.
+    *
+    * Deterministic and engine-portable (unlike the engine-defined HLL
+    * binaries above, so this one IS DuckDB-oracled): position i for
+    * seed s is `md5Hash64(key, s) mod mBits` — the engine's standard
+    * md5-derived integer — and the bitmap is `mBits/64` longs built by
+    * ONE explode + bit_or partial aggregation (bit_or is commutative/
+    * associative: map-side combine applies, and the OR of two batches'
+    * bitmaps is the bitmap of their union — the HLL merge property, so
+    * persisted per-shard bitmaps roll up without rescans).
+    *
+    * The collect is bounded by construction: mBits/64 longs
+    * (config-scale — 2^16 bits = 8 KiB), independent of corpus size.
+    */
+  def bloomBitmap(df: DataFrame, keyCol: Column, mBits: Int,
+                  seeds: Seq[Int]): IndexedSeq[Long] = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits $mBits must be a multiple of 64")
+    require(seeds.nonEmpty, "at least one hash seed")
+    val pos = seeds.map(s =>
+      pmod(graft.functions.Text.md5Hash64(keyCol, s), lit(mBits.toLong)))
+    val rows = df
+      .select(explode(array(pos: _*)).as("p"))
+      .select((col("p") / 64).cast("int").as("w"),
+        pmod(col("p"), lit(64L)).cast("int").as("b"))
+      .groupBy("w")
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), b))").as("bits"))
+      .collect()
+    val byWord = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until mBits / 64).map(w => byWord.getOrElse(w, 0L))
+  }
+
+  /** Map-side membership test against a literal bitmap: k mask-AND
+    * probes per row, zero joins. Exact mirror of the build's bit math
+    * (mask form on both engines — no shift-of-negative subtleties). */
+  def bloomMightContain(keyCol: Column, bitmap: IndexedSeq[Long],
+                        mBits: Int, seeds: Seq[Int]): Column = {
+    require(bitmap.size * 64 == mBits, "bitmap size must match mBits")
+    val words = array(bitmap.map(lit): _*)
+    seeds.map { s =>
+      val p = pmod(graft.functions.Text.md5Hash64(keyCol, s), lit(mBits.toLong))
+      val w = (p / 64).cast("int")
+      val b = pmod(p, lit(64L)).cast("int")
+      element_at(words, w + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), b)) =!= lit(0L)
+    }.reduce(_ && _)
+  }
 }

@@ -69,18 +69,27 @@ class QuantizationSpec extends SparkSpec {
   }
 
   test("trainCodebook: empty (dim, code) cells keep their previous value") {
-    // with k=2 but only one distinct point, codeword 1 never wins a row
-    // in either subspace after init — it must survive unchanged
+    // the first two ids are IDENTICAL, so init's two codewords are
+    // duplicates — every row's per-subspace argmin ties and the tie
+    // breaks to code 0, leaving codeword 1 with ZERO members in every
+    // (dim, code) cell from round 1 on. The empty-cell rule must carry
+    // its init value through the round; a fallback that zeroed (or
+    // dropped) empty cells would return (0,0,0,0) here. One round only:
+    // after cw0 trains away to the global mean, a second round would
+    // re-assign the (5,5,5,5) rows to cw1 and repopulate its cells.
     val df = Seq(
-      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(5.0f, 5.0f, 5.0f, 5.0f)),
       (2L, Seq(5.0f, 5.0f, 5.0f, 5.0f)),
       (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
       (4L, Seq(0.1f, 0.1f, 0.1f, 0.1f))
     ).toDF("vec_id", "embedding")
     val got = Quantization.trainCodebook(df, "vec_id", "embedding",
-      k = 2, m = 2, dims = 4, iters = 2)
-    // cw1 keeps pulling only v2 (its own seed): stays (5,5,5,5)
+      k = 2, m = 2, dims = 4, iters = 1)
+    // cw1 never wins a row (ties with its duplicate cw0 break to 0):
+    // every one of its (dim, code) cells is empty -> init value survives
     assert(got(1) == IndexedSeq(5.0, 5.0, 5.0, 5.0))
+    // and cw0 did train: mean of all four rows per dim = 10.1/4
+    assert(got(0) == IndexedSeq(2.525, 2.525, 2.525, 2.525))
   }
 
   test("trained-codebook ADC recall@20 dominates the init codebook") {

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Sketches
 import org.apache.spark.sql.functions._
 
 /** q53's scale-path sketches: accuracy bounds vs the exact aggregates on
@@ -56,5 +57,27 @@ class SketchSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     perFlag.foreach { case (k, v) => assert(v == single(k),
       s"union of disjoint batches must equal the single-pass sketch: $k") }
+  }
+
+  test("bloom: no false negatives, and shard bitmaps OR-merge to the union") {
+    import org.apache.spark.sql.functions._
+    val m = 1 << 10
+    val seeds = Seq(1, 2, 3)
+    val keys = (0 until 200).map(i => s"key_$i")
+    val df = keys.toDF("k")
+    val bm = Sketches.bloomBitmap(df, col("k"), m, seeds)
+    // every inserted key must test positive — the Bloom guarantee
+    val hits = df.where(Sketches.bloomMightContain(col("k"), bm, m, seeds)).count()
+    assert(hits == 200L, s"false negative: only $hits/200 inserted keys hit")
+    // a disjoint probe set must NOT be all-positive (m=1024, n=200, k=3
+    // -> FP rate ~13%; 200 misses all hitting has probability ~0)
+    val probes = (1000 until 1200).map(i => s"other_$i").toDF("k")
+    val fp = probes.where(Sketches.bloomMightContain(col("k"), bm, m, seeds)).count()
+    assert(fp < 200L, "a disjoint probe set tested all-positive")
+    // mergeable: OR of two disjoint shards' bitmaps == bitmap of the union
+    val bmA = Sketches.bloomBitmap(keys.take(100).toDF("k"), col("k"), m, seeds)
+    val bmB = Sketches.bloomBitmap(keys.drop(100).toDF("k"), col("k"), m, seeds)
+    val merged = bmA.zip(bmB).map { case (a, b) => a | b }
+    assert(merged == bm, "shard OR-merge must equal the single-pass bitmap")
   }
 }

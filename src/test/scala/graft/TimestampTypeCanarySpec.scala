@@ -71,4 +71,48 @@ class TimestampTypeCanarySpec extends SparkSpec {
   test("every catalog query analyzes with events.ts as TIMESTAMP_NTZ") {
     sweep("timestamp_ntz")
   }
+
+  /** The catalog sweeps above prove the INGESTION contract
+    * (Tables.events normalizes NTZ before any operator sees it) — they
+    * cannot prove the operators' own via-timestamp casts, because the
+    * normalized column is always TIMESTAMP by the time a query touches
+    * it. A library caller handing an operator a raw NTZ column (the
+    * q126 shape: direct parquet read, no Tables) hits the call sites
+    * directly, so each hardened operator is exercised here with an NTZ
+    * frame and must produce the SAME result as its TIMESTAMP twin. */
+  test("library operators are total over raw TIMESTAMP_NTZ inputs") {
+    import org.apache.spark.sql.functions._
+    def events(tsType: String) = spark.range(8).select(
+      (col("id") % 2).as("user_id"),
+      timestamp_seconds(col("id") * 61).cast(tsType).as("ts"),
+      col("id").as("event_id"),
+      (col("id") % 3).cast("double").as("value"))
+
+    // RuleAgg MeanTime (RuleAgg.scala unix_micros site)
+    def meanTimes(tsType: String) = graft.agg.RuleAgg.aggregate(
+      events(tsType), Seq("user_id"),
+      Seq(graft.agg.AggRule("mean_ts", "ts", graft.agg.AggMethod.MeanTime)))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSeq
+    assert(meanTimes("timestamp_ntz") == meanTimes("timestamp"))
+
+    // TrajectorySim (TrajectorySim.scala unix_micros site)
+    def hausdorff(tsType: String) = graft.operators.TrajectorySim
+      .hausdorffTopK(events(tsType), "user_id", "ts", "event_id", "value",
+        k = 1, isProbe = col("id") >= 0)
+      .orderBy("id1").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(hausdorff("timestamp_ntz") == hausdorff("timestamp"))
+
+    // Taxi segmentation (Taxi.scala cast-to-double site)
+    def seg(tsType: String) = graft.pipelines.Taxi.segmentPoints(
+        events(tsType).withColumn("x", col("value") * 10)
+          .withColumn("y", col("value") * 5)
+          .withColumn("status", lit("metered")),
+        Seq("user_id"), "ts", "event_id", "x", "y", "status")
+      .select(col("user_id"), col("event_id"), col("seconds"))
+      .orderBy("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.toString))).toSeq
+    assert(seg("timestamp_ntz") == seg("timestamp"))
+  }
 }
