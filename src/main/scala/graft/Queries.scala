@@ -5124,6 +5124,52 @@ object Queries {
         count(*) AS n
       FROM hits h GROUP BY 1, 2"""))
 
+  /** Count-min frequency estimates vs exact counts (Cormode &
+    * Muthukrishnan 2005) — the heavy-hitter / skew-diagnosis sketch: a
+    * depth-4 x width-256 counter matrix built in one explode +
+    * bounded-output counting groupBy, collected (4 KiB), then every
+    * distinct key's frequency estimated MAP-SIDE (4 literal lookups +
+    * min, no join). The output compares estimate to exact per key:
+    * `over >= 0` for every row is the CMS one-sided guarantee, and the
+    * oracle replays the identical md5-position math so the exact
+    * overestimates (hash-collision sums at width 256 under ~400 keys)
+    * are pinned, not approximated. Top-20 by exact count keeps the
+    * output stable across SFs. */
+  val q130CmsFrequency = Q(
+    "q130_cms_frequency",
+    (s, d) => {
+      import graft.operators.Sketches
+      val docs = documents(s, d)
+        .withColumn("__key",
+          array_join(slice(split(col("text"), " "), 1, 2), " "))
+      val width = 256
+      val seeds = Seq(11, 12, 13, 14)
+      val cms = Sketches.cmsTable(docs, col("__key"), width, seeds)
+      docs.groupBy(col("__key").as("k"))
+        .agg(count(lit(1)).as("n_exact"))
+        .withColumn("n_est", Sketches.cmsEstimate(col("k"), cms, width, seeds))
+        .withColumn("over", col("n_est") - col("n_exact"))
+        .orderBy(col("n_exact").desc, col("k")).limit(20)
+    },
+    Some("""WITH ks AS (
+        SELECT array_to_string(string_split(text, ' ')[1:2], ' ') AS k
+        FROM documents),
+      sds AS (SELECT unnest([11, 12, 13, 14]) AS s,
+                     unnest([0, 1, 2, 3]) AS dd),
+      cms AS (
+        SELECT dd, ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || k), 1, 15))::BIGINT
+                 % 256 AS w, count(*) AS n
+        FROM ks CROSS JOIN sds GROUP BY 1, 2),
+      ex AS (SELECT k, count(*) AS n_exact FROM ks GROUP BY 1),
+      est AS (
+        SELECT ex.k, ex.n_exact, min(COALESCE(cms.n, 0)) AS n_est
+        FROM ex CROSS JOIN sds
+        LEFT JOIN cms ON cms.dd = sds.dd AND cms.w =
+          ('0x' || substr(md5(CAST(sds.s AS VARCHAR) || ':' || ex.k), 1, 15))::BIGINT % 256
+        GROUP BY 1, 2)
+      SELECT k, n_exact, n_est, n_est - n_exact AS over
+      FROM est ORDER BY n_exact DESC, k LIMIT 20"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -5157,5 +5203,5 @@ object Queries {
     q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq, q121SourceCap,
     q122CurationSweep, q123PageRank, q124WeightedSample, q125LineClean,
     q126NtzRoundtrip, q127SemdedupPq, q128CcnetBuckets,
-    q129BloomMembership)
+    q129BloomMembership, q130CmsFrequency)
 }

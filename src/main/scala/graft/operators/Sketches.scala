@@ -90,4 +90,50 @@ object Sketches {
         .bitwiseAND(call_function("shiftleft", lit(1L), b)) =!= lit(0L)
     }.reduce(_ && _)
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) — approximate
+    * per-key frequencies in depth x width counters, completing the
+    * mergeable-sketch family: HLL answers "how many distinct", Bloom
+    * answers "seen before", CMS answers "how often" — the heavy-hitter
+    * / skew-diagnosis primitive a 100 TB shuffle plan consults before
+    * choosing salting or a skew-join hint.
+    *
+    * Same determinism/portability contract as [[bloomBitmap]]: row d's
+    * column for a key is `md5Hash64(key, seeds(d)) mod width`; the
+    * build is ONE explode (depth cells per row) + a counting groupBy
+    * whose OUTPUT is bounded by depth x width (config-scale), collected
+    * to a literal matrix. Counters are mergeable cell-wise (+), so
+    * per-shard sketches roll up without rescans. One-sided error:
+    * estimate >= true count always; overestimate <= 2N/width with
+    * probability 1 - (1/2)^depth.
+    */
+  def cmsTable(df: DataFrame, keyCol: Column, width: Int,
+               seeds: Seq[Int]): IndexedSeq[IndexedSeq[Long]] = {
+    require(width > 0, "width must be positive")
+    require(seeds.nonEmpty, "at least one hash seed (depth row)")
+    val cells = seeds.zipWithIndex.map { case (s, d) =>
+      struct(lit(d).as("d"),
+        pmod(graft.functions.Text.md5Hash64(keyCol, s), lit(width.toLong))
+          .cast("int").as("w"))
+    }
+    val rows = df.select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.d").as("d"), col("c.w").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val byCell = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    seeds.indices.map(d => (0 until width).map(w => byCell.getOrElse((d, w), 0L)))
+  }
+
+  /** Map-side frequency estimate against a literal CMS: depth lookups,
+    * take the min — zero joins, the Bloom-probe shape with counters. */
+  def cmsEstimate(keyCol: Column, table: IndexedSeq[IndexedSeq[Long]],
+                  width: Int, seeds: Seq[Int]): Column = {
+    require(table.size == seeds.size && table.forall(_.size == width),
+      "table shape must be seeds.size x width")
+    val lookups = seeds.zipWithIndex.map { case (s, d) =>
+      val w = pmod(graft.functions.Text.md5Hash64(keyCol, s), lit(width.toLong))
+      element_at(array(table(d).map(lit): _*), w.cast("int") + 1)
+    }
+    if (lookups.size == 1) lookups.head else least(lookups: _*)
+  }
 }

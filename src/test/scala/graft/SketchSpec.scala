@@ -80,4 +80,28 @@ class SketchSpec extends SparkSpec {
     val merged = bmA.zip(bmB).map { case (a, b) => a | b }
     assert(merged == bm, "shard OR-merge must equal the single-pass bitmap")
   }
+
+  test("cms: estimates never undercount, and shard tables sum to the union") {
+    import org.apache.spark.sql.functions._
+    val width = 32 // small so collisions (overestimates) actually occur
+    val seeds = Seq(11, 12, 13, 14)
+    // skewed multiset: key_i appears i+1 times
+    val rows = (0 until 40).flatMap(i => Seq.fill(i + 1)(s"key_$i"))
+    val df = rows.toDF("k")
+    val cms = Sketches.cmsTable(df, col("k"), width, seeds)
+    val got = df.groupBy("k").agg(count(lit(1)).as("n"))
+      .withColumn("est", Sketches.cmsEstimate(col("k"), cms, width, seeds))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (k, n, est) =>
+      assert(est >= n, s"CMS undercounted $k: est=$est < exact=$n") }
+    // with 820 rows over 32 columns, at least one collision overestimate
+    assert(got.exists { case (_, n, est) => est > n },
+      "no collisions at width 32 — the one-sided bound is untested")
+    // mergeable: cell-wise sum of two disjoint shards == single-pass table
+    val a = Sketches.cmsTable(rows.take(400).toDF("k"), col("k"), width, seeds)
+    val b = Sketches.cmsTable(rows.drop(400).toDF("k"), col("k"), width, seeds)
+    val summed = a.zip(b).map { case (ra, rb) =>
+      ra.zip(rb).map { case (x, y) => x + y } }
+    assert(summed == cms, "shard cell-wise sum must equal the single-pass table")
+  }
 }
