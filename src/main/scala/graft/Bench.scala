@@ -53,7 +53,11 @@ object Bench {
 
     // local-iteration subset filter (comma-separated name substrings);
     // the driver never sets it, so its runs always cover the catalog
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // empty substrings dropped and a set-but-empty var treated as unset:
+    // SPARK_GRAFT_ONLY="" runs the full catalog and must also WRITE the
+    // full-run detail below, not discard it as a subset run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).filter(_.nonEmpty)
     // failures must be LOUD in the summary: round 4's bench swallowed a
     // q46 exception into stderr and the JSON still read as a clean run
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

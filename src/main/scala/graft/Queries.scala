@@ -5052,7 +5052,8 @@ object Queries {
     * dedup pattern q101's anti-join cannot give you when yesterday's key
     * set no longer fits a join: build the bitmap over the "seen" slice
     * (one explode + bit_or partial agg, collect bounded at mBits/64
-    * longs = 8 KiB), then test the new slice MAP-SIDE against the
+    * longs — 256 bytes at this query's m=2048), then test the new
+    * slice MAP-SIDE against the
     * literal bitmap — no join against the seen keys at all. Output is
     * the (bloom_hit, exact_seen) confusion matrix vs the exact equality
     * join; the no-false-negatives guarantee means the

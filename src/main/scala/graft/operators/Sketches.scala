@@ -64,7 +64,10 @@ object Sketches {
     require(seeds.nonEmpty, "at least one hash seed")
     val pos = seeds.map(s =>
       pmod(graft.functions.Text.md5Hash64(keyCol, s), lit(mBits.toLong)))
-    val rows = df
+    // null keys are not members (md5 of null is null — without the
+    // filter the null position survives the explode and the collect
+    // mapping NPEs); the probe side mirrors this with its false default
+    val rows = df.where(keyCol.isNotNull)
       .select(explode(array(pos: _*)).as("p"))
       .select((col("p") / 64).cast("int").as("w"),
         pmod(col("p"), lit(64L)).cast("int").as("b"))
@@ -77,18 +80,21 @@ object Sketches {
 
   /** Map-side membership test against a literal bitmap: k mask-AND
     * probes per row, zero joins. Exact mirror of the build's bit math
-    * (mask form on both engines — no shift-of-negative subtleties). */
+    * (mask form on both engines — no shift-of-negative subtleties).
+    * A null key tests false, matching the build's null-drop (SQL-null
+    * propagation would otherwise make a .where() silently treat the
+    * null as "not seen" while a different sink might keep it). */
   def bloomMightContain(keyCol: Column, bitmap: IndexedSeq[Long],
                         mBits: Int, seeds: Seq[Int]): Column = {
     require(bitmap.size * 64 == mBits, "bitmap size must match mBits")
     val words = array(bitmap.map(lit): _*)
-    seeds.map { s =>
+    coalesce(seeds.map { s =>
       val p = pmod(graft.functions.Text.md5Hash64(keyCol, s), lit(mBits.toLong))
       val w = (p / 64).cast("int")
       val b = pmod(p, lit(64L)).cast("int")
       element_at(words, w + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L), b)) =!= lit(0L)
-    }.reduce(_ && _)
+    }.reduce(_ && _), lit(false))
   }
 
   /** Count-min sketch (Cormode & Muthukrishnan 2005) — approximate
@@ -116,7 +122,10 @@ object Sketches {
         pmod(graft.functions.Text.md5Hash64(keyCol, s), lit(width.toLong))
           .cast("int").as("w"))
     }
-    val rows = df.select(explode(array(cells: _*)).as("c"))
+    // null keys are not counted (bloomBitmap's null-drop contract;
+    // cmsEstimate's zero default is the consistent read)
+    val rows = df.where(keyCol.isNotNull)
+      .select(explode(array(cells: _*)).as("c"))
       .groupBy(col("c.d").as("d"), col("c.w").as("w"))
       .agg(count(lit(1)).as("n"))
       .collect()
@@ -125,7 +134,8 @@ object Sketches {
   }
 
   /** Map-side frequency estimate against a literal CMS: depth lookups,
-    * take the min — zero joins, the Bloom-probe shape with counters. */
+    * take the min — zero joins, the Bloom-probe shape with counters.
+    * A null key estimates 0, matching the build's null-drop. */
   def cmsEstimate(keyCol: Column, table: IndexedSeq[IndexedSeq[Long]],
                   width: Int, seeds: Seq[Int]): Column = {
     require(table.size == seeds.size && table.forall(_.size == width),
@@ -134,6 +144,7 @@ object Sketches {
       val w = pmod(graft.functions.Text.md5Hash64(keyCol, s), lit(width.toLong))
       element_at(array(table(d).map(lit): _*), w.cast("int") + 1)
     }
-    if (lookups.size == 1) lookups.head else least(lookups: _*)
+    coalesce(if (lookups.size == 1) lookups.head else least(lookups: _*),
+      lit(0L))
   }
 }

@@ -104,4 +104,25 @@ class SketchSpec extends SparkSpec {
       ra.zip(rb).map { case (x, y) => x + y } }
     assert(summed == cms, "shard cell-wise sum must equal the single-pass table")
   }
+
+  test("bloom/cms: null keys are not members and probe false/zero") {
+    import org.apache.spark.sql.functions._
+    val m = 256
+    val seeds = Seq(1, 2)
+    val df = Seq(Some("a"), None, Some("b"), None).toDF("k")
+    // build must not crash on null keys, and must equal the null-free build
+    val bm = Sketches.bloomBitmap(df, col("k"), m, seeds)
+    val bmClean = Sketches.bloomBitmap(
+      Seq("a", "b").toDF("k"), col("k"), m, seeds)
+    assert(bm == bmClean)
+    val cms = Sketches.cmsTable(df, col("k"), m, seeds)
+    assert(cms.map(_.sum).sum == 4L) // 2 non-null keys x 2 depth rows
+    // null probes: false / 0, not SQL null
+    val probed = df
+      .select(Sketches.bloomMightContain(col("k"), bm, m, seeds).as("hit"),
+        Sketches.cmsEstimate(col("k"), cms, m, seeds).as("est"))
+      .as[(Boolean, Long)].collect().toSeq
+    assert(probed.count(p => p._1 && p._2 == 1L) == 2) // "a", "b"
+    assert(probed.count(p => !p._1 && p._2 == 0L) == 2) // the nulls
+  }
 }

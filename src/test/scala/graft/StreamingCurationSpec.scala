@@ -102,4 +102,29 @@ class StreamingCurationSpec extends SparkSpec {
     assert(q.recentProgress.exists(_.numInputRows == 1),
       "appended file should arrive as its own 1-row micro-batch")
   }
+
+  test("bloom probe: streaming rows match batch (the daily-crawl filter)") {
+    // the incremental-dedup deployment shape: yesterday's bitmap is a
+    // BATCH artifact (bounded collect), today's stream probes it as a
+    // stateless literal projection — no state store, no join, so the
+    // stream twin is exact, not just watermark-eventually
+    import graft.operators.Sketches
+    val m = 1024
+    val seeds = Seq(1, 2, 3)
+    val seen = (0 until 50).map(i => s"doc_$i").toDF("k")
+    val bitmap = Sketches.bloomBitmap(seen, col("k"), m, seeds)
+    val today = ((40 until 60).map(i => i.toLong -> s"doc_$i")).toDF("id", "k")
+    val dir = Files.createTempDirectory("graft_stream_bloom").toString
+    today.write.mode("overwrite").parquet(dir)
+    def pipeline(df: DataFrame): DataFrame =
+      df.withColumn("hit", Sketches.bloomMightContain(col("k"), bitmap, m, seeds))
+        .select("id", "hit")
+    val batch = pipeline(spark.read.parquet(dir))
+      .as[(Long, Boolean)].collect().toSeq.sorted
+    val stream = streamed(dir, today, pipeline, "bloom_stream")
+      .as[(Long, Boolean)].collect().toSeq.sorted
+    assert(stream == batch && batch.nonEmpty)
+    // the overlap rows (40-49) MUST hit — the guarantee survives streaming
+    assert(stream.filter(_._1 < 50).forall(_._2))
+  }
 }
