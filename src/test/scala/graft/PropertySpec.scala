@@ -250,4 +250,24 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bloom: inserted keys always hit; cms: estimates never undercount") {
+    import graft.operators.Sketches
+    val keysGen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaStr.map("k" + _), Gen.choose(0, 30).map(i => s"dup_$i")))
+    forAll(keysGen, n = 3) { keys =>
+      val df = keys.toDF("k")
+      val m = 256
+      val seeds = Seq(5, 6, 7)
+      val bm = Sketches.bloomBitmap(df, col("k"), m, seeds)
+      val misses = df
+        .where(!Sketches.bloomMightContain(col("k"), bm, m, seeds)).count()
+      assert(misses == 0L, s"bloom false negative on ${keys.size} keys")
+      val cms = Sketches.cmsTable(df, col("k"), 32, seeds)
+      val under = df.groupBy("k").agg(count(lit(1)).as("n"))
+        .where(Sketches.cmsEstimate(col("k"), cms, 32, seeds) < col("n"))
+        .count()
+      assert(under == 0L, s"cms undercounted on ${keys.size} keys")
+    }
+  }
 }
