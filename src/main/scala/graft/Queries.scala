@@ -5171,6 +5171,64 @@ object Queries {
       SELECT k, n_exact, n_est, n_est - n_exact AS over
       FROM est ORDER BY n_exact DESC, k LIMIT 20"""))
 
+  /** One BPE training round in DuckDB: freq-weighted adjacent-pair
+    * counts (`pc`), the deterministic winner (`m` — max count, ties to
+    * the lexicographically smallest pair), and the greedy left-to-right
+    * merge as a RECURSIVE CTE walking each word's symbol array with the
+    * same (out, skip) semantics as [[graft.operators.Bpe.mergePair]]
+    * (`r` steps i by 2 over a merged pair, 1 otherwise; `s` keeps the
+    * finished rows). */
+  private def bpeRoundSql(prev: String, n: Int): String = s"""
+      pc$n AS (
+        SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM $prev)
+        GROUP BY 1, 2),
+      m$n AS (SELECT a, b, cnt FROM pc$n ORDER BY cnt DESC, a, b LIMIT 1),
+      r$n AS (
+        SELECT word, freq, syms, CAST([] AS VARCHAR[]) AS out, 1 AS i FROM $prev
+        UNION ALL
+        SELECT word, freq, syms,
+          CASE WHEN i < len(syms) AND syms[i] = m.a AND syms[i + 1] = m.b
+            THEN list_append(out, m.a || m.b) ELSE list_append(out, syms[i]) END,
+          CASE WHEN i < len(syms) AND syms[i] = m.a AND syms[i + 1] = m.b
+            THEN i + 2 ELSE i + 1 END
+        FROM r$n, m$n m WHERE i <= len(syms)),
+      s$n AS (SELECT word, freq, out AS syms FROM r$n WHERE i = len(syms) + 1)"""
+
+  /** BPE merge training (Sennrich et al., ACL 2016) — learn the first 4
+    * merges of the corpus' subword vocabulary: the vocabulary-induction
+    * stage q60's segmentation presupposes. Corpus-scale text collapses
+    * to the vocabulary-scale (word, freq, symbols) state in one pass;
+    * each round is a freq-weighted pair count (one bounded-output
+    * shuffle), a one-row winner collect, and a map-side greedy merge
+    * fold. Output is the learned merge table itself — both engines
+    * replay the identical recurrence (the oracle's per-round recursive
+    * CTE IS the fold), so the table hash-matches, chains and all. */
+  val q131BpeTrain = Q(
+    "q131_bpe_train",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Bpe.train(documents(s, d), "text", rounds = 4)
+        .toDF("r", "s1", "s2", "cnt")
+    },
+    Some(s"""WITH RECURSIVE t AS ($duckToksSql),
+      w0 AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(toks) AS w FROM t)
+        WHERE w <> '' GROUP BY 1),
+      s0 AS (
+        SELECT word, freq,
+          list_append(list_transform(generate_series(1, length(word)),
+            i -> substr(word, CAST(i AS INT), 1)), '</w>') AS syms
+        FROM w0),
+      ${(1 to 4).map(i => bpeRoundSql(s"s${i - 1}", i)).mkString(",\n")}
+      SELECT * FROM (
+        ${(1 to 4).map(i =>
+          s"SELECT CAST($i AS INT) AS r, a AS s1, b AS s2, cnt FROM m$i")
+          .mkString(" UNION ALL ")})
+      ORDER BY r"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -5204,5 +5262,5 @@ object Queries {
     q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq, q121SourceCap,
     q122CurationSweep, q123PageRank, q124WeightedSample, q125LineClean,
     q126NtzRoundtrip, q127SemdedupPq, q128CcnetBuckets,
-    q129BloomMembership, q130CmsFrequency)
+    q129BloomMembership, q130CmsFrequency, q131BpeTrain)
 }
