@@ -5229,6 +5229,132 @@ object Queries {
           .mkString(" UNION ALL ")})
       ORDER BY r"""))
 
+  /** Bottom-k (KMV) quantile sketch vs exact percentiles (Bar-Yossef et
+    * al. 2002; DKW bound for the sample-quantile error) — the fourth
+    * mergeable sketch: HLL = how many distinct, Bloom = seen before,
+    * CMS = how often, bottom-k = WHERE in the distribution. The sample
+    * is the k smallest md5-hashes (TakeOrderedAndProject: per-partition
+    * partial top-k, no shuffle), quantiles are its order statistics
+    * computed under the Guards bounded-window contract, and the exact
+    * side reuses q34's proven percentile/quantile_cont parity. The
+    * oracle replays the identical hash ordering, so est, exact, AND the
+    * error column are pinned values, not approximations. */
+  val q132QuantileSketch = Q(
+    "q132_quantile_sketch",
+    (s, d) => {
+      import graft.operators.Sketches
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val ev = events(s, d)
+      val sample = Sketches.bottomKSample(ev, col("event_id"), col("value"),
+        k = 256, seed = 7)
+      val est = Sketches.sampleQuantiles(sample, qs)
+      val exact = ev
+        .where(col("value").isNotNull && !isnan(col("value")))
+        .agg(count(lit(1)).as("n_total"),
+          expr(s"percentile(value, array(${qs.mkString(",")}))").as("ex"))
+        .select(col("n_total"), posexplode(col("ex")).as(Seq("i", "exact")))
+        .select(element_at(array(qs.map(lit): _*), col("i") + 1).as("q"),
+          col("exact"), col("n_total"))
+      est.join(broadcast(exact), Seq("q"))
+        .select(col("q"), round(col("est"), 4).as("est"),
+          round(col("exact"), 4).as("exact"),
+          round(abs(col("est") - col("exact")), 4).as("abs_err"),
+          col("n_sample"), col("n_total"))
+    },
+    Some("""WITH smp AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+          ('0x' || substr(md5('7:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        ORDER BY h, v LIMIT 256),
+      r AS (
+        SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+          count(*) OVER () AS ns
+        FROM smp),
+      qs AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+      est AS (
+        SELECT q, v AS est, ns AS n_sample
+        FROM r CROSS JOIN qs
+        WHERE rn = greatest(1, CAST(ceil(q * ns) AS BIGINT))),
+      ex0 AS (
+        SELECT quantile_cont(value, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS exs,
+          count(*) AS n_total
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+      ex AS (
+        SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+          unnest(exs) AS exact, n_total
+        FROM ex0)
+      SELECT est.q, round(est.est, 4) AS est, round(ex.exact, 4) AS exact,
+        round(abs(est.est - ex.exact), 4) AS abs_err,
+        est.n_sample, ex.n_total
+      FROM est JOIN ex USING (q)"""))
+
+  /** Multinomial Naive Bayes classifier, trained and applied in-engine
+    * (McCallum & Nigam 1998) — the cheap-classifier curation stage: fit
+    * token log-likelihoods for `lang` on the hash-split train partition,
+    * score every held-out document with one vocabulary-keyed join, and
+    * report the confusion matrix. Both engines replay the identical
+    * add-one-smoothed 9-dp decimal scores and the (score DESC, label
+    * DESC) tie-break, so the per-document argmax — not just the counts —
+    * is pinned. */
+  val q133NaiveBayes = Q(
+    "q133_naive_bayes",
+    (s, d) => {
+      import graft.operators.Classify
+      val docs = documents(s, d)
+      val isTrain = Curation.hashSplit(col("doc_id")) === "train"
+      val model = Classify.nbTrain(docs.where(isTrain), "text", "lang")
+      val preds = Classify.nbPredict(docs.where(!isTrain), "doc_id", "text",
+        model)
+      docs.where(!isTrain).select(col("doc_id"), col("lang").as("true_lang"))
+        .join(preds, Seq("doc_id"))
+        .groupBy(col("true_lang"), col("pred").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some(s"""WITH t AS ($duckToksSql),
+      lbl AS (
+        SELECT doc_id, lang,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80
+            AS is_train
+        FROM documents),
+      tk AS (
+        SELECT l.doc_id, l.lang, l.is_train, unnest(t.toks) AS tok
+        FROM t JOIN lbl l USING (doc_id)),
+      tr AS (SELECT * FROM tk WHERE is_train),
+      cnts AS (SELECT lang, tok, count(*) AS cnt FROM tr GROUP BY 1, 2),
+      cls AS (SELECT lang, count(*) AS n_toks FROM tr GROUP BY 1),
+      nd AS (SELECT lang, count(*) AS n_docs FROM lbl WHERE is_train GROUP BY 1),
+      v AS (SELECT count(DISTINCT tok) AS v FROM cnts),
+      tot AS (SELECT sum(n_docs) AS n_total FROM nd),
+      model AS (
+        SELECT cls.lang,
+          CAST(round(ln(nd.n_docs * 1.0 / tot.n_total), 9) AS DECIMAL(28,9)) AS prior,
+          CAST(round(ln(1.0 / (cls.n_toks + v.v)), 9) AS DECIMAL(28,9)) AS unseen
+        FROM cls JOIN nd USING (lang) CROSS JOIN v CROSS JOIN tot),
+      lik AS (
+        SELECT c.lang, c.tok,
+          CAST(round(ln((c.cnt + 1.0) / (cls.n_toks + v.v)), 9) AS DECIMAL(28,9)) AS llik
+        FROM cnts c JOIN cls USING (lang) CROSS JOIN v),
+      ted AS (SELECT doc_id, lang AS true_lang FROM lbl WHERE NOT is_train),
+      te AS (SELECT doc_id, tok FROM tk WHERE NOT is_train),
+      tsum AS (
+        SELECT te.doc_id, m.lang, sum(COALESCE(l.llik, m.unseen)) AS ssum
+        FROM te CROSS JOIN model m
+        LEFT JOIN lik l ON l.lang = m.lang AND l.tok = te.tok
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT d.doc_id, d.true_lang, m.lang AS cand,
+          m.prior + COALESCE(s.ssum, 0) AS score
+        FROM ted d CROSS JOIN model m
+        LEFT JOIN tsum s ON s.doc_id = d.doc_id AND s.lang = m.lang),
+      pr AS (
+        SELECT doc_id, true_lang, cand AS pred_lang
+        FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+          FROM sc)
+        WHERE rn = 1)
+      SELECT true_lang, pred_lang, count(*) AS n
+      FROM pr GROUP BY 1, 2"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -5262,5 +5388,6 @@ object Queries {
     q117GopherRules, q118ZipperPack, q119PqAdc, q120IvfPq, q121SourceCap,
     q122CurationSweep, q123PageRank, q124WeightedSample, q125LineClean,
     q126NtzRoundtrip, q127SemdedupPq, q128CcnetBuckets,
-    q129BloomMembership, q130CmsFrequency, q131BpeTrain)
+    q129BloomMembership, q130CmsFrequency, q131BpeTrain,
+    q132QuantileSketch, q133NaiveBayes)
 }

@@ -125,4 +125,38 @@ class SketchSpec extends SparkSpec {
     assert(probed.count(p => p._1 && p._2 == 1L) == 2) // "a", "b"
     assert(probed.count(p => !p._1 && p._2 == 0L) == 2) // the nulls
   }
+
+  test("bottom-k: shard samples merge to the union's sample (KMV property)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val k = 64
+    val whole = Sketches.bottomKSample(ev, col("event_id"), col("value"), k, 7)
+      .as[(Double, Long)].collect().toSet
+    // two disjoint shards, sampled independently, then re-bottom-k'd:
+    // must equal the sample of the union — the no-rescan rollup
+    val s1 = Sketches.bottomKSample(
+      ev.where(col("event_id") % 2 === 0), col("event_id"), col("value"), k, 7)
+    val s2 = Sketches.bottomKSample(
+      ev.where(col("event_id") % 2 === 1), col("event_id"), col("value"), k, 7)
+    val merged = s1.unionByName(s2).orderBy(col("h"), col("v")).limit(k)
+      .as[(Double, Long)].collect().toSet
+    assert(merged == whole, "bottom-k of shard bottom-k's != bottom-k of union")
+  }
+
+  test("bottom-k quantiles: rank error within the DKW envelope vs exact") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .where(col("value").isNotNull && !isnan(col("value")))
+    val sample = Sketches.bottomKSample(ev, col("event_id"), col("value"), 256, 7)
+    val qs = Seq(0.1, 0.5, 0.9)
+    val est = Sketches.sampleQuantiles(sample, qs)
+      .as[(Double, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    val n = ev.count().toDouble
+    qs.foreach { q =>
+      // realized rank of the estimate in the full data
+      val rank = ev.where(col("value") <= est(q)).count() / n
+      // eps at 99.9% confidence for k=256 under DKW: sqrt(ln(2/δ)/(2k))
+      val eps = math.sqrt(math.log(2 / 0.001) / (2 * 256))
+      assert(math.abs(rank - q) < eps,
+        s"q=$q estimate rank $rank off by more than DKW eps $eps")
+    }
+  }
 }
