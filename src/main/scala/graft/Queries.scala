@@ -5355,6 +5355,76 @@ object Queries {
       SELECT true_lang, pred_lang, count(*) AS n
       FROM pr GROUP BY 1, 2"""))
 
+  /** One HITS iteration in DuckDB: authority half-step (hub sums by dst,
+    * L1 total, normalize + round 12) then the mirror hub half-step —
+    * the exact [[graft.graph.Graph.hits]] recurrence, MATERIALIZED per
+    * half-step like the PageRank chain. */
+  private def hitsRoundSql(prev: String, k: Int): String = s"""
+      ar$k AS (
+        SELECT e.dst AS node,
+          CAST(sum(CAST(round(s.hub, 12) AS DECIMAL(28,12))) AS DOUBLE) AS raw
+        FROM $prev s JOIN e ON s.node = e.src
+        GROUP BY 1),
+      at$k AS (
+        SELECT CAST(sum(CAST(round(raw, 12) AS DECIMAL(28,12))) AS DOUBLE) AS tot
+        FROM ar$k),
+      sa$k AS MATERIALIZED (
+        SELECT s.node, s.hub, round(coalesce(a.raw, 0.0) / t.tot, 12) AS auth
+        FROM $prev s LEFT JOIN ar$k a USING (node) CROSS JOIN at$k t),
+      hr$k AS (
+        SELECT e.src AS node,
+          CAST(sum(CAST(round(s.auth, 12) AS DECIMAL(28,12))) AS DOUBLE) AS raw
+        FROM sa$k s JOIN e ON s.node = e.dst
+        GROUP BY 1),
+      ht$k AS (
+        SELECT CAST(sum(CAST(round(raw, 12) AS DECIMAL(28,12))) AS DOUBLE) AS tot
+        FROM hr$k),
+      s$k AS MATERIALIZED (
+        SELECT s.node, round(coalesce(h.raw, 0.0) / t.tot, 12) AS hub, s.auth
+        FROM sa$k s LEFT JOIN hr$k h USING (node) CROSS JOIN ht$k t)"""
+
+  /** HITS hubs/authorities (Kleinberg 1999) on the customer->supplier
+    * graph — q123's companion ranker: hubs score the buyers that point
+    * at important suppliers, authorities the suppliers pointed at by
+    * good hubs. Sum-normalized half-steps keep the whole iteration
+    * inside the decimal(28,12) regime (no sqrt), so 4 unrolled rounds
+    * hash-match the oracle bit-for-bit; the bipartite shape exercises
+    * both zero paths (suppliers have hub 0, customers auth 0). */
+  val q134Hits = Q(
+    "q134_hits",
+    (s, d) => {
+      val e = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val st = graft.graph.Graph.hits(e, iterations = 4)
+      val auths = st.orderBy(col("auth").desc, col("node")).limit(15)
+        .select(lit("auth").as("kind"), col("node"),
+          round(col("auth"), 12).as("score"))
+      val hubs = st.orderBy(col("hub").desc, col("node")).limit(15)
+        .select(lit("hub").as("kind"), col("node"),
+          round(col("hub"), 12).as("score"))
+      auths.unionByName(hubs)
+    },
+    Some(s"""WITH e AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      m AS (SELECT count(*) AS n FROM nodes),
+      s0 AS MATERIALIZED (
+        SELECT node, round(CAST(1.0 AS DOUBLE) / m.n, 12) AS hub,
+          round(CAST(1.0 AS DOUBLE) / m.n, 12) AS auth
+        FROM nodes CROSS JOIN m),
+      ${(1 to 4).map(k => hitsRoundSql(s"s${k - 1}", k)).mkString(",\n")}
+      SELECT * FROM (
+        SELECT 'auth' AS kind, node, round(auth, 12) AS score FROM s4
+        ORDER BY auth DESC, node LIMIT 15)
+      UNION ALL
+      SELECT * FROM (
+        SELECT 'hub' AS kind, node, round(hub, 12) AS score FROM s4
+        ORDER BY hub DESC, node LIMIT 15)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -5389,5 +5459,5 @@ object Queries {
     q122CurationSweep, q123PageRank, q124WeightedSample, q125LineClean,
     q126NtzRoundtrip, q127SemdedupPq, q128CcnetBuckets,
     q129BloomMembership, q130CmsFrequency, q131BpeTrain,
-    q132QuantileSketch, q133NaiveBayes)
+    q132QuantileSketch, q133NaiveBayes, q134Hits)
 }

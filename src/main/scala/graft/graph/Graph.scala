@@ -139,6 +139,72 @@ object Graph {
     state.select(col("node"), col("rank"))
   }
 
+  /** HITS hubs and authorities (Kleinberg, JACM 1999) — the
+    * query-dependent companion to [[pageRank]]: on a bipartite
+    * buyer→supplier (or page→cited-page) graph, hub scores rank the
+    * pointers and authority scores rank the pointed-at. Sum (L1)
+    * normalization each half-step keeps every operation
+    * division-or-sum — no sqrt in the iteration — so the
+    * decimal(28,12) round-then-exact-sum regime carries through
+    * unchanged and iteration K's state is bit-identical to an
+    * unrolled SQL replay.
+    *
+    * Per iteration: authority half-step (join state to edges on src,
+    * aggregate hubs by dst, one-row total broadcast on a non-foldable
+    * key, normalize + round 12 dp), then the mirror hub half-step on
+    * dst. Two node-keyed shuffle joins + two bounded aggregations per
+    * round — the PageRank cost shape exactly, with the same
+    * `localCheckpoint` lineage cut per half-step and the same cluster
+    * note: bucket both sides by node and every round is co-partitioned.
+    */
+  def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    import graft.operators.Guards
+    require(iterations >= 1, "hits needs at least one iteration")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val meta = nodes.agg(count(lit(1)).as("n"))
+      .withColumn("__k", Guards.constKey(col("n")))
+    val exactSum12 = (c: Column) =>
+      sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+    var state = nodes
+      .withColumn("__k", Guards.constKey(col("node")))
+      .join(broadcast(meta), "__k")
+      .select(col("node"), round(lit(1.0) / col("n"), 12).as("hub"),
+        round(lit(1.0) / col("n"), 12).as("auth"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iterations) {
+      val aRaw = state.join(e, state("node") === e("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(exactSum12(col("hub")).as("raw"))
+      val aTot = aRaw.agg(exactSum12(col("raw")).as("tot"))
+        .withColumn("__k", Guards.constKey(col("tot")))
+      val afterAuth = state.drop("auth")
+        .join(aRaw, Seq("node"), "left")
+        .withColumn("__k", Guards.constKey(col("node")))
+        .join(broadcast(aTot), "__k")
+        .select(col("node"), col("hub"),
+          round(coalesce(col("raw"), lit(0.0)) / col("tot"), 12).as("auth"))
+        .localCheckpoint()
+      val hRaw = afterAuth.join(e, afterAuth("node") === e("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(exactSum12(col("auth")).as("raw"))
+      val hTot = hRaw.agg(exactSum12(col("raw")).as("tot"))
+        .withColumn("__k", Guards.constKey(col("tot")))
+      state = afterAuth.drop("hub")
+        .join(hRaw, Seq("node"), "left")
+        .withColumn("__k", Guards.constKey(col("node")))
+        .join(broadcast(hTot), "__k")
+        .select(col("node"),
+          round(coalesce(col("raw"), lit(0.0)) / col("tot"), 12).as("hub"),
+          col("auth"))
+        .localCheckpoint()
+      it += 1
+    }
+    state
+  }
+
   /** All-pairs minimum hop counts, capped at `maxHops`, by min-plus
     * squaring (pointer doubling): after round i, `known` holds the exact
     * min-hop distance for every pair at distance <= 2^i (a shortest path

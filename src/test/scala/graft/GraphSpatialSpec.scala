@@ -104,6 +104,36 @@ class GraphSpatialSpec extends SparkSpec {
       "symmetric leaves tie exactly (deterministic rounding)")
   }
 
+  test("hits: one iteration matches the hand-solved half-steps") {
+    // bipartite: a->x, a->y, b->y. N=5 (a,b,x,y + isolated? no — 4).
+    // init hub=auth=0.25. auth half: x gets hub(a)=0.25, y gets
+    // hub(a)+hub(b)=0.5; total 0.75 -> auth(x)=1/3, auth(y)=2/3.
+    // hub half: a gets auth(x)+auth(y)=1.0, b gets auth(y)=2/3;
+    // total 5/3 -> hub(a)=0.6, hub(b)=0.4.
+    val edges = Seq(("a", "x"), ("a", "y"), ("b", "y")).toDF("src", "dst")
+    val got = Graph.hits(edges, iterations = 1)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(math.abs(got("x")._2 - 1.0 / 3) < 1e-11, s"auth(x)=${got("x")._2}")
+    assert(math.abs(got("y")._2 - 2.0 / 3) < 1e-11, s"auth(y)=${got("y")._2}")
+    assert(math.abs(got("a")._1 - 0.6) < 1e-11, s"hub(a)=${got("a")._1}")
+    assert(math.abs(got("b")._1 - 0.4) < 1e-11, s"hub(b)=${got("b")._1}")
+    // bipartite zero paths: sources have auth 0, sinks hub 0
+    assert(got("a")._2 == 0.0 && got("x")._1 == 0.0)
+  }
+
+  test("hits: partitioning-invariant and L1-normalized each side") {
+    val edges = (1L to 40L).map(i => (s"n${i % 7}", s"m${(i * 3) % 11}"))
+      .toDF("src", "dst")
+    val once = Graph.hits(edges.repartition(1), iterations = 3).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val wide = Graph.hits(edges.repartition(13), iterations = 3).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(once == wide, "scores must be bit-identical across partitionings")
+    assert(math.abs(once.values.map(_._1).sum - 1.0) < 1e-9, "hub L1")
+    assert(math.abs(once.values.map(_._2).sum - 1.0) < 1e-9, "auth L1")
+  }
+
   test("pageRank: partitioning-invariant (exact decimal sums)") {
     val edges = (1L to 40L).map(i => (s"n${i % 7}", s"n${(i * 3) % 11}"))
       .toDF("src", "dst")
