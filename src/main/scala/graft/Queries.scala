@@ -5425,6 +5425,61 @@ object Queries {
         SELECT 'hub' AS kind, node, round(hub, 12) AS score FROM s4
         ORDER BY hub DESC, node LIMIT 15)"""))
 
+  /** TF-IDF weighted cosine near-dup pairs (Salton & Buckley 1988;
+    * rare-token blocking from the Bayardo et al. 2007 all-pairs family)
+    * — the weighted counterpart to q107's set Jaccard: distinctive
+    * shared vocabulary outweighs boilerplate. Candidates come from an
+    * equi-join restricted to tokens with df in [2, 10] (bounded fan-out
+    * per key at any corpus size); the cosine is computed over the
+    * candidates' COMPLETE vectors with exact-decimal dot products and
+    * norms, so the only float math is the final sqrt/divide — IEEE-
+    * identical on both engines, making the top-20 cut deterministic. */
+  val q135TfidfCosine = Q(
+    "q135_tfidf_cosine",
+    (s, d) =>
+      Dedup.tfidfCosinePairs(documents(s, d), "doc_id", "text", n = 3,
+          dfMax = 10)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("id_a"), col("id_b")).limit(20),
+    Some(s"""WITH t AS ($duckToksSql),
+      tf AS (
+        SELECT doc_id AS id, array_to_string(toks[i : i + 2], ' ') AS tok,
+          count(*) AS tf
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM t WHERE len(toks) >= 3)
+        GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      idf AS (
+        SELECT tok, df,
+          CAST(round(ln((nd.n_docs + 1.0) / (df + 1.0)) + 1.0, 9)
+            AS DECIMAL(18,9)) AS idf
+        FROM dfreq CROSS JOIN nd),
+      w AS (
+        SELECT tf.id, tf.tok, idf.df,
+          CAST(CAST(tf.tf AS DECIMAL(9,0)) * idf.idf AS DECIMAL(18,9)) AS w
+        FROM tf JOIN idf USING (tok)),
+      norms AS (SELECT id, sum(w * w) AS sn FROM w GROUP BY 1),
+      rare AS (SELECT id, tok FROM w WHERE df BETWEEN 2 AND 10),
+      cand AS (
+        SELECT DISTINCT a.id AS a, b.id AS b
+        FROM rare a JOIN rare b USING (tok) WHERE a.id < b.id),
+      dots AS (
+        SELECT c.a, c.b, sum(wa.w * wb.w) AS dot
+        FROM cand c
+        JOIN w wa ON wa.id = c.a
+        JOIN w wb ON wb.id = c.b AND wb.tok = wa.tok
+        GROUP BY 1, 2),
+      cs AS (
+        SELECT d.a AS id_a, d.b AS id_b,
+          CAST(d.dot AS DOUBLE) /
+            (sqrt(CAST(na.sn AS DOUBLE)) * sqrt(CAST(nb.sn AS DOUBLE))) AS c
+        FROM dots d
+        JOIN norms na ON na.id = d.a
+        JOIN norms nb ON nb.id = d.b)
+      SELECT id_a, id_b, round(c, 6) AS cos
+      FROM cs ORDER BY round(c, 6) DESC, id_a, id_b LIMIT 20"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -5459,5 +5514,5 @@ object Queries {
     q122CurationSweep, q123PageRank, q124WeightedSample, q125LineClean,
     q126NtzRoundtrip, q127SemdedupPq, q128CcnetBuckets,
     q129BloomMembership, q130CmsFrequency, q131BpeTrain,
-    q132QuantileSketch, q133NaiveBayes, q134Hits)
+    q132QuantileSketch, q133NaiveBayes, q134Hits, q135TfidfCosine)
 }

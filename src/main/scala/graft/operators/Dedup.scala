@@ -525,4 +525,82 @@ object Dedup {
     edges.unpersist()
     out
   }
+
+  /** TF-IDF weighted cosine similarity over candidate pairs (Salton &
+    * Buckley 1988 weighting; the rare-token blocking of Bayardo et al.
+    * 2007's all-pairs family) — the WEIGHTED counterpart to
+    * [[prefixJaccardJoin]]'s set similarity: near-dups that share
+    * distinctive vocabulary score high even when boilerplate differs.
+    *
+    * Candidate generation is an equi-join on tokens with document
+    * frequency in [2, dfMax] — each such token contributes at most
+    * C(dfMax, 2) pairs, so the join output is bounded per key at any
+    * corpus size (common tokens never become join keys). The full
+    * TF-IDF cosine is then computed for candidates only, over their
+    * COMPLETE vectors (blocking decides who gets compared, not what
+    * the score sees).
+    *
+    * Cross-engine determinism: idf = round(ln((N+1)/(df+1)) + 1, 9) as
+    * decimal(18,9); weights tf*idf with explicit decimal(9,0) x
+    * decimal(18,9) casts so the product is exact INSIDE both engines'
+    * 38-digit budget (an uncast long x decimal would overflow Spark's
+    * inferred precision and round); dot products and squared norms are
+    * exact decimal sums; the only floating math is the final
+    * sqrt/divide, IEEE-identical on identical inputs.
+    *
+    * Terms are word n-gram shingles WITH multiplicity, not unigrams: a
+    * closed small vocabulary (or any boilerplate-heavy corpus) makes
+    * every single word common, while n-gram phrases keep a long rare
+    * tail — which is exactly what both the idf weighting and the
+    * rare-term blocking need to have any discriminating power.
+    *
+    * Returns (id_a, id_b, cos) for all candidate pairs — callers rank
+    * and cut. */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, dfMax: Int): DataFrame = {
+    require(dfMax >= 2, "dfMax must be at least 2")
+    val tf = df.select(col(idCol).as("id"),
+        explode(Text.wordShingles(col(textCol), n)).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    // materialized once: read by the idf derivation, the norm pass and
+    // both sides of the pair fetch (the prefixJaccardJoin discipline)
+    val tfCk = tf.localCheckpoint(true)
+    val dfreq = tfCk.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+      .withColumn("__k", Guards.constKey(col("n_docs")))
+    val idf = dfreq
+      .withColumn("__k", Guards.constKey(col("tok")))
+      .join(broadcast(nDocs), "__k")
+      .select(col("tok"), col("df"),
+        round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+          + lit(1.0), 9).cast("decimal(18,9)").as("idf"))
+    val w = tfCk.join(idf, "tok")
+      .select(col("id"), col("tok"), col("df"),
+        (col("tf").cast("decimal(9,0)") * col("idf"))
+          .cast("decimal(18,9)").as("w"))
+      .localCheckpoint(true)
+    val norms = w.groupBy("id")
+      .agg(sum(col("w") * col("w")).as("sn"))
+    // rare-token candidate pairs: bounded fan-out per join key
+    val rare = w.where(col("df").between(2, dfMax))
+      .select(col("id"), col("tok"))
+    val cand = rare.select(col("id").as("a"), col("tok"))
+      .join(rare.select(col("id").as("b"), col("tok")), Seq("tok"))
+      .where(col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    val dots = cand
+      .join(w.select(col("id").as("a"), col("tok"), col("w").as("wa")),
+        Seq("a"))
+      .join(w.select(col("id").as("b"), col("tok"), col("w").as("wb")),
+        Seq("b", "tok"))
+      .groupBy("a", "b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("a"), col("sn").as("sna")), Seq("a"))
+      .join(norms.select(col("id").as("b"), col("sn").as("snb")), Seq("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("sna").cast("double")) * sqrt(col("snb").cast("double"))))
+          .as("cos"))
+  }
 }

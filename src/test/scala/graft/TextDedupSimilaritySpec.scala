@@ -174,4 +174,28 @@ class TextDedupSimilaritySpec extends SparkSpec {
       s"prefix filter lost pairs: missing ${brute -- prefix}, extra ${prefix -- brute}")
     assert(brute.nonEmpty, "fixture must contain near-dup pairs")
   }
+
+  test("tfidfCosinePairs: hand-computed weighted cosine on bigram terms") {
+    // docs 1/2 share the rare bigram "quick fox"; doc 3 shares nothing
+    // rare with them. n=2 shingles, every df <= dfMax.
+    val docs = Seq(
+      (1L, "quick fox jumps"),
+      (2L, "quick fox sleeps"),
+      (3L, "lazy dog sleeps")).toDF("doc_id", "text")
+    val got = Dedup.tfidfCosinePairs(docs, "doc_id", "text", n = 2, dfMax = 10)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // hand math: N=3; shared "quick fox" df=2 -> idf = ln(4/3)+1; the
+    // other bigrams df=1 -> idf = ln(2)+1; every tf=1, each doc has 2
+    // bigrams, so cos(1,2) = w_shared^2 / (w_shared^2 + w_rare^2)
+    val r9 = (x: Double) => BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wS = r9(math.log(4.0 / 3) + 1)
+    val wR = r9(math.log(2.0) + 1)
+    val expected = (wS * wS) / (wS * wS + wR * wR)
+    assert(got.contains((1L, 2L)), s"missing shared-term pair: $got")
+    assert(math.abs(got((1L, 2L)) - expected) < 1e-12,
+      s"cos(1,2)=${got((1L, 2L))} expected $expected")
+    // doc 3 shares no term with doc 1 at all -> not even a candidate
+    assert(!got.contains((1L, 3L)))
+  }
 }
