@@ -5480,6 +5480,78 @@ object Queries {
       SELECT id_a, id_b, round(c, 6) AS cos
       FROM cs ORDER BY round(c, 6) DESC, id_a, id_b LIMIT 20"""))
 
+  /** Ordered conversion funnel with a 7-day completion window
+    * (ClickHouse windowFunnel semantics, greedy first-match) —
+    * view -> click -> purchase over the event stream, counting users by
+    * deepest level reached. Each funnel step is one user-keyed
+    * equi-join + min aggregation: at scale the whole funnel
+    * co-partitions on the entity key with no windows over the raw
+    * stream. */
+  val q136Funnel = Q(
+    "q136_funnel",
+    (s, d) => {
+      import graft.operators.Funnel
+      val ev = events(s, d)
+      val lv = Funnel.windowFunnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), "INTERVAL 7 DAY")
+      ev.select(col("user_id").as("entity")).distinct()
+        .join(lv, Seq("entity"), "left")
+        .groupBy(coalesce(col("level"), lit(0)).as("level"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH s1 AS (
+        SELECT user_id AS entity, min(ts) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id AS entity, min(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.entity = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id AS entity, min(e.ts) AS t3
+        FROM events e
+        JOIN s1 ON s1.entity = e.user_id
+        JOIN s2 ON s2.entity = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY 1),
+      u AS (SELECT DISTINCT user_id AS entity FROM events),
+      lv AS (
+        SELECT u.entity,
+          CASE WHEN s1.entity IS NULL THEN 0
+               WHEN s3.entity IS NOT NULL THEN 3
+               WHEN s2.entity IS NOT NULL THEN 2
+               ELSE 1 END AS level
+        FROM u
+        LEFT JOIN s1 USING (entity)
+        LEFT JOIN s2 USING (entity)
+        LEFT JOIN s3 USING (entity))
+      SELECT level, count(*) AS n_users FROM lv GROUP BY 1"""))
+
+  /** Weekly cohort retention matrix — users bucketed by the week of
+    * first activity, each cell counting cohort members active at
+    * week-offset k (distinct activity days collapse first). Two keyed
+    * aggregations + one entity join; no global windows. */
+  val q137CohortRetention = Q(
+    "q137_cohort_retention",
+    (s, d) =>
+      graft.operators.Funnel.cohortRetention(events(s, d), "user_id", "ts"),
+    Some("""WITH f AS (
+        SELECT user_id AS entity, min(CAST(ts AS DATE)) AS cohort_date
+        FROM events GROUP BY 1),
+      a AS (
+        SELECT DISTINCT user_id AS entity, CAST(ts AS DATE) AS d
+        FROM events),
+      j AS (
+        SELECT a.entity,
+          CAST(date_trunc('week', f.cohort_date) AS DATE) AS cohort_week,
+          CAST(floor((a.d - f.cohort_date) / 7) AS BIGINT) AS week_offset
+        FROM a JOIN f USING (entity))
+      SELECT cohort_week, week_offset,
+        CAST(count(DISTINCT entity) AS BIGINT) AS n_active
+      FROM j GROUP BY 1, 2"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -5514,5 +5586,6 @@ object Queries {
     q122CurationSweep, q123PageRank, q124WeightedSample, q125LineClean,
     q126NtzRoundtrip, q127SemdedupPq, q128CcnetBuckets,
     q129BloomMembership, q130CmsFrequency, q131BpeTrain,
-    q132QuantileSketch, q133NaiveBayes, q134Hits, q135TfidfCosine)
+    q132QuantileSketch, q133NaiveBayes, q134Hits, q135TfidfCosine,
+    q136Funnel, q137CohortRetention)
 }
