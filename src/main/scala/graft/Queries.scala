@@ -5552,6 +5552,73 @@ object Queries {
         CAST(count(DISTINCT entity) AS BIGINT) AS n_active
       FROM j GROUP BY 1, 2"""))
 
+  /** Per-type OLS trend of daily event volume — closed-form normal
+    * equations from five sufficient statistics in ONE aggregation
+    * (map-side partials, no per-group sort, no second pass). Integer x
+    * (epoch days) and y (daily counts) make every sum exact; the final
+    * divisions are the only float ops, so slope/intercept/r2 match
+    * cross-engine without tolerance. */
+  val q138OlsTrend = Q(
+    "q138_ols_trend",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      TimeSeries.olsTrend(daily, Seq("event_type"),
+          datediff(col("day"), to_date(lit("1970-01-01"))), col("y"))
+        .select(col("event_type"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        FROM events GROUP BY 1, 2),
+      s AS (
+        SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM (SELECT event_type, (day - DATE '1970-01-01') AS x, y
+              FROM daily)
+        GROUP BY 1),
+      t AS (
+        SELECT event_type, n, sx, sy,
+          CAST(n * sxy - sx * sy AS DOUBLE) /
+            CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+          CAST(n * sxy - sx * sy AS DOUBLE) AS numd,
+          CAST(n * sxx - sx * sx AS DOUBLE) AS dxd,
+          CAST(n * syy - sy * sy AS DOUBLE) AS dyd
+        FROM s)
+      SELECT event_type, n, round(slope, 6) AS slope,
+        round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+          CAST(n AS DOUBLE), 6) AS intercept,
+        round(numd * numd / (dxd * dyd), 6) AS r2
+      FROM t"""))
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — P(next | current) from adjacent pairs under one keyed
+    * window (total order: ts, event_id). Output is |types|² rows at any
+    * stream size; the probability division is the only float op over
+    * exact-long operands. */
+  val q139MarkovTransitions = Q(
+    "q139_markov_transitions",
+    (s, d) =>
+      graft.operators.Funnel.markovTransitions(events(s, d), "user_id",
+          "ts", "event_type", "event_id")
+        .select(col("src_type"), col("dst_type"), col("n"),
+          round(col("p"), 6).as("p")),
+    Some("""WITH seq AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      pc AS (
+        SELECT prev AS src_type, event_type AS dst_type, count(*) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      tt AS (SELECT src_type, sum(n) AS tot FROM pc GROUP BY 1)
+      SELECT pc.src_type, pc.dst_type, pc.n,
+        round(CAST(pc.n AS DOUBLE) / CAST(tt.tot AS DOUBLE), 6) AS p
+      FROM pc JOIN tt USING (src_type)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -5587,5 +5654,5 @@ object Queries {
     q126NtzRoundtrip, q127SemdedupPq, q128CcnetBuckets,
     q129BloomMembership, q130CmsFrequency, q131BpeTrain,
     q132QuantileSketch, q133NaiveBayes, q134Hits, q135TfidfCosine,
-    q136Funnel, q137CohortRetention)
+    q136Funnel, q137CohortRetention, q138OlsTrend, q139MarkovTransitions)
 }

@@ -69,4 +69,30 @@ object Funnel {
         floor(datediff(col("d"), col("cohort_date")) / 7).as("week_offset"))
       .agg(countDistinct(col("entity")).as("n_active"))
   }
+
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: P(next event type | current) estimated from adjacent
+    * pairs in each entity's timeline. One keyed window (parallel by
+    * entity, total order tie-broken by `tieCol`) produces the adjacent
+    * pairs; two bounded-output aggregations produce counts and row-
+    * normalized probabilities — output is |types|² rows regardless of
+    * stream size. The probability division is the only float op
+    * (exact-long operands), so values match cross-engine bit-for-bit.
+    * Returns (src_type, dst_type, n, p). */
+  def markovTransitions(df: DataFrame, entityCol: String, tsCol: String,
+                        typeCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol))
+      .orderBy(col(tsCol).cast("timestamp"), col(tieCol))
+    val pairs = df
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("src_type"), col(typeCol).as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("src_type"))
+      .agg(sum(col("n")).as("tot"))
+    pairs.join(totals, Seq("src_type"))
+      .select(col("src_type"), col("dst_type"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+  }
 }

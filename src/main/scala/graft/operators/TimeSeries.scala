@@ -154,4 +154,37 @@ object TimeSeries {
       .withColumn(out, anchorValue + col("__cum") - col("__anchor_cum"))
       .drop("__cum", "__anchor_cum")
   }
+
+  /** Closed-form per-group OLS trend (slope/intercept/r2 of y on x) —
+    * the "is this series drifting" primitive, as ONE aggregation: the
+    * normal equations need only the five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², [Σy²]), which partial-aggregate map-side and
+    * merge associatively — no per-group sort, no second pass, no
+    * driver-side fitting. With integer-valued x and y the sums are
+    * EXACT (64-bit) on both engines; the final divisions are the only
+    * float ops, IEEE-identical on identical operands, so slope and
+    * intercept are engine-portable without tolerance. Large products
+    * ((nΣxy−ΣxΣy)², for r2) go through double BEFORE squaring — the
+    * square of an exact long would overflow 64 bits.
+    *
+    * x and y must be integral-valued columns (cast upstream); groups
+    * with < 2 points or zero x-variance return null slope/r2. */
+  def olsTrend(df: DataFrame, keys: Seq[String], xCol: Column,
+               yCol: Column): DataFrame = {
+    val x = xCol.cast("long"); val y = yCol.cast("long")
+    val agg = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val sxxN = agg("n") * agg("sxy") - agg("sx") * agg("sy")
+    val sxxD = agg("n") * agg("sxx") - agg("sx") * agg("sx")
+    val syyD = agg("n") * agg("syy") - agg("sy") * agg("sy")
+    val slope = when(sxxD =!= 0, sxxN.cast("double") / sxxD.cast("double"))
+    val intercept = (agg("sy").cast("double") -
+      slope * agg("sx").cast("double")) / agg("n").cast("double")
+    val r2 = when(sxxD =!= 0 && syyD =!= 0,
+      (sxxN.cast("double") * sxxN.cast("double")) /
+        (sxxD.cast("double") * syyD.cast("double")))
+    agg.select(keys.map(col) ++ Seq(col("n"), slope.as("slope"),
+      intercept.as("intercept"), r2.as("r2")): _*)
+  }
 }

@@ -38,6 +38,33 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 5L -> 1), got.toString)
   }
 
+  test("markovTransitions: counts adjacent pairs per entity, rows sum to 1") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", "a"),
+      (1L, "2024-01-01 11:00:00", "b"),
+      (1L, "2024-01-01 12:00:00", "a"),
+      (2L, "2024-01-01 10:00:00", "a"),
+      (2L, "2024-01-01 11:00:00", "a"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val got = Funnel.markovTransitions(df, "user_id", "ts", "event_type",
+        "event_id")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // pairs: u1 a->b, b->a; u2 a->a. from 'a': {b:1, a:1}; from 'b': {a:1}
+    assert(got == Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "a") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 1.0))), got.toString)
+  }
+
+  test("olsTrend: exact fit on a perfectly linear series") {
+    import graft.operators.TimeSeries
+    // y = 3x + 2 for x in 0..4 under key g; r2 must be exactly 1
+    val df = (0 to 4).map(x => ("g", x.toLong, 3L * x + 2)).toDF("g", "x", "y")
+    val r = TimeSeries.olsTrend(df, Seq("g"), col("x"), col("y"))
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(r == (("g", 5L, 3.0, 2.0, 1.0)), r.toString)
+  }
+
   test("cohortRetention: offsets computed from per-entity first day") {
     val df = ev(
       (1L, "2024-01-01 08:00:00", "view"),
