@@ -5619,6 +5619,76 @@ object Queries {
         round(CAST(pc.n AS DOUBLE) / CAST(tt.tot AS DOUBLE), 6) AS p
       FROM pc JOIN tt USING (src_type)"""))
 
+  /** MAD-based robust outlier gate (Hampel filter, Iglewicz & Hoaglin
+    * 1993) per event type — median and median-absolute-deviation via
+    * the proven exact-percentile parity, outliers beyond 3 robust
+    * sigmas (MAD x 1.4826). Median-based thresholds don't move when a
+    * wild value lands, unlike mean/stddev gates. */
+  val q140MadOutliers = Q(
+    "q140_mad_outliers",
+    (s, d) => {
+      val ev = events(s, d)
+        .where(col("value").isNotNull && !isnan(col("value")))
+      Robust.madStats(ev, Seq("event_type"), col("value"))
+        .select(col("event_type"), round(col("med"), 4).as("med"),
+          round(col("mad"), 4).as("mad"), col("n"), col("n_outliers"))
+    },
+    Some("""WITH e AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+      med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM e GROUP BY 1),
+      dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+        FROM e JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.event_type, round(max(d.med), 4) AS med,
+        round(max(m.mad), 4) AS mad, count(*) AS n,
+        CAST(count(*) FILTER (WHERE d.ad > 3.0 * 1.4826 * m.mad) AS BIGINT)
+          AS n_outliers
+      FROM dev d JOIN mad m USING (event_type)
+      GROUP BY 1"""))
+
+  /** Rolling 7-day z-score anomaly flags on daily event volume —
+    * mean/stddev from EXACT integer sums over the frame (no Welford
+    * accumulator whose merge order could differ between engines), so
+    * z itself hash-matches, not just the flags. Keyed window per
+    * event type. */
+  val q141RollingZscore = Q(
+    "q141_rolling_zscore",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      Windows.rollingZscore(daily, Seq("event_type"), col("day"), col("y"),
+          window = 7)
+        .select(col("event_type"), col("day"), col("y"), col("n"),
+          round(col("z"), 6).as("z"), col("is_anomaly"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT event_type, day, y,
+          count(*) OVER w AS n, sum(y) OVER w AS sx, sum(y * y) OVER w AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      z AS (
+        SELECT event_type, day, y, n,
+          CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 THEN
+            (CAST(y AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
+                CAST(n * (n - 1) AS DOUBLE))
+          END AS z
+        FROM r)
+      SELECT event_type, day, y, n, round(z, 6) AS z,
+        COALESCE(abs(z) > 2.0, false) AS is_anomaly
+      FROM z"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -5654,5 +5724,6 @@ object Queries {
     q126NtzRoundtrip, q127SemdedupPq, q128CcnetBuckets,
     q129BloomMembership, q130CmsFrequency, q131BpeTrain,
     q132QuantileSketch, q133NaiveBayes, q134Hits, q135TfidfCosine,
-    q136Funnel, q137CohortRetention, q138OlsTrend, q139MarkovTransitions)
+    q136Funnel, q137CohortRetention, q138OlsTrend, q139MarkovTransitions,
+    q140MadOutliers, q141RollingZscore)
 }

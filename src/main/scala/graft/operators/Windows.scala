@@ -193,4 +193,37 @@ object Windows {
           .when(runStartsAtFirstMonth, lit(0L)))
       .drop("__run", "__mrank")
   }
+
+  /** Rolling z-score anomaly flag over an integral series — the
+    * "is today off-trend" monitor. The rolling mean/stddev come from
+    * EXACT integer sums over the frame (n, Σy, Σy²): variance =
+    * (nΣy² − (Σy)²) / (n(n−1)) with every operand exact until the
+    * final IEEE divisions/sqrt, so z-scores are engine-portable
+    * bit-for-bit — no Welford-style accumulator whose merge order
+    * could differ between engines. Keyed window (parallel by the
+    * group key); `valueCol` must be integral-valued.
+    *
+    * Adds (n, z, is_anomaly): z null while the frame has < 2 rows or
+    * zero variance; is_anomaly never null (false when z is). */
+  def rollingZscore(df: DataFrame, keys: Seq[String], orderCol: Column,
+                    valueCol: Column, window: Int,
+                    cutoff: Double = 2.0): DataFrame = {
+    require(window >= 2, "rolling window needs at least 2 rows")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+      .rowsBetween(-(window - 1), 0)
+    val y = valueCol.cast("long")
+    val d = df
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(y).over(w))
+      .withColumn("__sxx", sum(y * y).over(w))
+    val varNum = d("__n") * d("__sxx") - d("__sx") * d("__sx")
+    val z = when(d("__n") >= 2 && varNum > 0,
+      (y.cast("double") - d("__sx").cast("double") / d("__n").cast("double")) /
+        sqrt(varNum.cast("double") /
+          (d("__n") * (d("__n") - 1)).cast("double")))
+    d.withColumn("n", col("__n"))
+      .withColumn("z", z)
+      .withColumn("is_anomaly", coalesce(abs(z) > lit(cutoff), lit(false)))
+      .drop("__n", "__sx", "__sxx")
+  }
 }

@@ -243,6 +243,46 @@ class SinksStreamingSpec extends SparkSpec {
     assert(batch(1L) && !batch(2L) && !batch(3L))
   }
 
+  test("streaming bottom-k: shard states merge to the exact batch sample") {
+    import graft.operators.Sketches
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.{BkRow, BkShard}
+    val k = 32
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // pre-hash map-side (the batch operator's identical md5 hash);
+    // 4 shards so the read-time rollup actually merges
+    val all = ev.where(col("value").isNotNull && !isnan(col("value")))
+      .select(col("value").cast("double").as("v"),
+        graft.functions.Text.md5Hash64(col("event_id").cast("string"), 7)
+          .as("h"))
+      .select((pmod(col("h"), lit(4L))).cast("int").as("shard"),
+        col("h"), col("v"))
+      .as[BkRow].collect().toSeq
+    val dir = Files.createTempDirectory("graft_sbk").toString
+    val (b1, b2) = all.splitAt(all.size / 2)
+    b1.toDF().write.mode("overwrite").parquet(dir)
+    val in = spark.readStream.schema(b1.toDF().schema).parquet(dir)
+      .as[BkRow]
+    val q = StreamingSketch.bottomKShards(in, k)
+      .writeStream.outputMode(StreamingSketch.outputMode)
+      .format("memory").queryName("sbk_out").start()
+    q.processAllAvailable()
+    b2.toDF().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    // every emission is a bottom-k of data-seen-so-far, so any true
+    // global bottom-k row appears in some emission; merging ALL
+    // emissions is therefore exact AND independent of sink row order
+    val emissions = spark.sql("SELECT shard, hs, vs FROM sbk_out")
+      .as[BkShard].collect().toSeq
+    q.stop()
+    val streamed = StreamingSketch.mergeShards(emissions, k)
+      .map { case (h, v) => (v, h) }.toSet
+    val batch = Sketches.bottomKSample(ev, col("event_id"), col("value"),
+        k, 7).as[(Double, Long)].collect().toSet
+    assert(streamed == batch,
+      s"streamed sample != batch sample: ${streamed.size}/${batch.size}")
+  }
+
   test("streaming session_window matches batch sessionization session counts") {
     val rows = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),

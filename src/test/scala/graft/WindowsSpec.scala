@@ -61,4 +61,37 @@ class WindowsSpec extends SparkSpec {
       .orderBy("id").select("headway_min").collect()
     assert(out(0).isNullAt(0) && out(1).getDouble(0) == 7.5)
   }
+
+  test("rollingZscore: flat series -> null z; spike flagged; exact hand math") {
+    import spark.implicits._
+    // key g: six 10s then a 20 — window 4: at the spike, frame =
+    // (10,10,10,20): n=4, sx=50, sxx=700, var=(4*700-2500)/12=25, sd=5,
+    // mean=12.5 -> z=(20-12.5)/5=1.5 (not anomalous at cutoff 2)
+    val df = ((1 to 6).map(i => ("g", i, 10L)) :+ (("g", 7, 20L)))
+      .toDF("g", "i", "y")
+    val out = Windows.rollingZscore(df, Seq("g"), col("i"), col("y"),
+        window = 4)
+      .orderBy("i")
+      .select(col("i"), col("z"), col("is_anomaly"))
+      .collect()
+    // rows 1-6: zero variance (or n<2) -> z null, flag false
+    (0 until 6).foreach { r =>
+      assert(out(r).isNullAt(1) && !out(r).getBoolean(2), s"row $r")
+    }
+    assert(math.abs(out(6).getDouble(1) - 1.5) < 1e-12, out(6).toString)
+    assert(!out(6).getBoolean(2))
+  }
+
+  test("rollingZscore: genuine anomaly crosses the cutoff") {
+    import spark.implicits._
+    // noisy-but-small variance then a huge spike
+    val ys = Seq(10L, 11L, 10L, 11L, 10L, 11L, 100L)
+    val df = ys.zipWithIndex.map { case (y, i) => ("g", i, y) }
+      .toDF("g", "i", "y")
+    val out = Windows.rollingZscore(df, Seq("g"), col("i"), col("y"),
+        window = 7)
+      .orderBy("i").select("is_anomaly").as[Boolean].collect()
+    assert(out.last, "spike must be flagged")
+    assert(out.init.forall(!_), "pre-spike rows must not be flagged")
+  }
 }
