@@ -5689,6 +5689,115 @@ object Queries {
         COALESCE(abs(z) > 2.0, false) AS is_anomaly
       FROM z"""))
 
+  /** Multi-level ROLLUP subtotals (region -> nation -> grand total)
+    * with explicit grouping markers — the grouping-sets surface q16's
+    * crosstab doesn't exercise: one pass produces every subtotal level,
+    * and Spark's partial aggregation handles the level fan-out
+    * map-side. Markers are materialized as ints (grouping()) so the
+    * NULL-vs-subtotal ambiguity never reaches the compare. */
+  val q142RollupSubtotals = Q(
+    "q142_rollup_subtotals",
+    (s, d) => {
+      val joined = customer(s, d)
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      joined.rollup(col("r_name"), col("n_name"))
+        .agg(round(dsum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          grouping(col("r_name")).cast("int").as("g_region"),
+          grouping(col("n_name")).cast("int").as("g_nation"))
+    },
+    Some("""SELECT r_name, n_name,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+          AS revenue,
+        count(*) AS n_orders,
+        CAST(GROUPING(r_name) AS INT) AS g_region,
+        CAST(GROUPING(n_name) AS INT) AS g_nation
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN orders ON o_custkey = c_custkey
+      GROUP BY ROLLUP (r_name, n_name)"""))
+
+  /** RFM customer segmentation (recency / frequency / monetary) with
+    * SCALE-HONEST quartile assignment: instead of a global ntile —
+    * which is a single-partition sort of every customer — the three
+    * quartile CUT POINTS per metric come from one exact-percentile
+    * aggregate (a one-row broadcast), and bucket assignment is
+    * map-side comparison (1 + (v>q1) + (v>q2) + (v>q3)). Deterministic
+    * at boundaries, identical on both engines, and the only global
+    * operation is the 9-value percentile row. */
+  val q143RfmSegments = Q(
+    "q143_rfm_segments",
+    (s, d) => {
+      val o = orders(s, d)
+      val rfm = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          dsum(col("o_totalprice")).as("monetary"))
+        .withColumn("__k", Guards.constKey(col("o_custkey")))
+      val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+        .withColumn("__k", Guards.constKey(col("anchor")))
+      val withR = rfm.join(broadcast(anchor), "__k")
+        .withColumn("recency", datediff(col("anchor"), col("last_order")))
+      val cuts = withR.agg(
+          percentile(col("recency"), array(lit(0.25), lit(0.5), lit(0.75)))
+            .as("rc"),
+          percentile(col("frequency"), array(lit(0.25), lit(0.5), lit(0.75)))
+            .as("fc"),
+          percentile(col("monetary"), array(lit(0.25), lit(0.5), lit(0.75)))
+            .as("mc"))
+        .withColumn("__k", Guards.constKey(col("rc")))
+      def bucket(v: Column, cs: Column): Column =
+        lit(1) + (v > element_at(cs, 1)).cast("int") +
+          (v > element_at(cs, 2)).cast("int") +
+          (v > element_at(cs, 3)).cast("int")
+      withR.join(broadcast(cuts), "__k")
+        .select(
+          concat_ws("-",
+            bucket(col("recency").cast("double"), col("rc")),
+            bucket(col("frequency").cast("double"), col("fc")),
+            bucket(col("monetary"), col("mc"))).as("segment"),
+          col("monetary"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("monetary").cast("decimal(18,6)")).cast("double"), 2)
+            .as("revenue"))
+    },
+    Some("""WITH rfm AS (
+        SELECT o_custkey, max(o_orderdate) AS last_order,
+          count(*) AS frequency,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY 1),
+      anc AS (SELECT max(o_orderdate) AS anchor FROM orders),
+      wr AS (
+        SELECT o_custkey, frequency, monetary,
+          (CAST(anchor AS DATE) - CAST(last_order AS DATE)) AS recency
+        FROM rfm CROSS JOIN anc),
+      cuts AS (
+        SELECT quantile_cont(CAST(recency AS DOUBLE), [0.25, 0.5, 0.75]) AS rc,
+          quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS fc,
+          quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+        FROM wr),
+      seg AS (
+        SELECT
+          (1 + CAST(CAST(recency AS DOUBLE) > rc[1] AS INT)
+             + CAST(CAST(recency AS DOUBLE) > rc[2] AS INT)
+             + CAST(CAST(recency AS DOUBLE) > rc[3] AS INT)) || '-' ||
+          (1 + CAST(CAST(frequency AS DOUBLE) > fc[1] AS INT)
+             + CAST(CAST(frequency AS DOUBLE) > fc[2] AS INT)
+             + CAST(CAST(frequency AS DOUBLE) > fc[3] AS INT)) || '-' ||
+          (1 + CAST(monetary > mc[1] AS INT)
+             + CAST(monetary > mc[2] AS INT)
+             + CAST(monetary > mc[3] AS INT)) AS segment,
+          monetary
+        FROM wr CROSS JOIN cuts)
+      SELECT segment, count(*) AS n_customers,
+        round(CAST(sum(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE), 2)
+          AS revenue
+      FROM seg GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -5725,5 +5834,6 @@ object Queries {
     q129BloomMembership, q130CmsFrequency, q131BpeTrain,
     q132QuantileSketch, q133NaiveBayes, q134Hits, q135TfidfCosine,
     q136Funnel, q137CohortRetention, q138OlsTrend, q139MarkovTransitions,
-    q140MadOutliers, q141RollingZscore)
+    q140MadOutliers, q141RollingZscore, q142RollupSubtotals,
+    q143RfmSegments)
 }
