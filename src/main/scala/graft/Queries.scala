@@ -5798,6 +5798,62 @@ object Queries {
           AS revenue
       FROM seg GROUP BY 1"""))
 
+  /** Fuzzy part-name matching (Levenshtein <= 2) — the entity-resolution
+    * primitive: token-shared blocking + the length-difference lower
+    * bound keep the O(len²) DP off all-pairs; both engines implement
+    * classic Levenshtein so the distances themselves hash-match. */
+  val q144FuzzyNames = Q(
+    "q144_fuzzy_names",
+    (s, d) =>
+      Joins.fuzzyNameJoin(part(s, d), "p_name", maxDist = 2),
+    Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part
+          WHERE p_name IS NOT NULL),
+      t AS (SELECT name, unnest(string_split(name, ' ')) AS tok FROM n),
+      cand AS (
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        FROM t a JOIN t b USING (tok)
+        WHERE a.name < b.name
+          AND abs(length(a.name) - length(b.name)) <= 2)
+      SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist
+      FROM cand WHERE levenshtein(name_a, name_b) <= 2"""))
+
+  /** Daily active users + cumulative distinct users — the growth-curve
+    * pair. The cumulative count NEVER re-scans history: each user
+    * collapses to a first-activity day (one keyed aggregation), daily
+    * new-user counts ride the bounded day series, and the running total
+    * is a guarded single-partition window over ~days rows. */
+  val q145CumulativeUniques = Q(
+    "q145_cumulative_uniques",
+    (s, d) => {
+      val ev = events(s, d)
+      val dau = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      val joined = dau.join(firstDay, Seq("day"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      val w = Window.partitionBy(Guards.constKey(col("day")))
+        .orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joined.withColumn("cum_users",
+        Guards.bounded(sum(col("n_new")).over(w), col("day"),
+          "cumulative uniques day series"))
+    },
+    Some("""WITH dau AS (
+        SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1),
+      fd AS (
+        SELECT min(CAST(ts AS DATE)) AS day, user_id
+        FROM events GROUP BY user_id),
+      nn AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1)
+      SELECT dau.day, dau.dau, COALESCE(nn.n_new, 0) AS n_new,
+        CAST(sum(COALESCE(nn.n_new, 0)) OVER (
+          ORDER BY dau.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_users
+      FROM dau LEFT JOIN nn USING (day)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -5835,5 +5891,5 @@ object Queries {
     q132QuantileSketch, q133NaiveBayes, q134Hits, q135TfidfCosine,
     q136Funnel, q137CohortRetention, q138OlsTrend, q139MarkovTransitions,
     q140MadOutliers, q141RollingZscore, q142RollupSubtotals,
-    q143RfmSegments)
+    q143RfmSegments, q144FuzzyNames, q145CumulativeUniques)
 }

@@ -171,4 +171,36 @@ object Joins {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Fuzzy self-match on a name column (entity-resolution primitive):
+    * pairs of distinct names within Levenshtein distance `maxDist`,
+    * candidates blocked to names SHARING A WORD TOKEN plus the standard
+    * length-difference pre-filter (|len(a)-len(b)| <= d is a lower
+    * bound on edit distance, so it loses nothing). The expensive DP
+    * runs only on surviving candidates. Blocking recall contract: a
+    * pair differing in EVERY token is never considered — same candidate
+    * semantics as the LSH/prefix families; at corpus scale cap the
+    * blocking token's document frequency (the q135 rare-token bound)
+    * so block sizes stay bounded per key.
+    *
+    * Both engines implement classic case-sensitive Levenshtein, so
+    * distances — not just the pair set — compare exactly. */
+  def fuzzyNameJoin(df: DataFrame, nameCol: String, maxDist: Int)
+      : DataFrame = {
+    require(maxDist >= 1, "maxDist must be positive")
+    val names = df.select(col(nameCol).as("name")).where(col("name").isNotNull)
+      .distinct().localCheckpoint(true)
+    // raw single-space split, NOT Text.tokens: blocking must see the
+    // name exactly as the output pairs carry it (no case folding or
+    // whitespace collapse between the block key and the compared value)
+    val toks = names.select(col("name"),
+      explode(split(col("name"), " ")).as("tok"))
+    toks.select(col("name").as("name_a"), col("tok"))
+      .join(toks.select(col("name").as("name_b"), col("tok")), Seq("tok"))
+      .where(col("name_a") < col("name_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .select("name_a", "name_b").dropDuplicates("name_a", "name_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+  }
 }
