@@ -5854,6 +5854,134 @@ object Queries {
           AS BIGINT) AS cum_users
       FROM dau LEFT JOIN nn USING (day)"""))
 
+  /** Market-basket co-occurrence with lift (Agrawal et al. 1993's
+    * level-2 pass) — frequent part PAIRS across orders. The pair
+    * generator is a self-join WITHIN the order key, so fan-out is
+    * bounded by basket size squared (TPC-H baskets are <= 7 lines) at
+    * any order count; supports and lift come from exact counts with
+    * one fixed-order double division. Top 20 by co-occurrence count
+    * with a full tie-break. */
+  val q146BasketPairs = Q(
+    "q146_basket_pairs",
+    (s, d) => {
+      val items = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().localCheckpoint(true)
+      val pairs = items.select(col("o"), col("p").as("pa"))
+        .join(items.select(col("o"), col("p").as("pb")), Seq("o"))
+        .where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      val supp = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      val totals = items.agg(countDistinct(col("o")).as("n_orders"))
+        .withColumn("__k", Guards.constKey(col("n_orders")))
+      pairs
+        .join(broadcast(supp.select(col("p").as("pa"), col("n").as("n_a"))),
+          Seq("pa"))
+        .join(broadcast(supp.select(col("p").as("pb"), col("n").as("n_b"))),
+          Seq("pb"))
+        .withColumn("__k", Guards.constKey(col("pa")))
+        .join(broadcast(totals), "__k")
+        .select(col("pa"), col("pb"), col("n_ab"),
+          round(col("n_ab").cast("double") / col("n_orders").cast("double"),
+            6).as("support"),
+          round(col("n_ab").cast("double") * col("n_orders").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+            .as("lift"))
+        .orderBy(col("n_ab").desc, col("pa"), col("pb")).limit(20)
+    },
+    Some("""WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+        FROM items a JOIN items b USING (o)
+        WHERE a.p < b.p GROUP BY 1, 2),
+      supp AS (SELECT p, count(*) AS n FROM items GROUP BY 1),
+      tot AS (SELECT count(DISTINCT o) AS n_orders FROM items)
+      SELECT pa, pb, n_ab,
+        round(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+        round(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+          (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6) AS lift
+      FROM pairs
+      JOIN supp sa ON sa.p = pa
+      JOIN supp sb ON sb.p = pb
+      CROSS JOIN tot
+      ORDER BY n_ab DESC, pa, pb LIMIT 20"""))
+
+  /** Random-projection ANN (Johnson-Lindenstrauss; Vempala 2004) —
+    * candidates ranked by cosine in an 8-dim projection (8 multiplies
+    * per pair instead of 64) using the hyperplane sketch's
+    * deterministic md5 plane weights, top-30 per probe reranked with
+    * the exact 64-dim cosine. Every projection and dot product is an
+    * index-ordered sequential fold, replayed in the oracle with
+    * list_reduce over a prepended double zero — so the candidate SET
+    * and the final ranking are bit-deterministic, completing the ANN
+    * family: brute, LSH buckets, IVF, multi-probe, PQ/ADC, IVF-PQ,
+    * and now the projected-rerank path. */
+  val q147RpAnn = Q(
+    "q147_rp_ann",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.rpTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", dims = 64, rDims = 8,
+        cand = 30, k = 5)
+    },
+    Some("""WITH P AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      proj AS (
+        SELECT vec_id, v,
+          list_transform(range(8), p ->
+            list_reduce(
+              list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(64), i ->
+                  v[i + 1] * (('0x' || substr(md5(p || '_' || i), 1, 8))::BIGINT
+                    / 4294967296.0 - 0.5))),
+              (a, b) -> a + b)) AS pp
+        FROM P),
+      pr AS (SELECT vec_id AS probe_id, pp AS qp, v AS qv
+             FROM proj WHERE vec_id < 10),
+      sc AS (
+        SELECT c.vec_id AS neighbor_id, pr.probe_id, c.v AS cv, pr.qv,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(8), j -> c.pp[j + 1] * pr.qp[j + 1])),
+            (a, b) -> a + b) AS pd,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(8), j -> c.pp[j + 1] * c.pp[j + 1])),
+            (a, b) -> a + b)) *
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(8), j -> pr.qp[j + 1] * pr.qp[j + 1])),
+            (a, b) -> a + b)) AS pn
+        FROM proj c CROSS JOIN pr
+        WHERE c.vec_id <> pr.probe_id),
+      ranked AS (
+        SELECT *, CASE WHEN pn > 0 THEN pd / pn END AS pcos
+        FROM sc),
+      cand AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY pcos DESC, neighbor_id) AS cr
+          FROM ranked)
+        WHERE cr <= 30),
+      exact AS (
+        SELECT probe_id, neighbor_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(64), i -> cv[i + 1] * qv[i + 1])),
+            (a, b) -> a + b) AS d,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(64), i -> cv[i + 1] * cv[i + 1])),
+            (a, b) -> a + b)) *
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(64), i -> qv[i + 1] * qv[i + 1])),
+            (a, b) -> a + b)) AS nn
+        FROM cand)
+      SELECT probe_id, rank, neighbor_id, cos FROM (
+        SELECT probe_id, neighbor_id,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY (CASE WHEN nn > 0 THEN d / nn END) DESC, neighbor_id)
+            AS rank,
+          round(CASE WHEN nn > 0 THEN d / nn END, 6) AS cos
+        FROM exact)
+      WHERE rank <= 5"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -5891,5 +6019,6 @@ object Queries {
     q132QuantileSketch, q133NaiveBayes, q134Hits, q135TfidfCosine,
     q136Funnel, q137CohortRetention, q138OlsTrend, q139MarkovTransitions,
     q140MadOutliers, q141RollingZscore, q142RollupSubtotals,
-    q143RfmSegments, q144FuzzyNames, q145CumulativeUniques)
+    q143RfmSegments, q144FuzzyNames, q145CumulativeUniques,
+    q146BasketPairs, q147RpAnn)
 }

@@ -213,4 +213,61 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"))
   }
+
+  /** The rDims-dim random projection of `vec` as a real array — the
+    * Johnson-Lindenstrauss dimensionality reduction (Vempala 2004)
+    * with the SAME deterministic md5-derived plane weights the
+    * hyperplane sketch uses, but keeping the real projected values
+    * instead of sign bits. The fold is an index-ordered sequential
+    * aggregate, so an oracle replaying it with an ordered list_reduce
+    * gets bit-identical doubles. */
+  def rpProject(vec: Column, rDims: Int, dims: Int): Column =
+    array((0 until rDims).map { p =>
+      val w = array((0 until dims).map(i => lit(planeWeight(p, i))): _*)
+      aggregate(zip_with(vec, w, (v, wi) => v.cast("double") * wi),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+
+  /** RP-ANN: candidates ranked by cosine in the rDims projected space
+    * (rDims multiplications per pair instead of dims), then the top
+    * `cand` per probe reranked with the EXACT cosine — the classic
+    * project-filter-rerank shape. Projection happens once per vector
+    * before the join (map-side); only cand x probes pairs ever touch a
+    * full-width dot product. Candidate order is total (projected cos
+    * desc, id), so the candidate SET is deterministic and the oracle
+    * can replay it. At 100 TB the projected space additionally buckets
+    * (the IVF/LSH families); here the win measured is per-pair cost. */
+  def rpTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+             vecCol: String, probeIdCol: String, dims: Int, rDims: Int,
+             cand: Int, k: Int): DataFrame = {
+    require(cand >= k, "candidate pool must cover k")
+    val ss = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      rpProject(col(vecCol), rDims, dims).as("__cp"))
+    val p = probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__pv"),
+      rpProject(col(vecCol), rDims, dims).as("__pp"))
+    val projScore = c.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("__pcos", {
+        val d = dot(ss, col("__cp"), col("__pp"))
+        val nn = sqrt(dot(ss, col("__cp"), col("__cp"))) *
+          sqrt(dot(ss, col("__pp"), col("__pp")))
+        when(nn > 0, d / nn)
+      })
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__pcos").desc, col("neighbor_id"))
+    val candidates = projScore.withColumn("__cr", row_number().over(wc))
+      .where(col("__cr") <= cand)
+    val exact = candidates.withColumn("cos", {
+      val d = dot(ss, col("__cv"), col("__pv"))
+      val nn = sqrt(dot(ss, col("__cv"), col("__cv"))) *
+        sqrt(dot(ss, col("__pv"), col("__pv")))
+      when(nn > 0, d / nn)
+    })
+    val wr = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
 }

@@ -124,6 +124,33 @@ class TextDedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"ivf recall $recall too low")
   }
 
+  test("rpTopK: high recall on clustered vectors; exhaustive pool is exact") {
+    // JL recall depends on STRUCTURE: for i.i.d.-uniform vectors (the
+    // synthetic embeddings table) every cosine is ~0 and no 8-dim
+    // projection can rank them — so the recall claim is asserted on
+    // clustered data, where near neighbors are genuinely near.
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; i <- 0 until 20) yield
+      (c * 100L + i, centers(c).map(v => v + rnd.nextGaussian().toFloat * 0.05f))
+    val df = rows.toDF("vec_id", "embedding")
+    val probes = df.where(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(df, probes, "vec_id", "embedding",
+        "vec_id", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rp = Similarity.rpTopK(df, probes, "vec_id", "embedding", "vec_id",
+        dims = 16, rDims = 8, cand = 30, k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect rp).size.toDouble / brute.size
+    assert(recall >= 0.9, s"rp recall $recall too low")
+    // with the candidate pool covering the whole corpus the rerank is
+    // exhaustive — RP must then EQUAL brute force exactly
+    val rpAll = Similarity.rpTopK(df, probes, "vec_id", "embedding",
+        "vec_id", dims = 16, rDims = 8, cand = 200, k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(rpAll == brute, "exhaustive candidate pool must match brute force")
+  }
+
   test("lshTopK achieves decent recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(7)
     // 10 clusters of 20 vectors each, 16 dims
