@@ -5982,6 +5982,146 @@ object Queries {
         FROM exact)
       WHERE rank <= 5"""))
 
+  /** DAU / trailing-7-day WAU stickiness per day. The WAU is computed
+    * WITHOUT a range join or per-day rescans: each distinct (user, day)
+    * activity explodes to the 7 window days it supports (a fixed x7
+    * map-side fan-out), then one distinct-count per day — everything
+    * equi-keyed, no BroadcastNestedLoop. */
+  val q148Stickiness = Q(
+    "q148_stickiness",
+    (s, d) => {
+      val ev = events(s, d)
+      val userDays = ev
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint(true)
+      val dau = userDays.groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"))
+      val wau = userDays
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+    },
+    Some("""WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      wau AS (
+        SELECT day + CAST(unnest(range(0, 7)) AS INT) AS day,
+          user_id
+        FROM ud),
+      wauc AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM wau GROUP BY 1)
+      SELECT dau.day, dau.dau, wauc.wau,
+        round(CAST(dau.dau AS DOUBLE) / CAST(wauc.wau AS DOUBLE), 6)
+          AS stickiness
+      FROM dau JOIN wauc USING (day)"""))
+
+  /** Last-touch purchase attribution via the as-of join — each purchase
+    * credited to the user's most recent click, attributed only when the
+    * click falls inside a 3-day lookback. The as-of carry is the
+    * union-window operator (one keyed shuffle, no per-purchase
+    * subquery); the latency average divides EXACT microsecond sums, so
+    * it hash-matches without tolerance. */
+  val q149Attribution = Q(
+    "q149_attribution",
+    (s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("timestamp").as("pts"),
+          col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").cast("timestamp").as("cts"))
+      val joined = Joins.asOfJoinBackward(purchases, clicks, Seq("user_id"),
+        "pts", "cts", Seq("cts"))
+      val att = joined.withColumn("attributed",
+          col("cts").isNotNull &&
+            col("cts") >= col("pts") - expr("INTERVAL 3 DAY"))
+        .withColumn("lat_us", when(col("attributed"),
+          unix_micros(col("pts")) - unix_micros(col("cts"))))
+      att.groupBy(col("attributed"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("lat_us")).cast("double") /
+            count(col("lat_us")).cast("double") / lit(1000000.0), 3)
+            .as("avg_latency_sec"))
+    },
+    Some("""WITH p AS (
+        SELECT user_id, ts AS pts, event_id FROM events
+        WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS cts FROM events
+        WHERE event_type = 'click'),
+      j AS (
+        SELECT p.user_id, p.pts,
+          (SELECT max(c.cts) FROM c
+           WHERE c.user_id = p.user_id AND c.cts <= p.pts) AS cts
+        FROM p),
+      a AS (
+        SELECT *,
+          cts IS NOT NULL AND cts >= pts - INTERVAL 3 DAY AS attributed,
+          CASE WHEN cts IS NOT NULL AND cts >= pts - INTERVAL 3 DAY
+            THEN epoch_us(pts) - epoch_us(cts) END AS lat_us
+        FROM j)
+      SELECT attributed, count(*) AS n_purchases,
+        round(CAST(sum(lat_us) AS DOUBLE) / CAST(count(lat_us) AS DOUBLE)
+          / 1000000.0, 3) AS avg_latency_sec
+      FROM a GROUP BY 1"""))
+
+  /** Inter-event gap histogram (minute buckets, capped at 60) — the
+    * arrival-process profile behind sessionization gap choices. One
+    * keyed lag window (total order ts, event_id), integer microsecond
+    * differences, integer `div` bucketing — no float path at all. */
+  val q150GapHistogram = Q(
+    "q150_gap_histogram",
+    (s, d) => {
+      val ev = events(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("timestamp"), col("event_id"))
+      ev.withColumn("__gap_us",
+          unix_micros(col("ts").cast("timestamp")) -
+            lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+        .where(col("__gap_us").isNotNull)
+        .select(least(expr("__gap_us div 60000000"), lit(60L))
+          .as("bucket_min"))
+        .groupBy(col("bucket_min")).agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH g AS (
+        SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events)
+      SELECT least(gap_us // 60000000, 60) AS bucket_min, count(*) AS n
+      FROM g WHERE gap_us IS NOT NULL GROUP BY 1"""))
+
+  /** Column profiling of lineitem — the ingest-time data-quality audit:
+    * every statistic for every column in ONE scan (a single aggregation
+    * row, map-side partials, unpivoted with stack). Numeric min/max
+    * stay typed doubles; dates/strings surface as ISO strings, so the
+    * engines cannot disagree on float formatting. */
+  val q151ProfileAudit = Q(
+    "q151_profile_audit",
+    (s, d) =>
+      Profiler.profile(lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+          "l_discount", "l_returnflag", "l_shipdate")),
+    Some(Seq(
+      ("l_orderkey", true), ("l_partkey", true), ("l_quantity", true),
+      ("l_extendedprice", true), ("l_discount", true),
+      ("l_returnflag", false), ("l_shipdate", false)).map { case (c, num) =>
+      val minN = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val maxN = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val minS = if (num) "CAST(NULL AS VARCHAR)" else s"CAST(min($c) AS VARCHAR)"
+      val maxS = if (num) "CAST(NULL AS VARCHAR)" else s"CAST(max($c) AS VARCHAR)"
+      s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+        count(*) - count($c) AS n_null,
+        CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        $minN AS min_num, $maxN AS max_num,
+        $minS AS min_txt, $maxS AS max_txt
+      FROM lineitem"""
+    }.mkString(" UNION ALL ")))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6020,5 +6160,6 @@ object Queries {
     q136Funnel, q137CohortRetention, q138OlsTrend, q139MarkovTransitions,
     q140MadOutliers, q141RollingZscore, q142RollupSubtotals,
     q143RfmSegments, q144FuzzyNames, q145CumulativeUniques,
-    q146BasketPairs, q147RpAnn)
+    q146BasketPairs, q147RpAnn, q148Stickiness, q149Attribution,
+    q150GapHistogram, q151ProfileAudit)
 }
