@@ -6122,6 +6122,90 @@ object Queries {
       FROM lineitem"""
     }.mkString(" UNION ALL ")))
 
+  /** SCD type-2 dimension build from a change stream — collapse each
+    * user's event-type runs into validity intervals [valid_from,
+    * valid_to) with an open current row. Two keyed windows (lag to
+    * detect changes, lead to close intervals) over the entity key; the
+    * run-collapse never compares more than adjacent rows, so state is
+    * O(1) per row at any stream length. */
+  val q152Scd2Intervals = Q(
+    "q152_scd2_intervals",
+    (s, d) => {
+      val ev = events(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("timestamp"), col("event_id"))
+      val changes = ev
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+        .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("timestamp"), col("event_id"))
+      changes
+        .withColumn("valid_to", lead(col("ts").cast("timestamp"), 1).over(w2))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").cast("timestamp").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .groupBy(col("state"), col("is_current"))
+        .agg(count(lit(1)).as("n_intervals"),
+          round(sum(when(col("valid_to").isNotNull,
+              unix_micros(col("valid_to")) - unix_micros(col("valid_from"))))
+            .cast("double") /
+            count(when(col("valid_to").isNotNull, 1)).cast("double") /
+            lit(1000000.0), 3).as("avg_duration_sec"))
+    },
+    Some("""WITH ch AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+          lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      runs AS (
+        SELECT user_id, state, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS valid_to
+        FROM ch WHERE prev IS NULL OR prev <> state)
+      SELECT state, valid_to IS NULL AS is_current,
+        count(*) AS n_intervals,
+        round(CAST(sum(CASE WHEN valid_to IS NOT NULL
+            THEN epoch_us(valid_to) - epoch_us(valid_from) END) AS DOUBLE) /
+          CAST(count(CASE WHEN valid_to IS NOT NULL THEN 1 END) AS DOUBLE) /
+          1000000.0, 3) AS avg_duration_sec
+      FROM runs GROUP BY 1, 2"""))
+
+  /** Month-over-month revenue deltas with percent change — the classic
+    * period-comparison report: one keyed lag window over the bounded
+    * month series per flag; the delta is an exact decimal difference
+    * and only the pct ratio touches floats (fixed-order division). */
+  val q153MomDeltas = Q(
+    "q153_mom_deltas",
+    (s, d) => {
+      val monthly = lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          date_trunc("MONTH", col("l_shipdate")).as("month"))
+        .agg(sum(revDec).as("rev"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("month"))
+      monthly
+        .withColumn("__prev", lag(col("rev"), 1).over(w))
+        .select(col("l_returnflag"), col("month"),
+          round(col("rev"), 2).cast("double").as("revenue"),
+          round(col("rev") - col("__prev"), 2).cast("double").as("mom_delta"),
+          round((col("rev") - col("__prev")).cast("double") /
+            col("__prev").cast("double") * lit(100.0), 4).as("mom_pct"))
+    },
+    Some("""WITH m AS (
+        SELECT l_returnflag, date_trunc('month', l_shipdate) AS month,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+        FROM lineitem GROUP BY 1, 2),
+      r AS (
+        SELECT l_returnflag, month, rev,
+          lag(rev) OVER (PARTITION BY l_returnflag ORDER BY month) AS prev
+        FROM m)
+      SELECT l_returnflag, month,
+        CAST(round(rev, 2) AS DOUBLE) AS revenue,
+        CAST(round(rev - prev, 2) AS DOUBLE) AS mom_delta,
+        round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100.0, 4)
+          AS mom_pct
+      FROM r"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6161,5 +6245,5 @@ object Queries {
     q140MadOutliers, q141RollingZscore, q142RollupSubtotals,
     q143RfmSegments, q144FuzzyNames, q145CumulativeUniques,
     q146BasketPairs, q147RpAnn, q148Stickiness, q149Attribution,
-    q150GapHistogram, q151ProfileAudit)
+    q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas)
 }
