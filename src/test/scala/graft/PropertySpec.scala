@@ -270,4 +270,91 @@ class PropertySpec extends SparkSpec {
       assert(under == 0L, s"cms undercounted on ${keys.size} keys")
     }
   }
+
+  private val valRows = Gen.nonEmptyListOf(for {
+    id <- Gen.choose(1L, 500L)
+    v <- Gen.choose(-100.0, 100.0)
+  } yield (id, v))
+
+  test("bottom-k sample: subset of the data, size min(k, n_distinct_ids)") {
+    import graft.operators.Sketches
+    forAll(valRows) { rows =>
+      val df = rows.toDF("id", "v").dropDuplicates("id")
+      val n = df.count()
+      val sample = Sketches.bottomKSample(df, col("id"), col("v"), 16, 3)
+        .as[(Double, Long)].collect()
+      assert(sample.length == math.min(16L, n))
+      val vs = df.select(col("v")).as[Double].collect().toSet
+      assert(sample.map(_._1).forall(vs.contains), "sample row not in data")
+    }
+  }
+
+  test("markov transitions: outgoing probabilities sum to 1 per source") {
+    import graft.operators.Funnel
+    val evGen = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 5L)
+      t <- Gen.choose(0L, 1000000L)
+      e <- Gen.oneOf("a", "b", "c")
+    } yield (u, new java.sql.Timestamp(t), e))
+    forAll(evGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+        .toDF("user_id", "ts", "event_type", "event_id")
+      val out = Funnel.markovTransitions(df, "user_id", "ts", "event_type",
+          "event_id")
+        .groupBy("src_type").agg(sum("p").as("tot"))
+        .as[(String, Double)].collect()
+      out.foreach { case (s, tot) =>
+        assert(math.abs(tot - 1.0) < 1e-9, s"src $s sums to $tot") }
+    }
+  }
+
+  test("funnel levels partition the step-1 population; monotone reach") {
+    import graft.operators.Funnel
+    val evGen = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 8L)
+      t <- Gen.choose(0L, 100000000L)
+      e <- Gen.oneOf("view", "click", "purchase")
+    } yield (u, new java.sql.Timestamp(t), e))
+    forAll(evGen) { rows =>
+      val df = rows.toDF("user_id", "ts", "event_type")
+      val lv = Funnel.windowFunnel(df, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), "INTERVAL 7 DAY")
+        .as[(Long, Int)].collect()
+      val withView = rows.filter(_._3 == "view").map(_._1).distinct.size
+      assert(lv.length == withView, "one level per step-1 entity")
+      assert(lv.forall(r => r._2 >= 1 && r._2 <= 3))
+      // reach at level >= k is non-increasing in k
+      val reach = (1 to 3).map(k => lv.count(_._2 >= k))
+      assert(reach == reach.sorted.reverse, s"reach not monotone: $reach")
+    }
+  }
+
+  test("profiler: nonnull + null = rows, distinct <= nonnull, min <= max") {
+    import graft.operators.Profiler
+    forAll(valRows) { rows =>
+      val df = rows.toDF("id", "v")
+      val n = df.count()
+      val p = Profiler.profile(df, Seq("id", "v")).collect()
+      p.foreach { r =>
+        assert(r.getLong(1) + r.getLong(2) == n)
+        assert(r.getLong(3) <= r.getLong(1))
+        if (!r.isNullAt(4)) assert(r.getDouble(4) <= r.getDouble(5))
+      }
+    }
+  }
+
+  test("mad outliers: count bounded by n; clean constant data has zero") {
+    import graft.operators.Robust
+    forAll(valRows) { rows =>
+      val df = rows.toDF("g", "v").withColumn("g", lit("x"))
+      val r = Robust.madStats(df, Seq("g"), col("v"))
+        .as[(String, Double, Double, Long, Long)].collect().head
+      assert(r._5 <= r._4, "outliers exceed row count")
+    }
+    val const = (1 to 30).map(i => ("g", 5.0)).toDF("g", "v")
+    val rc = Robust.madStats(const, Seq("g"), col("v"))
+      .as[(String, Double, Double, Long, Long)].collect().head
+    assert(rc._5 == 0L && rc._3 == 0.0)
+  }
 }
