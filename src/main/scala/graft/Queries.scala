@@ -6206,6 +6206,155 @@ object Queries {
           AS mom_pct
       FROM r"""))
 
+  /** A/B two-proportion z-test on purchase conversion between the
+    * hash-split cohorts — the experiment-readout primitive. Counts are
+    * exact; the z statistic is a fixed-order chain of IEEE ops over
+    * them (pooled proportion, standard error, difference), so the
+    * statistic itself hash-matches. Significance is |z| against the
+    * two-sided 5% critical value as a literal both engines parse
+    * identically. */
+  val q154AbTest = Q(
+    "q154_ab_test",
+    (s, d) => {
+      val ev = events(s, d)
+      // experiment unit = user-day (per-user conversion saturates at
+      // ~100% over a 30-day window, degenerating the test)
+      val cohort = ev
+        .withColumn("grp",
+          when(Curation.hashSplit(col("user_id")) === "train", "A")
+            .otherwise("B"))
+        .groupBy(col("grp"), col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+      val stats = cohort.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val a = stats.where(col("grp") === "A")
+        .select(col("n").as("n_a"), col("conv").as("conv_a"))
+        .withColumn("__k", Guards.constKey(col("n_a")))
+      val b = stats.where(col("grp") === "B")
+        .select(col("n").as("n_b"), col("conv").as("conv_b"))
+        .withColumn("__k", Guards.constKey(col("n_b")))
+      val j = a.join(b, "__k")
+      val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+      val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+      val pp = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val se = sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double")))
+      // degenerate experiment (0% or 100% pooled conversion) has no
+      // defined z; also keeps ANSI division-by-zero out of the plan
+      val z = when(se > 0, (pa - pb) / se)
+      j.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+        round(z, 4).as("z"),
+        coalesce(abs(z) > lit(1.959963985), lit(false))
+          .as("significant_5pct"))
+    },
+    Some("""WITH cohort AS (
+        SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+            % 100 < 80 THEN 'A' ELSE 'B' END AS grp,
+          user_id, CAST(ts AS DATE) AS day,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS converted
+        FROM events GROUP BY 1, 2, 3),
+      stats AS (
+        SELECT grp, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+        FROM cohort GROUP BY 1),
+      j AS (
+        SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+        FROM (SELECT * FROM stats WHERE grp = 'A') a
+        CROSS JOIN (SELECT * FROM stats WHERE grp = 'B') b),
+      c AS (
+        SELECT *,
+          CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+          CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+          CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+        FROM j),
+      zc AS (
+        SELECT *,
+          CASE WHEN sqrt(pp * (1.0 - pp) *
+              (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+            THEN (pa - pb) / sqrt(pp * (1.0 - pp) *
+              (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+          END AS z
+        FROM c)
+      SELECT n_a, conv_a, n_b, conv_b,
+        round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+        round(z, 4) AS z,
+        COALESCE(abs(z) > 1.959963985, false) AS significant_5pct
+      FROM zc"""))
+
+  /** Chi-square test of independence between event type and cohort —
+    * observed vs expected cell counts from exact totals (expected =
+    * row_total * col_total / grand_total in a fixed operation order),
+    * the statistic summed as 9-dp decimals so cell order cannot change
+    * the result. Output: statistic, degrees of freedom, and the
+    * 5%-critical comparison for that dof. */
+  val q155ChiSquare = Q(
+    "q155_chi_square",
+    (s, d) => {
+      val ev = events(s, d)
+        .withColumn("grp",
+          when(Curation.hashSplit(col("user_id")) === "train", "A")
+            .otherwise("B"))
+      val cells = ev.groupBy(col("grp"), col("event_type"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy(col("grp")).agg(sum(col("o")).as("rt"))
+      val colT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("ct"))
+      val grand = cells.agg(sum(col("o")).as("gt"))
+        .withColumn("__k", Guards.constKey(col("gt")))
+      val terms = cells
+        .join(broadcast(rowT), Seq("grp"))
+        .join(broadcast(colT), Seq("event_type"))
+        .withColumn("__k", Guards.constKey(col("grp")))
+        .join(broadcast(grand), "__k")
+        .withColumn("e", col("rt").cast("double") * col("ct").cast("double") /
+          col("gt").cast("double"))
+        .withColumn("t", round((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e"), 9)
+          .cast("decimal(28,9)"))
+      terms.agg(
+          sum(col("t")).cast("double").as("chi2_raw"),
+          countDistinct(col("grp")).as("r"),
+          countDistinct(col("event_type")).as("c"))
+        .select(round(col("chi2_raw"), 6).as("chi2"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          // two cohorts x five event types -> dof 4; 5% critical 9.4877
+          (col("chi2_raw") > lit(9.487729037)).as("significant_5pct_dof4"))
+    },
+    Some("""WITH ev AS (
+        SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+            % 100 < 80 THEN 'A' ELSE 'B' END AS grp,
+          event_type
+        FROM events),
+      cells AS (
+        SELECT grp, event_type, count(*) AS o FROM ev GROUP BY 1, 2),
+      rt AS (SELECT grp, sum(o) AS rt FROM cells GROUP BY 1),
+      ct AS (SELECT event_type, sum(o) AS ct FROM cells GROUP BY 1),
+      gt AS (SELECT sum(o) AS gt FROM cells),
+      terms AS (
+        SELECT CAST(round(
+            (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 9)
+            AS DECIMAL(28,9)) AS t
+        FROM (
+          SELECT cells.o,
+            CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+              / CAST(gt.gt AS DOUBLE) AS e
+          FROM cells
+          JOIN rt USING (grp)
+          JOIN ct USING (event_type)
+          CROSS JOIN gt)),
+      agg AS (
+        SELECT CAST(sum(t) AS DOUBLE) AS chi2_raw,
+          (SELECT count(DISTINCT grp) FROM cells) AS r,
+          (SELECT count(DISTINCT event_type) FROM cells) AS c
+        FROM terms)
+      SELECT round(chi2_raw, 6) AS chi2,
+        CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+        chi2_raw > 9.487729037 AS significant_5pct_dof4
+      FROM agg"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6245,5 +6394,6 @@ object Queries {
     q140MadOutliers, q141RollingZscore, q142RollupSubtotals,
     q143RfmSegments, q144FuzzyNames, q145CumulativeUniques,
     q146BasketPairs, q147RpAnn, q148Stickiness, q149Attribution,
-    q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas)
+    q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas,
+    q154AbTest, q155ChiSquare)
 }
