@@ -14,6 +14,10 @@ class PlanQualitySpec extends SparkSpec {
   private val nestedLoopAllowed = Set(
     // brute-force baselines and the grid-NN fallback: bounded by probe count
     "q26_knn_bruteforce", "q36_grid_nn",
+    // RP-ANN: corpus x broadcast PROBES (10 rows) scan — the projected
+    // candidate pass is the brute shape with 8-dim arithmetic; bounded
+    // by probe count exactly like q26
+    "q147_rp_ann",
     // month-spine construction: distinct-keys x month-sequence dimension
     // build — the broadcast side is the exploded month range (always tiny)
     "q11_impute", "q57_demand_assembly",

@@ -100,6 +100,24 @@ class ScaleMechanicsSpec extends SparkSpec {
       s"spanDedup plans ${exchanges(sd)} shuffle exchanges")
   }
 
+  test("round-6 additions keep their exchange budgets") {
+    val sf = "/root/testdata/sf0.001"
+    def check(name: String, q: Q, budget: Int): Unit = {
+      val n = shuffleExchanges(q.run(spark, sf))
+      assert(n <= budget, s"$name plans $n shuffle exchanges (budget $budget)")
+    }
+    // bottom-k sample: TakeOrdered + bounded window + one-row exact side
+    check("q132", Queries.q132QuantileSketch, 2)
+    // NB: train counts + pivot + one corpus token join + doc sums + matrix
+    check("q133", Queries.q133NaiveBayes, 8)
+    // TF-IDF: tf/cand/dot aggregations only — norms/idf ride broadcasts
+    check("q135", Queries.q135TfidfCosine, 4)
+    // funnel: per-step keyed join + min-agg, nothing stream-wide
+    check("q136", Queries.q136Funnel, 7)
+    // profiler: 1 scalar agg + 2 per distinct column (partial + single)
+    check("q151", Queries.q151ProfileAudit, 16)
+  }
+
   test("PQ encode/score plans are exchange-free single passes") {
     val sf = "/root/testdata/sf0.001"
     def shuffles(df: org.apache.spark.sql.DataFrame): Int = shuffleExchanges(df)
