@@ -6355,6 +6355,46 @@ object Queries {
         chi2_raw > 9.487729037 AS significant_5pct_dof4
       FROM agg"""))
 
+  /** Maximal duplicated-substring spans (Lee et al. 2022 ExactSubstr,
+    * k-gram-island distributed form — see Corpus.duplicateSpans): per
+    * document, every maximal run of >= 8 consecutive tokens that appears
+    * verbatim in at least one other document, merged to spans and
+    * reported as a duplicated-token budget. The island merge is the
+    * part q105's non-overlapping spans cannot see: two documents sharing
+    * a 40-token paragraph at different offsets report exactly one
+    * 40-token span here, regardless of alignment. */
+  val q156DupSpans = Q(
+    "q156_dup_spans",
+    (s, d) =>
+      graft.operators.Corpus.duplicateSpans(documents(s, d), "doc_id",
+        "text", k = 8),
+    Some(s"""WITH t AS ($duckToksSql),
+      c AS (
+        SELECT doc_id, len(toks) AS n_tokens, toks,
+          unnest(range(0, len(toks) - 7)) AS start
+        FROM t WHERE len(toks) >= 8),
+      s AS (
+        SELECT doc_id, n_tokens, start,
+          ('0x' || substr(md5('0:' ||
+            array_to_string(toks[start + 1 : start + 8], ' ')), 1, 15))::BIGINT AS key
+        FROM c),
+      dk AS (
+        SELECT key FROM (SELECT DISTINCT key, doc_id FROM s)
+        GROUP BY key HAVING count(*) >= 2),
+      d AS (
+        SELECT doc_id, n_tokens, start,
+          start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS isl
+        FROM s JOIN dk USING (key)),
+      sp AS (
+        SELECT doc_id, min(n_tokens) AS n_tokens,
+          min(start) AS s0, max(start) AS e0
+        FROM d GROUP BY doc_id, isl)
+      SELECT doc_id, count(*) AS n_spans,
+        CAST(sum(e0 - s0 + 8) AS BIGINT) AS dup_tokens,
+        CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+        round(CAST(sum(e0 - s0 + 8) AS DOUBLE) / min(n_tokens), 6) AS dup_ratio
+      FROM sp GROUP BY doc_id"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6395,5 +6435,5 @@ object Queries {
     q143RfmSegments, q144FuzzyNames, q145CumulativeUniques,
     q146BasketPairs, q147RpAnn, q148Stickiness, q149Attribution,
     q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas,
-    q154AbTest, q155ChiSquare)
+    q154AbTest, q155ChiSquare, q156DupSpans)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Text
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators for training-data pipelines: sliding-
@@ -90,6 +91,60 @@ object Corpus {
         coalesce(col("n_contaminating_docs"), lit(0L)).as("n_contaminating_docs"),
         round(coalesce(col("contaminated_ngrams"), lit(0L)).cast("double") /
           col("total_ngrams"), 6).as("contamination_ratio"))
+  }
+
+  /** Maximal duplicated-substring spans — the k-gram island equivalent of
+    * suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": flag any substring of
+    * >= k tokens that appears verbatim in more than one document). The
+    * suffix-array build the paper uses is a single-machine construction;
+    * the distributed identity that replaces it: a duplicated run of
+    * j >= k consecutive tokens appears as exactly j-k+1 consecutive
+    * duplicated k-gram starts, so merging consecutive duplicated starts
+    * per document (gaps-and-islands) recovers precisely the maximal
+    * duplicated spans. Every stage is then a bounded-key relational op:
+    *   overlapping-shingle explode (map-only) → k-gram-hash distinct +
+    *   count (the one corpus-wide shuffle — same shape, same map-side
+    *   combine as [[contamination]]) → per-document island windows
+    *   (entity-keyed, naturally parallel, bounded by doc length).
+    * 8-byte md5-derived keys stand in for shingle text (collision odds
+    * ~n²/2⁶⁴ — the q27/q98 trade).
+    *
+    * Returns, per document owning at least one cross-document duplicated
+    * span: (idCol, n_spans, dup_tokens, n_tokens, dup_ratio).
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, "span length must be >= 2 tokens")
+    val toks = df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+    val grams = toks
+      .select(col("id"), size(col("__toks")).cast("long").as("n_tokens"),
+        explode(sequence(lit(0), size(col("__toks")) - k)).as("start"),
+        col("__toks"))
+      .select(col("id"), col("n_tokens"), col("start"),
+        Text.md5Hash64(
+          array_join(slice(col("__toks"), col("start") + 1, lit(k)), " "), 0)
+          .as("key"))
+    // cross-document only: a k-gram repeated inside one doc is repetition
+    // (q82's signal), not corpus duplication
+    val dupKeys = grams.select("key", "id").distinct()
+      .groupBy("key").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= 2).select("key")
+    val w = Window.partitionBy("id").orderBy("start")
+    grams.join(dupKeys, "key")
+      .withColumn("__isl", col("start") - row_number().over(w))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min("start").as("s0"), max("start").as("e0"),
+        min("n_tokens").as("n_tokens"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e0") - col("s0") + lit(k)).as("dup_tokens"),
+        min("n_tokens").as("n_tokens"))
+      .select(col("id").as(idCol), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_ratio"))
   }
 
   /** Cross-document span dedup signal — the C4-style boilerplate filter:

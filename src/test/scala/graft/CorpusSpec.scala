@@ -124,6 +124,48 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L) == ((0, "")))
   }
 
+  test("duplicateSpans: island merge recovers the maximal span at any offset") {
+    // docs 1 and 2 share a 12-token run, at offset 3 in doc 1 and offset 0
+    // in doc 2 — q105's aligned non-overlapping spans can miss this; the
+    // island merge must report exactly ONE span of 12 tokens in each doc.
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b c $shared x y"),
+      (2L, s"$shared p q r"),
+      (3L, "u v w entirely unique tokens here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .select("doc_id", "n_spans", "dup_tokens", "n_tokens", "dup_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect().toMap2
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1L, 12L, 17L, math.rint(12.0 / 17 * 1e6) / 1e6)))
+    assert(out(2L) == ((1L, 12L, 15L, 0.8)))
+  }
+
+  test("duplicateSpans: two disjoint shared runs stay two spans") {
+    val r1 = (1 to 9).map(i => s"p$i").mkString(" ")
+    val r2 = (1 to 10).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$r1 gap1 gap2 gap3 $r2"),
+      (2L, s"$r2 mid1 mid2 mid3 mid4 $r1")
+    ).toDF("doc_id", "text")
+    val full = Corpus.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .select("doc_id", "n_spans", "dup_tokens", "n_tokens", "dup_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect().toMap2
+    assert(full.keySet == Set(1L, 2L))
+    assert(full(1L)._1 == 2L && full(1L)._2 == 19L) // 9 + 10 dup tokens
+    assert(full(2L)._1 == 2L && full(2L)._2 == 19L)
+  }
+
+  test("duplicateSpans: within-doc repetition alone is NOT corpus duplication") {
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run $run"), // same 8-gram twice in ONE doc only
+      (2L, "completely different content with no overlap whatsoever ok")
+    ).toDF("doc_id", "text")
+    assert(Corpus.duplicateSpans(docs, "doc_id", "text", k = 8).count() == 0L)
+  }
+
   private implicit class Tup3Ops(rows: Array[(Long, Int, String)]) {
     def toMap2b: Map[Long, (Int, String)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap
