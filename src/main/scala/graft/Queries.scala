@@ -6395,6 +6395,46 @@ object Queries {
         round(CAST(sum(e0 - s0 + 8) AS DOUBLE) / min(n_tokens), 6) AS dup_ratio
       FROM sp GROUP BY doc_id"""))
 
+  /** Jensen-Shannon divergence of each language slice's unigram
+    * distribution vs the whole corpus (Curation.jsDivergence) — the
+    * slice-drift readout a mixture designer reads before setting q94's
+    * temperature weights. The out-of-slice tail is folded to
+    * 0.5·(1 − Σ Q) so no slice×vocab cross join exists in either
+    * engine's plan. */
+  val q157JsDivergence = Q(
+    "q157_js_divergence",
+    (s, d) =>
+      graft.operators.Curation.jsDivergence(documents(s, d), "lang", "text"),
+    Some("""WITH t AS (
+        SELECT lang,
+          CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+          END AS toks
+        FROM documents),
+      w AS (SELECT lang AS slice, unnest(toks) AS tok FROM t),
+      sc AS (SELECT slice, tok, count(*) AS cs FROM w GROUP BY 1, 2),
+      cc AS (SELECT tok, count(*) AS cc FROM w GROUP BY 1),
+      st AS (SELECT slice, sum(cs) AS ts, count(*) AS n_types
+             FROM sc GROUP BY 1),
+      ct AS (SELECT sum(cc) AS tc FROM cc),
+      j AS (
+        SELECT slice, ts, n_types,
+          CAST(round(0.5 * p * log2(2 * p / (p + q)) +
+                     0.5 * q * log2(2 * q / (p + q)), 12) AS DECIMAL(28,12)) AS t12,
+          CAST(round(q, 12) AS DECIMAL(28,12)) AS q12
+        FROM (
+          SELECT sc.slice, st.ts, st.n_types,
+            CAST(sc.cs AS DOUBLE) / st.ts AS p,
+            CAST(cc.cc AS DOUBLE) / ct.tc AS q
+          FROM sc JOIN cc USING (tok) JOIN st USING (slice) CROSS JOIN ct))
+      SELECT slice AS lang, CAST(min(ts) AS BIGINT) AS n_tokens,
+        CAST(min(n_types) AS BIGINT) AS n_types,
+        round(CAST(sum(t12) AS DOUBLE) +
+              0.5 * (1.0 - CAST(sum(q12) AS DOUBLE)), 6) AS jsd
+      FROM j GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6435,5 +6475,5 @@ object Queries {
     q143RfmSegments, q144FuzzyNames, q145CumulativeUniques,
     q146BasketPairs, q147RpAnn, q148Stickiness, q149Attribution,
     q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas,
-    q154AbTest, q155ChiSquare, q156DupSpans)
+    q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence)
 }

@@ -274,4 +274,58 @@ object Curation {
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
       .drop("__gopher_toks")
   }
+
+  /** Jensen-Shannon divergence of each corpus slice's unigram
+    * distribution against the whole corpus — the standard drift /
+    * slice-skew readout (base-2 log, so 0 = identical, 1 = disjoint).
+    * With P the slice distribution and Q the corpus distribution,
+    *
+    *   JSD = 0.5·Σ P·log2(2P/(P+Q)) + 0.5·Σ Q·log2(2Q/(P+Q))
+    *
+    * and every token OUTSIDE the slice's vocabulary has P=0, where the
+    * Q-term degenerates to 0.5·Q — so the out-of-slice tail is
+    * 0.5·(1 − Σ_{slice vocab} Q) and NO slice×vocabulary cross join is
+    * needed: one vocab-keyed equi-join between the slice term counts and
+    * the corpus term counts covers every non-degenerate term.
+    *
+    * Plan shape: one explode pass → (slice, token) counts with map-side
+    * combine (the data-proportional shuffle), corpus token counts from
+    * the same exploded frame, joined on the token key; slice totals
+    * (|slices| rows) and the corpus total (ONE row, [[Guards.constKey]])
+    * come back as broadcasts. Per-token terms are identical scalar trees
+    * in the DuckDB oracle, rounded to 12 dp and summed exactly as
+    * decimal — the cross-row reduction is order-free (the bm25
+    * discipline).
+    *
+    * Returns (sliceCol, n_tokens, n_types, jsd).
+    */
+  def jsDivergence(df: DataFrame, sliceCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(sliceCol).as("slice"),
+      explode(Text.tokens(col(textCol))).as("tok"))
+    val sliceCounts = toks.groupBy("slice", "tok").agg(count(lit(1)).as("cs"))
+    val corpusCounts = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
+    val sliceTotals = sliceCounts.groupBy("slice")
+      .agg(sum("cs").as("ts"), count(lit(1)).as("n_types"))
+    val corpusTotal = corpusCounts.agg(sum("cc").as("tc"),
+      Guards.constKey(min(col("tok"))).as("__k"))
+    val joined = sliceCounts
+      .join(corpusCounts, "tok")
+      .join(broadcast(sliceTotals), "slice")
+      .withColumn("__k", Guards.constKey(col("tok")))
+      .join(broadcast(corpusTotal), "__k")
+    val p = col("cs").cast("double") / col("ts")
+    val q = col("cc").cast("double") / col("tc")
+    val term = (lit(0.5) * p * log2(lit(2) * p / (p + q)) +
+      lit(0.5) * q * log2(lit(2) * q / (p + q)))
+    joined
+      .select(col("slice"), col("ts"), col("n_types"),
+        round(term, 12).cast("decimal(28,12)").as("__t"),
+        round(q, 12).cast("decimal(28,12)").as("__q"))
+      .groupBy("slice")
+      .agg(min("ts").as("n_tokens"), min("n_types").as("n_types"),
+        sum("__t").as("__terms"), sum("__q").as("__qcov"))
+      .select(col("slice").as(sliceCol), col("n_tokens"), col("n_types"),
+        round(col("__terms").cast("double") +
+          lit(0.5) * (lit(1.0) - col("__qcov").cast("double")), 6).as("jsd"))
+  }
 }

@@ -142,4 +142,36 @@ class CurationSpec extends SparkSpec {
     assert(f(9L).getBoolean(3), "0.06 + 0.06 symbol ratios pass separate thresholds")
     assert(Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L).forall(id => !f(id).getBoolean(8)))
   }
+
+  test("jsDivergence: identical slices read 0; disjoint slice matches closed form") {
+    // two slices with the same token distribution == the corpus distribution
+    val same = Seq(("a", "x x y"), ("b", "x x y"))
+      .toDF("slice", "text")
+    val rSame = Curation.jsDivergence(same, "slice", "text")
+      .select("slice", "n_tokens", "n_types", "jsd")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rSame.forall { case (_, (n, t, j)) => n == 3L && t == 2L && j == 0.0 })
+
+    // slice {a a a} vs corpus {a a a, b b b}: closed form
+    //   0.5·1·log2(2/1.5) + 0.5·0.5·log2(1/1.5) + 0.5·(1-0.5) = 0.311278
+    val disj = Seq(("s1", "aa aa aa"), ("s2", "bb bb bb")).toDF("slice", "text")
+    val r = Curation.jsDivergence(disj, "slice", "text")
+      .select("slice", "jsd").as[(String, Double)].collect().toMap
+    assert(math.abs(r("s1") - 0.311278) < 1e-6)
+    assert(math.abs(r("s2") - 0.311278) < 1e-6)
+  }
+
+  test("jsDivergence: bounded in [0, 1] and covers every slice") {
+    val docs = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog"),
+      ("en", "the rain in spain stays mainly in the plain"),
+      ("de", "der schnelle braune fuchs springt"),
+      ("fr", "le renard brun rapide saute par dessus")
+    ).toDF("slice", "text")
+    val out = Curation.jsDivergence(docs, "slice", "text")
+      .select("slice", "jsd").as[(String, Double)].collect().toMap
+    assert(out.keySet == Set("en", "de", "fr"))
+    assert(out.values.forall(j => j >= 0.0 && j <= 1.0))
+  }
 }
