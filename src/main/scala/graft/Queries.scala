@@ -6435,6 +6435,63 @@ object Queries {
               0.5 * (1.0 - CAST(sum(q12) AS DOUBLE)), 6) AS jsd
       FROM j GROUP BY 1"""))
 
+  /** HLL set-overlap audit (Sketches.overlapEstimate): pairwise distinct
+    * part overlap between ship years by sketch-union inclusion-exclusion.
+    * Like q53, sketch binaries are engine-specific, so the oracle checks
+    * the exact pairwise counts plus driver-checkable bounds booleans: the
+    * per-set estimates within 3·RSE (lgK=12 → 5%), the intersection
+    * within the compounded inclusion-exclusion bound (3 estimates sum
+    * their absolute errors). */
+  val q158HllOverlap = Q(
+    "q158_hll_overlap",
+    (s, d) => {
+      val base = lineitem(s, d)
+        .select(year(col("l_shipdate")).as("y"), col("l_partkey").as("pk"))
+      val est = graft.operators.Sketches.overlapEstimate(
+        base, col("y"), col("pk"))
+      val dset = base.distinct()
+      val exact = dset.groupBy("y").agg(count(lit(1)).as("c"))
+      val inter = dset.as("x")
+        .join(dset.as("z"),
+          col("x.pk") === col("z.pk") && col("x.y") < col("z.y"))
+        .groupBy(col("x.y").as("set_a"), col("z.y").as("set_b"))
+        .agg(count(lit(1)).as("exact_intersection"))
+      est
+        .join(broadcast(exact.select(col("y").as("set_a"), col("c").as("exact_a"))),
+          Seq("set_a"))
+        .join(broadcast(exact.select(col("y").as("set_b"), col("c").as("exact_b"))),
+          Seq("set_b"))
+        .join(broadcast(inter), Seq("set_a", "set_b"), "left")
+        .withColumn("exact_intersection",
+          coalesce(col("exact_intersection"), lit(0L)))
+        .withColumn("exact_union",
+          col("exact_a") + col("exact_b") - col("exact_intersection"))
+        .select(col("set_a"), col("set_b"),
+          col("exact_a"), col("exact_b"), col("exact_intersection"),
+          (abs(col("est_a") - col("exact_a")) / col("exact_a") <= 0.05)
+            .as("a_within_3rse"),
+          (abs(col("est_b") - col("exact_b")) / col("exact_b") <= 0.05)
+            .as("b_within_3rse"),
+          (abs(col("est_intersection") - col("exact_intersection")) <=
+            lit(0.05) * (col("exact_a") + col("exact_b") + col("exact_union")))
+            .as("intersection_within_ie_bound"))
+    },
+    Some("""WITH d AS (
+        SELECT DISTINCT CAST(year(l_shipdate) AS INT) AS y, l_partkey AS pk
+        FROM lineitem),
+      n AS (SELECT y, count(*) AS c FROM d GROUP BY 1),
+      i AS (
+        SELECT x.y AS set_a, z.y AS set_b, count(*) AS exact_intersection
+        FROM d x JOIN d z ON x.pk = z.pk AND x.y < z.y GROUP BY 1, 2),
+      p AS (
+        SELECT a.y AS set_a, b.y AS set_b, a.c AS exact_a, b.c AS exact_b
+        FROM n a JOIN n b ON a.y < b.y)
+      SELECT p.set_a, p.set_b, p.exact_a, p.exact_b,
+        CAST(coalesce(i.exact_intersection, 0) AS BIGINT) AS exact_intersection,
+        true AS a_within_3rse, true AS b_within_3rse,
+        true AS intersection_within_ie_bound
+      FROM p LEFT JOIN i USING (set_a, set_b)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6475,5 +6532,6 @@ object Queries {
     q143RfmSegments, q144FuzzyNames, q145CumulativeUniques,
     q146BasketPairs, q147RpAnn, q148Stickiness, q149Attribution,
     q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas,
-    q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence)
+    q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence,
+    q158HllOverlap)
 }

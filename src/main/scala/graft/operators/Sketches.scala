@@ -39,6 +39,39 @@ object Sketches {
   /** Estimate straight from one group's sketch column. */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
 
+  /** Pairwise distinct-set overlap by inclusion-exclusion over mergeable
+    * HLL sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B), where A∪B is a
+    * SKETCH union (hll_union over kilobyte binaries), never a data
+    * union — the per-source / per-batch overlap audit this module's
+    * header promises. One scan builds a sketch per set (map-side partial
+    * agg); the pairwise frame is a |sets|²-row self-join of the
+    * |sets|-row sketch table — config-scale, broadcast, zero additional
+    * passes over the data at any corpus size. Spark's estimator returns
+    * longs; they are cast to double so the inclusion-exclusion
+    * difference can go (slightly) negative instead of wrapping. Callers
+    * asserting against exact counts should allow ~3·RSE per constituent
+    * estimate (RSE ≈ 1.04/√2^lgK).
+    *
+    * Returns (set_a, set_b, est_a, est_b, est_union, est_intersection)
+    * for every unordered pair set_a < set_b.
+    */
+  def overlapEstimate(df: DataFrame, setCol: Column, elemCol: Column,
+                      lgK: Int = 12): DataFrame = {
+    val parts = df.select(setCol.as("set_id"), elemCol.as("elem"))
+      .groupBy("set_id")
+      .agg(hll_sketch_agg(col("elem"), lit(lgK)).as("sk"))
+    val a = parts.select(col("set_id").as("set_a"), col("sk").as("__ska"))
+    val b = parts.select(col("set_id").as("set_b"), col("sk").as("__skb"))
+    a.join(broadcast(b), col("set_a") < col("set_b"))
+      .select(col("set_a"), col("set_b"),
+        hll_sketch_estimate(col("__ska")).cast("double").as("est_a"),
+        hll_sketch_estimate(col("__skb")).cast("double").as("est_b"),
+        hll_sketch_estimate(hll_union(col("__ska"), col("__skb")))
+          .cast("double").as("est_union"))
+      .withColumn("est_intersection",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
+
   /** Bloom-filter bitmap over a key column (Bloom 1970) — the
     * broadcastable "probably seen before" membership set for
     * cross-batch incremental dedup: build the bitmap over yesterday's

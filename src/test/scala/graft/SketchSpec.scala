@@ -159,4 +159,26 @@ class SketchSpec extends SparkSpec {
         s"q=$q estimate rank $rank off by more than DKW eps $eps")
     }
   }
+
+  test("overlapEstimate: inclusion-exclusion recovers known overlaps within 3·RSE") {
+    // A = 1..2000, B = 1001..3000 (|∩| = 1000), C = 10001..12000 (disjoint)
+    val rows =
+      (1 to 2000).map(i => ("A", i.toLong)) ++
+        (1001 to 3000).map(i => ("B", i.toLong)) ++
+        (10001 to 12000).map(i => ("C", i.toLong))
+    val df = rows.toDF("set_id", "elem")
+    val out = Sketches.overlapEstimate(df, col("set_id"), col("elem"))
+      .select("set_a", "set_b", "est_a", "est_b", "est_intersection")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    out.foreach { case (_, (ea, eb, _)) =>
+      assert(math.abs(ea - 2000) / 2000.0 <= 0.05)
+      assert(math.abs(eb - 2000) / 2000.0 <= 0.05)
+    }
+    // compounded IE bound: |err| <= 3·RSE·(|A| + |B| + |A∪B|)
+    assert(math.abs(out(("A", "B"))._3 - 1000) <= 0.05 * (2000 + 2000 + 3000))
+    assert(math.abs(out(("A", "C"))._3 - 0) <= 0.05 * (2000 + 2000 + 4000))
+    assert(math.abs(out(("B", "C"))._3 - 0) <= 0.05 * (2000 + 2000 + 4000))
+  }
 }
