@@ -6492,6 +6492,61 @@ object Queries {
         true AS intersection_within_ie_bound
       FROM p LEFT JOIN i USING (set_a, set_b)"""))
 
+  /** Z-order layout audit (Layout.zorderKey): cluster lineitem on the
+    * Morton interleave of (partkey, suppkey) buckets and measure what a
+    * 2-D box predicate would scan under 16×16 z-tiles — the file/
+    * partition-pruning arithmetic of a z-clustered 100 TB table, as an
+    * exact relational readout both engines agree on bit-for-bit. */
+  val q159ZorderLayout = Q(
+    "q159_zorder_layout",
+    (s, d) => {
+      import graft.operators.Layout
+      val x = pmod(col("l_partkey"), lit(256)).cast("int")
+      val y = pmod(col("l_suppkey"), lit(256)).cast("int")
+      val tiled = lineitem(s, d)
+        .select(x.as("x"), y.as("y"))
+        .withColumn("zb",
+          Layout.zTile(Layout.zorderKey(col("x"), col("y"), 8), 4))
+      val inBox = col("x").between(40, 55) && col("y").between(100, 115)
+      tiled.groupBy("zb")
+        .agg(count(lit(1)).as("tile_rows"),
+          count(when(inBox, 1)).as("box_rows"))
+        .agg(count(lit(1)).as("n_tiles"),
+          sum(when(col("box_rows") > 0, 1L).otherwise(0L)).as("tiles_touched"),
+          sum("box_rows").as("rows_in_box"),
+          sum(when(col("box_rows") > 0, col("tile_rows")).otherwise(0L))
+            .as("rows_scanned"),
+          sum("tile_rows").as("rows_total"))
+        .select(col("n_tiles"), col("tiles_touched"), col("rows_in_box"),
+          col("rows_scanned"), col("rows_total"),
+          round(col("rows_scanned").cast("double") / col("rows_total"), 6)
+            .as("scan_fraction"))
+    },
+    Some {
+      val zExpr = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (
+        SELECT CAST(l_partkey % 256 AS INT) AS x,
+               CAST(l_suppkey % 256 AS INT) AS y
+        FROM lineitem),
+      t AS (
+        SELECT ($zExpr) >> 8 AS zb,
+          count(*) AS tile_rows,
+          count(*) FILTER (WHERE x BETWEEN 40 AND 55
+                             AND y BETWEEN 100 AND 115) AS box_rows
+        FROM b GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_tiles,
+        CAST(count(*) FILTER (WHERE box_rows > 0) AS BIGINT) AS tiles_touched,
+        CAST(sum(box_rows) AS BIGINT) AS rows_in_box,
+        CAST(sum(CASE WHEN box_rows > 0 THEN tile_rows ELSE 0 END) AS BIGINT)
+          AS rows_scanned,
+        CAST(sum(tile_rows) AS BIGINT) AS rows_total,
+        round(CAST(sum(CASE WHEN box_rows > 0 THEN tile_rows ELSE 0 END)
+          AS DOUBLE) / sum(tile_rows), 6) AS scan_fraction
+      FROM t"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6533,5 +6588,5 @@ object Queries {
     q146BasketPairs, q147RpAnn, q148Stickiness, q149Attribution,
     q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas,
     q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence,
-    q158HllOverlap)
+    q158HllOverlap, q159ZorderLayout)
 }
