@@ -6547,6 +6547,49 @@ object Queries {
       FROM t"""
     })
 
+  /** The q160 tokenizer artifact: an ordered BPE merge table (what
+    * Bpe.train emits, shipped as config — the inference-side contract of
+    * every BPE tokenizer). */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "</w>", "s" -> "</w>", "d" -> "</w>", "t" -> "h",
+    "th" -> "e</w>", "i" -> "n", "a" -> "n", "o" -> "u", "r" -> "e",
+    "an" -> "d</w>")
+
+  /** BPE encode (Bpe.encode) — the tokenizer's inference half: apply the
+    * ordered merge table to every document and report the subword
+    * budget. The distinct-word table is encoded ONCE map-side (chained
+    * literal replaces over delimiter-framed symbols — greedy
+    * left-to-right non-overlapping merge semantics in both engines) and
+    * joined back to the corpus on the word key. */
+  val q160BpeEncode = Q(
+    "q160_bpe_encode",
+    (s, d) =>
+      graft.operators.Bpe.encode(documents(s, d), "doc_id", "text",
+        bpeMerges),
+    Some {
+      def q(sym: String) = s"'$sym'"
+      val enc0 = "chr(31) || array_to_string(list_concat(" +
+        "list_transform(range(1, length(word) + 1), i -> substr(word, i, 1))," +
+        " ['</w>']), chr(30) || chr(31)) || chr(30)"
+      val encChain = bpeMerges.foldLeft(enc0) { case (e, (a, b)) =>
+        s"replace($e, chr(31) || ${q(a)} || chr(30) || chr(31) || ${q(b)} || chr(30), " +
+          s"chr(31) || ${q(a + b)} || chr(30))"
+      }
+      s"""WITH t AS ($duckToksSql),
+      w AS (
+        SELECT doc_id, unnest(toks) AS word FROM t),
+      w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+      v0 AS (SELECT DISTINCT word FROM w2),
+      ve AS (SELECT word, $encChain AS e FROM v0),
+      v AS (SELECT word,
+              length(e) - length(replace(e, chr(31), '')) AS n_sub
+            FROM ve)
+      SELECT doc_id, count(*) AS n_words,
+        CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+        round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS subwords_per_word
+      FROM w2 JOIN v USING (word) GROUP BY 1"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6588,5 +6631,5 @@ object Queries {
     q146BasketPairs, q147RpAnn, q148Stickiness, q149Attribution,
     q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas,
     q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence,
-    q158HllOverlap, q159ZorderLayout)
+    q158HllOverlap, q159ZorderLayout, q160BpeEncode)
 }

@@ -100,4 +100,56 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  /** Wrapped-symbol encoding delimiters: every symbol is carried as
+    * ⟨sym⟩ (unit/record separators), so a literal `replace` of ⟨a⟩⟨b⟩
+    * with ⟨ab⟩ is EXACTLY one greedy left-to-right non-overlapping merge
+    * pass — the [[mergePair]] fold semantics — while symbol boundaries
+    * make cross-symbol false matches impossible ("xth|e" can never match
+    * the ("th","e") merge). Both engines' replace() scans left-to-right
+    * and resumes after each replacement, so "aaa" under (a,a) merges
+    * floor(3/2) times in both. Tokens containing the delimiter bytes
+    * (U+001E/U+001F) would corrupt the framing; real text never carries
+    * unit separators. */
+  val Open = "\u001f"
+  val Close = "\u001e"
+
+  /** Apply a trained merge table to every document — the tokenizer's
+    * inference half (train's output, or any shipped tokenizer artifact,
+    * is the `merges` config). The corpus never re-encodes a word twice:
+    * the DISTINCT word table (vocabulary-scale) is encoded map-side —
+    * one chained literal-replace expression per merge, zero UDF — and
+    * joined back to the exploded corpus on the word key; at 100 TB the
+    * join is the only data-sized shuffle and the encode work is bounded
+    * by the vocabulary, not the corpus.
+    *
+    * Returns (idCol, n_words, n_subwords, subwords_per_word).
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("id"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+    val syms = concat(
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))),
+      array(lit("</w>")))
+    val encoded = merges.foldLeft(
+      concat(lit(Open), array_join(syms, Close + Open), lit(Close))) {
+      case (c, (a, b)) =>
+        replace(c, lit(Open + a + Close + Open + b + Close),
+          lit(Open + a + b + Close))
+    }
+    val vocab = words.select("word").distinct()
+      .select(col("word"),
+        (length(encoded) - length(replace(encoded, lit(Open), lit(""))))
+          .as("n_sub"))
+    words.join(vocab, "word")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+      .select(col("id").as(idCol), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("subwords_per_word"))
+  }
 }

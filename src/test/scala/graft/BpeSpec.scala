@@ -79,4 +79,29 @@ class BpeSpec extends SparkSpec {
     // after x</w> merges, every word is a single symbol: no pairs remain
     assert(got.size == 1)
   }
+
+  test("encode: ordered merges replay by hand on a known vocabulary") {
+    val merges = Seq("e" -> "</w>", "s" -> "</w>", "d" -> "</w>",
+      "t" -> "h", "th" -> "e</w>", "i" -> "n", "a" -> "n", "o" -> "u",
+      "r" -> "e", "an" -> "d</w>")
+    // the→[the</w>]=1, then→[th,e,n,</w>]=4, and→[and</w>]=1, sand→[s,and</w>]=2
+    val out = Bpe.encode(
+        Seq((1L, "the then and sand")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .select("doc_id", "n_words", "n_subwords", "subwords_per_word")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 4L, 8L, 2.0)))
+  }
+
+  test("encode: train's merges compress what train saw (round trip)") {
+    val docs = Seq((1L, "low low low lower lower newest newest"),
+      (2L, "newest widest widest low")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", rounds = 6)
+      .map(m => (m._2, m._3))
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .select("doc_id", "subwords_per_word").as[(Long, Double)]
+      .collect().toMap
+    // 6 learned merges must strictly compress below the char+1 baseline
+    assert(enc.values.forall(_ < 4.0))
+  }
 }
