@@ -6590,6 +6590,83 @@ object Queries {
       FROM w2 JOIN v USING (word) GROUP BY 1"""
     })
 
+  /** Hybrid retrieval by reciprocal-rank fusion (Similarity.rrfFuse):
+    * BM25 keyword top-100 ⊕ embedding-cosine top-100 for one probe,
+    * fused as Σ 1/(60+rank) — the calibration-free hybrid-search
+    * combiner. Both lists are truncated BEFORE ranking (TakeOrdered →
+    * bounded constKey window / brute-force top-k), so the fusion joins
+    * run over ≤100-row frames at any corpus size. */
+  val q161HybridRrf = {
+    val terms = Seq("table", "stream", "key", "scan")
+    Q(
+      "q161_hybrid_rrf",
+      (s, d) => {
+        val bm = graft.operators.Curation.bm25(documents(s, d), "doc_id",
+          "text", terms, k1 = 1.2, b = 0.75)
+        val textTop = bm.orderBy(col("bm25").desc, col("doc_id")).limit(100)
+        val wT = Window
+          .partitionBy(graft.operators.Guards.constKey(col("doc_id")))
+          .orderBy(col("bm25").desc, col("doc_id"))
+        val textRank = textTop.withColumn("rank", row_number().over(wT))
+          .select(col("doc_id"), col("rank"))
+        val emb = embeddings(s, d)
+        val vecRank = Similarity.bruteForceTopK(emb,
+            emb.where(col("vec_id") === 0),
+            "vec_id", "embedding", "vec_id", k = 100)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(Seq(textRank, vecRank), "doc_id")
+          .join(textRank.withColumnRenamed("rank", "text_rank"),
+            Seq("doc_id"), "left")
+          .join(vecRank.withColumnRenamed("rank", "vec_rank"),
+            Seq("doc_id"), "left")
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), col("text_rank"), col("vec_rank"),
+            col("rrf"))
+      },
+      Some(s"""WITH t AS ($duckToksSql),
+        base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        totals AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base),
+        tf AS (
+          SELECT doc_id, dl, tok, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+          WHERE tok IN ('table', 'stream', 'key', 'scan')
+          GROUP BY 1, 2, 3),
+        dft AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY 1),
+        c AS (
+          SELECT tf.doc_id,
+            CAST(round(
+              ln(1.0 + (totals.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (1.0 - 0.75
+                    + 0.75 * tf.dl / (CAST(totals.sum_dl AS DOUBLE) / totals.n_docs))),
+              9) AS DECIMAL(28,9)) AS contrib
+          FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN totals),
+        bm AS (
+          SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 6) AS bm25
+          FROM c GROUP BY 1),
+        tr AS (
+          SELECT doc_id, trank FROM (
+            SELECT doc_id,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS trank
+            FROM bm) WHERE trank <= 100),
+        vr AS (
+          SELECT doc_id, vrank FROM (
+            SELECT c.vec_id AS doc_id,
+              row_number() OVER (ORDER BY list_cosine_similarity(
+                c.embedding::DOUBLE[],
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])
+                DESC, c.vec_id) AS vrank
+            FROM embeddings c WHERE c.vec_id <> 0) WHERE vrank <= 100),
+        f AS (
+          SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+            tr.trank, vr.vrank,
+            round(coalesce(CAST(1.0 AS DOUBLE) / (60 + tr.trank), 0) +
+                  coalesce(CAST(1.0 AS DOUBLE) / (60 + vr.vrank), 0), 9) AS rrf
+          FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id)
+        SELECT doc_id, trank AS text_rank, vrank AS vec_rank, rrf
+        FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""))
+  }
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6631,5 +6708,5 @@ object Queries {
     q146BasketPairs, q147RpAnn, q148Stickiness, q149Attribution,
     q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas,
     q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence,
-    q158HllOverlap, q159ZorderLayout, q160BpeEncode)
+    q158HllOverlap, q159ZorderLayout, q160BpeEncode, q161HybridRrf)
 }

@@ -270,4 +270,32 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: given N ranked lists
+    * (idCol, rank), score every id in their union as
+    * Σ 1/(kRrf + rank_i), with absent lists contributing 0. Score-scale
+    * free (only ranks matter), which is why it fuses BM25 with cosine
+    * without calibration. Input lists are top-k bounded by construction
+    * (the caller's retrieval already truncated them), so the full-outer
+    * join cascade runs over k-row frames — config-scale, broadcast-able,
+    * regardless of corpus size. Each reciprocal term is a fixed-order
+    * scalar (identical tree in an oracle), so the fused score is
+    * engine-exact at 9 dp.
+    *
+    * Returns (idCol, rrf) over the union of the lists.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+              kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranked list")
+    val scored = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol).as("id"),
+        (lit(1.0) / (lit(kRrf) + col("rank"))).as(s"__s$i"))
+    }
+    val joined = scored.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val total = scored.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col("id").as(idCol), round(total, 9).as("rrf"))
+  }
 }

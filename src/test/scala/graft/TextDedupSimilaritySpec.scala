@@ -225,4 +225,20 @@ class TextDedupSimilaritySpec extends SparkSpec {
     // doc 3 shares no term with doc 1 at all -> not even a candidate
     assert(!got.contains((1L, 3L)))
   }
+
+  test("rrfFuse: hand-computed fusion; union semantics; absent list contributes 0") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "id", kRrf = 60)
+      .as[(Long, Double)].collect().toMap
+    def r(i: Int) = 1.0 / (60 + i)
+    assert(got.keySet == Set(10L, 20L, 30L, 40L))
+    assert(math.abs(got(10L) - math.rint((r(1) + r(2)) * 1e9) / 1e9) < 1e-12)
+    assert(math.abs(got(20L) - math.rint((r(2) + r(1)) * 1e9) / 1e9) < 1e-12)
+    assert(math.abs(got(30L) - math.rint(r(3) * 1e9) / 1e9) < 1e-12)
+    assert(math.abs(got(40L) - math.rint(r(3) * 1e9) / 1e9) < 1e-12)
+    // items in both lists dominate items in one (the hybrid property)
+    assert(got(10L) > got(30L) && got(20L) > got(40L))
+  }
 }
