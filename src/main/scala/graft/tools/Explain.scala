@@ -23,9 +23,11 @@ object Explain {
         val df = q.run(spark, sfDir)
         val plan = df.queryExecution.executedPlan.toString
         def n(p: String) = p.r.findAllIn(plan).length
+        val shuffles =
+          "(?m)^(?!.*BroadcastExchange).*Exchange".r.findAllIn(plan).length
         println(s"=== ${q.name}: exchanges=${n("Exchange")} " +
-          s"sorts=${n("\\bSort\\b")} windows=${n("\\bWindow\\b")} " +
-          s"wsc=${n("WholeStageCodegen")}")
+          s"shuffles=$shuffles sorts=${n("\\bSort\\b")} " +
+          s"windows=${n("\\bWindow\\b")} wsc=${n("WholeStageCodegen")}")
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       }

@@ -34,7 +34,14 @@ class PlanQualitySpec extends SparkSpec {
     // (no hash table needed); bounded by construction
     "q94_source_mix",
     // CPI base attach: monthly series x the ONE base-year HALF1 row
-    "q97_workbook_cpi")
+    "q97_workbook_cpi",
+    // sketch-overlap pair generation: |sets|² inequality self-join over
+    // the |sets|-row (7 ship years) sketch table — config-scale by
+    // construction; the data-sized work happened in the sketch build
+    "q158_hll_overlap",
+    // hybrid RRF's vector arm is the q26 brute shape: corpus x ONE
+    // broadcast probe row — bounded by probe count exactly like q26
+    "q161_hybrid_rrf")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).

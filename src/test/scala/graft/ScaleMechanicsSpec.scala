@@ -116,6 +116,22 @@ class ScaleMechanicsSpec extends SparkSpec {
     check("q136", Queries.q136Funnel, 7)
     // profiler: 1 scalar agg + 2 per distinct column (partial + single)
     check("q151", Queries.q151ProfileAudit, 16)
+    // dup spans: shingle census + key join + per-doc islands — the
+    // map-side n_tokens carry keeps the totals branch shuffle-free
+    check("q156", Queries.q156DupSpans, 3)
+    // JSD: slice/corpus term counts + vocab-keyed join + slice rollup;
+    // totals ride broadcasts
+    check("q157", Queries.q157JsDivergence, 7)
+    // overlap audit: sketch build + exact distinct/count/intersection
+    // verification frames (the audit side, absent in production use)
+    check("q158", Queries.q158HllOverlap, 9)
+    // z-order audit: tile groupBy + one-row rollup only
+    check("q159", Queries.q159ZorderLayout, 2)
+    // BPE encode: vocab distinct + word-keyed join + per-doc sums
+    check("q160", Queries.q160BpeEncode, 2)
+    // hybrid RRF: bm25's corpus aggregations plus fusion joins over
+    // ≤100-row truncated lists (bounded frames, not data-sized work)
+    check("q161", Queries.q161HybridRrf, 16)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
