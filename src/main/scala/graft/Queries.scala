@@ -6614,14 +6614,18 @@ object Queries {
             emb.where(col("vec_id") === 0),
             "vec_id", "embedding", "vec_id", k = 100)
           .select(col("neighbor_id").as("doc_id"), col("rank"))
-        Similarity.rrfFuse(Seq(textRank, vecRank), "doc_id")
-          .join(textRank.withColumnRenamed("rank", "text_rank"),
-            Seq("doc_id"), "left")
+        // one full-outer fuse carrying both ranks — joining the rank
+        // lists back onto rrfFuse's output would re-run both retrieval
+        // arms once per decoration (3x the bm25/brute-force work)
+        textRank.withColumnRenamed("rank", "text_rank")
           .join(vecRank.withColumnRenamed("rank", "vec_rank"),
-            Seq("doc_id"), "left")
-          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+            Seq("doc_id"), "full_outer")
           .select(col("doc_id"), col("text_rank"), col("vec_rank"),
-            col("rrf"))
+            round(
+              coalesce(lit(1.0) / (lit(60) + col("text_rank")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)),
+              9).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
       },
       Some(s"""WITH t AS ($duckToksSql),
         base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),

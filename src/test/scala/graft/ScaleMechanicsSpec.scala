@@ -129,9 +129,10 @@ class ScaleMechanicsSpec extends SparkSpec {
     check("q159", Queries.q159ZorderLayout, 2)
     // BPE encode: vocab distinct + word-keyed join + per-doc sums
     check("q160", Queries.q160BpeEncode, 2)
-    // hybrid RRF: bm25's corpus aggregations plus fusion joins over
-    // ≤100-row truncated lists (bounded frames, not data-sized work)
-    check("q161", Queries.q161HybridRrf, 16)
+    // hybrid RRF: bm25's corpus aggregations plus ONE full-outer fuse
+    // over the two ≤100-row truncated lists (ranks carried through the
+    // fuse — re-joining them would re-run both retrieval arms)
+    check("q161", Queries.q161HybridRrf, 8)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
