@@ -6671,6 +6671,53 @@ object Queries {
         FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""))
   }
 
+  /** Seasonal-baseline anomaly rates (Robust.seasonalAnomalies): each
+    * event judged against the mean ± 3σ of its own (event_type,
+    * day-of-week, hour) calendar cell — the profile monitor that
+    * doesn't flag every rush hour. DOW by the portable
+    * (epoch_days + 4) % 7 arithmetic (q50's convention). */
+  val q162SeasonalAnomaly = Q(
+    "q162_seasonal_anomaly",
+    (s, d) => {
+      val e = events(s, d).select(col("event_type"),
+        ((datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")) + 4) % 7).as("dow"),
+        hour(col("ts")).as("hr"), col("value"))
+      graft.operators.Robust.seasonalAnomalies(e,
+          Seq("event_type", "dow", "hr"), col("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"))
+        .select(col("event_type"), col("n_events"), col("n_anomalies"),
+          round(col("n_anomalies").cast("double") / col("n_events"), 6)
+            .as("anomaly_rate"))
+    },
+    Some("""WITH e AS (
+        SELECT event_type,
+          (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+          hour(CAST(ts AS TIMESTAMP)) AS hr,
+          value
+        FROM events),
+      base AS (
+        SELECT event_type, dow, hr, count(*) AS n,
+          sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS s1,
+          sum(CAST(round(value * value, 9) AS DECIMAL(28,9))) AS s2
+        FROM e GROUP BY 1, 2, 3),
+      j AS (
+        SELECT e.event_type, e.value,
+          CAST(base.s1 AS DOUBLE) / base.n AS mu,
+          sqrt(greatest(
+            CAST(base.s2 AS DOUBLE) / base.n
+              - (CAST(base.s1 AS DOUBLE) / base.n)
+                * (CAST(base.s1 AS DOUBLE) / base.n), 0)) AS sd
+        FROM e JOIN base USING (event_type, dow, hr))
+      SELECT event_type, count(*) AS n_events,
+        CAST(count(*) FILTER (WHERE abs(value - mu) > 3 * sd) AS BIGINT)
+          AS n_anomalies,
+        round(CAST(count(*) FILTER (WHERE abs(value - mu) > 3 * sd)
+          AS DOUBLE) / count(*), 6) AS anomaly_rate
+      FROM j GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6712,5 +6759,6 @@ object Queries {
     q146BasketPairs, q147RpAnn, q148Stickiness, q149Attribution,
     q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas,
     q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence,
-    q158HllOverlap, q159ZorderLayout, q160BpeEncode, q161HybridRrf)
+    q158HllOverlap, q159ZorderLayout, q160BpeEncode, q161HybridRrf,
+    q162SeasonalAnomaly)
 }

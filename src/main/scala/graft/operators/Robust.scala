@@ -36,4 +36,36 @@ object Robust {
         sum(when(col("__ad") > lit(cutoff) * lit(1.4826) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Seasonal-baseline anomaly gate: each observation is compared to the
+    * mean ± `cutoff`·σ of ITS OWN seasonal cell (the caller's key set —
+    * typically entity × day-of-week × hour), the classic
+    * calendar-profile monitor ("is this Tuesday-9am reading abnormal
+    * for Tuesday 9am?"). Naive global gates flag every rush hour; the
+    * seasonal cell absorbs the calendar.
+    *
+    * Moments come from ONE grouped pass of decimal-exact (Σv, Σv²)
+    * partials (9-dp-rounded terms, the chi-square float discipline), so
+    * mean/σ are identical doubles in any engine and at any partition
+    * order; the per-cell stats frame is seasonal-cell-scale (bounded by
+    * |keys| cardinality, not data) and broadcasts back onto the stream.
+    * Population σ, floored at 0 against catastrophic cancellation.
+    *
+    * Returns the input plus (n, mu, sd, is_anomaly).
+    */
+  def seasonalAnomalies(df: DataFrame, keys: Seq[String], valueCol: Column,
+                        cutoff: Double = 3.0): DataFrame = {
+    val base = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(round(valueCol, 9).cast("decimal(28,9)")).as("__s1"),
+        sum(round(valueCol * valueCol, 9).cast("decimal(28,9)")).as("__s2"))
+      .withColumn("mu", col("__s1").cast("double") / col("n"))
+      .withColumn("sd", sqrt(greatest(
+        col("__s2").cast("double") / col("n") - col("mu") * col("mu"),
+        lit(0.0))))
+      .select((keys.map(col) ++ Seq(col("n"), col("mu"), col("sd"))): _*)
+    df.join(broadcast(base), keys)
+      .withColumn("is_anomaly",
+        abs(valueCol - col("mu")) > lit(cutoff) * col("sd"))
+  }
 }

@@ -31,4 +31,22 @@ class RobustSpec extends SparkSpec {
       .as[(String, Double, Double, Long, Long)].collect().head
     assert(r._5 == 0L, r.toString)
   }
+
+  test("seasonalAnomalies: spike flagged in its own cell, calm cell silent") {
+    // cell A: 19 baseline readings + one 100-spike (z = 4.4 > 3);
+    // cell B: constant -> sd = 0, nothing can trip the gate
+    val rows = (1 to 19).map(_ => ("A", 10.0)) :+ (("A", 100.0)) :++
+      (1 to 8).map(_ => ("B", 42.0))
+    val out = Robust.seasonalAnomalies(rows.toDF("cell", "v"),
+        Seq("cell"), col("v"))
+      .select("cell", "v", "is_anomaly").as[(String, Double, Boolean)]
+      .collect()
+    assert(out.count(r => r._1 == "A" && r._3) == 1)
+    assert(out.filter(r => r._1 == "A" && r._3).head._2 == 100.0)
+    assert(out.filter(_._1 == "B").forall(!_._3))
+    // the seasonal point: a GLOBAL mean/sd gate over A∪B would flag
+    // B's 42s or miss A's spike depending on mix — per-cell never does
+    val mu = out.filter(_._1 == "A").map(_._2).sum / 20
+    assert(math.abs(mu - 14.5) < 1e-9)
+  }
 }

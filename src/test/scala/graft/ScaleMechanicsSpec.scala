@@ -133,6 +133,9 @@ class ScaleMechanicsSpec extends SparkSpec {
     // over the two ≤100-row truncated lists (ranks carried through the
     // fuse — re-joining them would re-run both retrieval arms)
     check("q161", Queries.q161HybridRrf, 8)
+    // seasonal anomaly: one cell-stats groupBy + the final per-type
+    // rollup; the stats frame broadcasts back (≤ |type·dow·hr| rows)
+    check("q162", Queries.q162SeasonalAnomaly, 2)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
