@@ -54,8 +54,18 @@ object Robust {
     * Returns the input plus (n, mu, sd, is_anomaly).
     */
   def seasonalAnomalies(df: DataFrame, keys: Seq[String], valueCol: Column,
-                        cutoff: Double = 3.0): DataFrame = {
-    val base = df.groupBy(keys.map(col): _*)
+                        cutoff: Double = 3.0): DataFrame =
+    scoreAgainstProfile(df, seasonalProfile(df, keys, valueCol), keys,
+      valueCol, cutoff)
+
+  /** The trained half: per-cell (n, mu, sd) from one grouped pass of
+    * decimal-exact partials. Persist this frame and hand it to
+    * [[scoreAgainstProfile]] to gate a LIVE stream against yesterday's
+    * profile — the production monitor shape (the profile is static; the
+    * stream only pays a broadcast join per micro-batch). */
+  def seasonalProfile(df: DataFrame, keys: Seq[String],
+                      valueCol: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(round(valueCol, 9).cast("decimal(28,9)")).as("__s1"),
         sum(round(valueCol * valueCol, 9).cast("decimal(28,9)")).as("__s2"))
@@ -64,8 +74,16 @@ object Robust {
         col("__s2").cast("double") / col("n") - col("mu") * col("mu"),
         lit(0.0))))
       .select((keys.map(col) ++ Seq(col("n"), col("mu"), col("sd"))): _*)
-    df.join(broadcast(base), keys)
+
+  /** The scoring half — stateless per row given the profile, so it is
+    * streaming-safe (stream-static broadcast join + map). Rows in cells
+    * absent from the profile are dropped by the inner join: an unseen
+    * cell has no baseline to judge against (surface them separately via
+    * left_anti if "new cell" is itself the alert). */
+  def scoreAgainstProfile(df: DataFrame, profile: DataFrame,
+                          keys: Seq[String], valueCol: Column,
+                          cutoff: Double = 3.0): DataFrame =
+    df.join(broadcast(profile), keys)
       .withColumn("is_anomaly",
         abs(valueCol - col("mu")) > lit(cutoff) * col("sd"))
-  }
 }

@@ -127,4 +127,31 @@ class StreamingCurationSpec extends SparkSpec {
     // the overlap rows (40-49) MUST hit — the guarantee survives streaming
     assert(stream.filter(_._1 < 50).forall(_._2))
   }
+
+  test("seasonal profile gates a live stream: stream-static join parity") {
+    import graft.operators.Robust
+    // yesterday's history trains the profile (static side) ...
+    val history = ((1 to 19).map(i => ("A", i.toLong, 10.0)) :+
+      (("A", 20L, 100.0))) ++ (1 to 8).map(i => ("B", 100L + i, 42.0))
+    val profile = Robust.seasonalProfile(
+      history.toDF("cell", "id", "v"), Seq("cell"), col("v"))
+      .localCheckpoint() // static snapshot, as a persisted profile would be
+    // ... today's stream is scored against it, one broadcast join per batch
+    val today = Seq(("A", 31L, 10.5), ("A", 32L, 99.0), ("B", 33L, 42.0),
+      ("C", 34L, 7.0)).toDF("cell", "id", "v")
+    val dir = Files.createTempDirectory("graft_stream_seasonal").toString
+    today.write.mode("overwrite").parquet(dir)
+    def pipeline(df: DataFrame): DataFrame =
+      Robust.scoreAgainstProfile(df, profile, Seq("cell"), col("v"))
+        .select("cell", "id", "is_anomaly")
+    val batch = pipeline(spark.read.parquet(dir))
+      .as[(String, Long, Boolean)].collect().toSeq.sorted
+    val stream = streamed(dir, today, pipeline, "seasonal_stream")
+      .as[(String, Long, Boolean)].collect().toSeq.sorted
+    assert(stream == batch && batch.nonEmpty)
+    // A's 99 trips yesterday's gate, A's 10.5 doesn't; unseen cell C drops
+    assert(stream.find(_._2 == 32L).exists(_._3))
+    assert(stream.find(_._2 == 31L).exists(!_._3))
+    assert(!stream.exists(_._1 == "C"))
+  }
 }
