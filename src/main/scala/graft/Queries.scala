@@ -6718,6 +6718,42 @@ object Queries {
           AS DOUBLE) / count(*), 6) AS anomaly_rate
       FROM j GROUP BY 1"""))
 
+  /** Bloom semi-join reduction — the hand-rolled runtime filter for
+    * big-big shuffle joins: the selective side's join keys build an 8 KiB
+    * bitmap (one partial-agg'd bit_or pass, bounded collect), which
+    * pre-filters the fact side MAP-SIDE before any exchange — only
+    * probably-matching lineitems enter the shuffle. No false negatives,
+    * so the subsequent real join removes the Bloom's false positives and
+    * the result is EXACTLY the plain join (which is the oracle: DuckDB
+    * runs the unfiltered join). Revenue under the decimal-exact regime. */
+  val q163BloomSemijoin = Q(
+    "q163_bloom_semijoin",
+    (s, d) => {
+      val o = orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1994)
+        .select("o_orderkey")
+      val m = 1 << 16
+      val seeds = Seq(1, 2, 3)
+      val bitmap = graft.operators.Sketches.bloomBitmap(
+        o, col("o_orderkey"), m, seeds)
+      lineitem(s, d)
+        .where(graft.operators.Sketches.bloomMightContain(
+          col("l_orderkey"), bitmap, m, seeds))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lineitems"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          round(dsum(revDec), 2).as("revenue"))
+    },
+    Some("""SELECT count(*) AS n_lineitems,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1.00 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,6)))
+          AS DOUBLE), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+        AND year(o_orderdate) = 1994"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6760,5 +6796,5 @@ object Queries {
     q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas,
     q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence,
     q158HllOverlap, q159ZorderLayout, q160BpeEncode, q161HybridRrf,
-    q162SeasonalAnomaly)
+    q162SeasonalAnomaly, q163BloomSemijoin)
 }

@@ -136,6 +136,9 @@ class ScaleMechanicsSpec extends SparkSpec {
     // seasonal anomaly: one cell-stats groupBy + the final per-type
     // rollup; the stats frame broadcasts back (≤ |type·dow·hr| rows)
     check("q162", Queries.q162SeasonalAnomaly, 2)
+    // bloom semi-join: the runtime filter itself is map-side; only the
+    // reduced join + final aggregate shuffle
+    check("q163", Queries.q163BloomSemijoin, 2)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {

@@ -181,4 +181,24 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(out(("A", "C"))._3 - 0) <= 0.05 * (2000 + 2000 + 4000))
     assert(math.abs(out(("B", "C"))._3 - 0) <= 0.05 * (2000 + 2000 + 4000))
   }
+
+  test("bloom semi-join reduction: fewer rows shuffle, identical join result") {
+    val m = 1 << 12
+    val seeds = Seq(1, 2, 3)
+    val build = (1 to 50).map(_.toLong * 7).toDF("k") // sparse key set
+    val fact = (1 to 5000).map(i => (i.toLong, i % 13)).toDF("k", "v")
+    val bitmap = Sketches.bloomBitmap(build, col("k"), m, seeds)
+    val prefiltered = fact.where(
+      Sketches.bloomMightContain(col("k"), bitmap, m, seeds))
+    val passed = prefiltered.count()
+    // the map-side filter sheds most of the fact before any exchange ...
+    assert(passed < 5000 / 4, s"bloom passed $passed of 5000")
+    assert(passed >= 50, "no false negatives: every true match survives")
+    // ... and the join answer is EXACTLY the unfiltered join's
+    val viaBloom = prefiltered.join(build, "k").agg(
+      count(lit(1)), sum("v")).as[(Long, Long)].collect().head
+    val plain = fact.join(build, "k").agg(
+      count(lit(1)), sum("v")).as[(Long, Long)].collect().head
+    assert(viaBloom == plain && plain._1 == 50L)
+  }
 }
