@@ -6754,6 +6754,43 @@ object Queries {
       WHERE o_orderpriority = '1-URGENT'
         AND year(o_orderdate) = 1994"""))
 
+  /** Exponential smoothing (TimeSeries.ewma): per-priority monthly
+    * revenue under simple exponential smoothing, α=0.3. Monthly sums are
+    * decimal-exact and rounded BEFORE the fold so both engines smooth
+    * identical doubles; the sequential recurrence is a per-key array
+    * fold here and a recursive CTE in the oracle — same left-to-right
+    * order, bit-identical at 6 dp. */
+  val q164Ewma = Q(
+    "q164_ewma",
+    (s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          trunc(col("o_orderdate").cast("date"), "month").as("month"))
+        .agg(round(dsum(col("o_totalprice")), 6).as("v"))
+      graft.operators.TimeSeries.ewma(monthly, Seq("o_orderpriority"),
+          "month", col("v"), alpha = 0.3)
+        .withColumnRenamed("value", "revenue")
+    },
+    Some("""WITH RECURSIVE m0 AS (
+        SELECT o_orderpriority, CAST(date_trunc('month',
+            CAST(o_orderdate AS DATE)) AS DATE) AS mth,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+        FROM orders GROUP BY 1, 2),
+      m AS (
+        SELECT o_orderpriority, mth, v,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY mth) AS rn
+        FROM m0),
+      r AS (
+        SELECT o_orderpriority, mth, v, rn, v AS y FROM m WHERE rn = 1
+        UNION ALL
+        SELECT m.o_orderpriority, m.mth, m.v, m.rn,
+          CAST(0.3 AS DOUBLE) * m.v + CAST(0.7 AS DOUBLE) * r.y
+        FROM m JOIN r ON m.o_orderpriority = r.o_orderpriority
+          AND m.rn = r.rn + 1)
+      SELECT o_orderpriority, mth AS month, v AS revenue,
+        round(y, 6) AS ewma
+      FROM r"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6796,5 +6833,5 @@ object Queries {
     q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas,
     q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence,
     q158HllOverlap, q159ZorderLayout, q160BpeEncode, q161HybridRrf,
-    q162SeasonalAnomaly, q163BloomSemijoin)
+    q162SeasonalAnomaly, q163BloomSemijoin, q164Ewma)
 }

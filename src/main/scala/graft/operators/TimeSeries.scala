@@ -187,4 +187,46 @@ object TimeSeries {
     agg.select(keys.map(col) ++ Seq(col("n"), slope.as("slope"),
       intercept.as("intercept"), r2.as("r2")): _*)
   }
+
+  /** Exponentially weighted moving average per key — simple exponential
+    * smoothing, y₁ = x₁; yₜ = α·xₜ + (1−α)·yₜ₋₁. The recursion has no
+    * windowed closed form Spark exposes, so each key's BOUNDED series
+    * (months/weeks per entity — the [[ffill]]/[[interpolateLinear]]
+    * grain) collapses to one sorted struct array and the recurrence runs
+    * as a sequential `aggregate` fold emitting every prefix, exploded
+    * back to rows with the order key for the join-free reassembly.
+    * Per-key state is the series itself — fine at any corpus width
+    * because series LENGTH is calendar-bounded; this is the same
+    * trade [[reconstructFromAnchor]] makes.
+    *
+    * Determinism: the fold is sequential by construction (same
+    * left-to-right order in any engine — DuckDB replays it with a
+    * recursive CTE), and α/(1−α) are passed as two literals so both
+    * engines multiply the same constants.
+    *
+    * Returns (keys..., orderCol, value, ewma).
+    */
+  def ewma(df: DataFrame, keys: Seq[String], orderCol: String,
+           valueCol: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val arr = df
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col(orderCol).as("o"), valueCol.cast("double").as("x"))))
+        .as("__s"))
+    val folded = arr.withColumn("__y",
+      aggregate(
+        slice(col("__s"), lit(2), greatest(size(col("__s")) - 1, lit(0))),
+        array(element_at(col("__s"), 1).getField("x")),
+        (acc, e) => concat(acc,
+          array(lit(alpha) * e.getField("x") +
+            lit(1.0 - alpha) * element_at(acc, size(acc))))))
+    folded
+      .select((keys.map(col) :+
+        posexplode(arrays_zip(col("__s"), col("__y"))).as(Seq("__i", "__z"))): _*)
+      .select((keys.map(col) ++ Seq(
+        col("__z.__s.o").as(orderCol),
+        col("__z.__s.x").as("value"),
+        round(col("__z.__y").cast("double"), 6).as("ewma"))): _*)
+  }
 }

@@ -139,6 +139,9 @@ class ScaleMechanicsSpec extends SparkSpec {
     // bloom semi-join: the runtime filter itself is map-side; only the
     // reduced join + final aggregate shuffle
     check("q163", Queries.q163BloomSemijoin, 2)
+    // ewma: the monthly rollup + per-key series collect; the smoothing
+    // fold itself is a map-side array expression
+    check("q164", Queries.q164Ewma, 2)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {

@@ -114,4 +114,23 @@ class TimeSeriesJoinsSpec extends SparkSpec {
     // no duplicate (fact, interval) matches despite multi-bucket intervals
     assert(got.size == got.distinct.size)
   }
+
+  test("ewma: hand recursion, singleton identity, per-key isolation") {
+    // α = 0.5 on [10, 20, 30]: y = [10, 15, 22.5]
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+      ("b", 1, 7.0)).toDF("k", "t", "v")
+    val got = TimeSeries.ewma(df, Seq("k"), "t", col("v"), alpha = 0.5)
+      .select("k", "t", "ewma").as[(String, Int, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", 1)) == 10.0)
+    assert(got(("a", 2)) == 15.0)
+    assert(got(("a", 3)) == 22.5)
+    assert(got(("b", 1)) == 7.0, "singleton series: ewma = the value")
+    // α = 1 degenerates to the raw series
+    val raw = TimeSeries.ewma(df, Seq("k"), "t", col("v"), alpha = 1.0)
+      .select("k", "t", "ewma").as[(String, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(raw == Map(("a", 1) -> 10.0, ("a", 2) -> 20.0,
+      ("a", 3) -> 30.0, ("b", 1) -> 7.0))
+  }
 }
