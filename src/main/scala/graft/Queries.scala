@@ -6791,6 +6791,65 @@ object Queries {
         round(y, 6) AS ewma
       FROM r"""))
 
+  private def pprRoundSql(prev: String, k: Int): String = s"""
+      pc$k AS (
+        SELECT e.dst AS node,
+          CAST(sum(CAST(round(s.rank / s.outdeg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS in_sum
+        FROM $prev s JOIN e ON s.node = e.src
+        GROUP BY 1),
+      pd$k AS (
+        SELECT coalesce(CAST(sum(CAST(round(rank, 12) AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS mass
+        FROM $prev WHERE outdeg IS NULL),
+      ps$k AS MATERIALIZED (
+        SELECT s.node, s.outdeg, s.p,
+          round(CAST(0.15 AS DOUBLE) * s.p + CAST(0.85 AS DOUBLE) *
+            (coalesce(c.in_sum, 0.0) + d.mass * s.p), 12) AS rank
+        FROM $prev s LEFT JOIN pc$k c USING (node) CROSS JOIN pd$k d)"""
+
+  /** Personalized PageRank (Graph.personalizedPageRank): supplier
+    * proximity to a seed CUSTOMER set (custkey ≡ 0 mod 97) on the same
+    * referral graph as q123 — rank mass teleports to the seeds, so this
+    * answers "which suppliers serve these customers' neighborhoods",
+    * not global importance. 4 unrolled rounds, 12-dp hash parity. */
+  val q165PersonalizedPr = Q(
+    "q165_personalized_pr",
+    (s, d) => {
+      val e = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val isSeed = (node: Column) =>
+        node.startsWith("c") &&
+          expr("CAST(substring(node, 2) AS BIGINT)") % 97 === 0
+      graft.graph.Graph.personalizedPageRank(e, isSeed, iterations = 4)
+        .where(col("node").startsWith("s"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(30)
+        .select(col("node"), round(col("rank"), 12).as("rank"))
+    },
+    Some(s"""WITH e AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+      m AS (
+        SELECT count(*) AS ns FROM nodes
+        WHERE node LIKE 'c%' AND CAST(substring(node, 2) AS BIGINT) % 97 = 0),
+      ps0 AS MATERIALIZED (
+        SELECT nd.node, dg.outdeg,
+          round(CASE WHEN nd.node LIKE 'c%'
+                      AND CAST(substring(nd.node, 2) AS BIGINT) % 97 = 0
+                THEN CAST(1.0 AS DOUBLE) / m.ns ELSE 0.0 END, 12) AS p,
+          round(CASE WHEN nd.node LIKE 'c%'
+                      AND CAST(substring(nd.node, 2) AS BIGINT) % 97 = 0
+                THEN CAST(1.0 AS DOUBLE) / m.ns ELSE 0.0 END, 12) AS rank
+        FROM nodes nd LEFT JOIN deg dg USING (node) CROSS JOIN m),
+      ${(1 to 4).map(k => pprRoundSql(s"ps${k - 1}", k)).mkString(",\n")}
+      SELECT node, rank FROM ps4
+      WHERE node LIKE 's%'
+      ORDER BY rank DESC, node LIMIT 30"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6833,5 +6892,6 @@ object Queries {
     q150GapHistogram, q151ProfileAudit, q152Scd2Intervals, q153MomDeltas,
     q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence,
     q158HllOverlap, q159ZorderLayout, q160BpeEncode, q161HybridRrf,
-    q162SeasonalAnomaly, q163BloomSemijoin, q164Ewma)
+    q162SeasonalAnomaly, q163BloomSemijoin, q164Ewma,
+    q165PersonalizedPr)
 }

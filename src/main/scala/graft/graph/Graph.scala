@@ -238,4 +238,69 @@ object Graph {
     }
     known
   }
+
+  /** Personalized PageRank (Page et al. 1999 §6; the topic-sensitive /
+    * seed-proximity variant): the teleport vector concentrates on a
+    * SOURCE SET instead of all nodes — p(v) = 1/|S| for v ∈ S, else 0 —
+    * and dangling mass returns to the sources, so rank measures
+    * proximity to the seeds ("suppliers these customers are closest
+    * to"), not global importance. Same Pregel decomposition, shuffle
+    * budget, decimal(28,12) round-then-exact-sum regime, and
+    * per-round `localCheckpoint` discipline as [[pageRank]]; the
+    * personalization vector rides the state frame as one extra rounded
+    * column, so each round stays one edge join + one dst aggregation +
+    * two one-row broadcasts.
+    *
+    * `isSource` must be an engine-portable predicate over the node id
+    * (the oracle evaluates the identical expression). Returns
+    * (node, rank), rank rounded to 12 dp.
+    */
+  def personalizedPageRank(edges: DataFrame, isSource: Column => Column,
+                           iterations: Int, damping: Double = 0.85,
+                           teleport: Double = 0.15): DataFrame = {
+    import graft.operators.Guards
+    require(iterations >= 1, "personalizedPageRank needs at least one iteration")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val meta = nodes.where(isSource(col("node")))
+      .agg(count(lit(1)).as("ns"))
+      .withColumn("__k", Guards.constKey(col("ns")))
+    val exactSum12 = (c: Column) =>
+      sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+    var state = nodes.join(outdeg, Seq("node"), "left")
+      .withColumn("__k", Guards.constKey(col("node")))
+      .join(broadcast(meta), "__k")
+      .select(col("node"), col("outdeg"),
+        round(when(isSource(col("node")),
+          lit(1.0) / col("ns")).otherwise(lit(0.0)), 12).as("p"))
+      .withColumn("rank", col("p"))
+      .localCheckpoint()
+    require(state.where(col("p") > 0).limit(1).count() == 1L,
+      "personalizedPageRank: the source predicate matched no node")
+    var it = 0
+    while (it < iterations) {
+      val contribs = state.where(col("outdeg").isNotNull)
+        .join(e, state("node") === e("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(exactSum12(col("rank") / col("outdeg")).as("in_sum"))
+      val dangling = state
+        .agg(coalesce(exactSum12(when(col("outdeg").isNull, col("rank"))),
+          lit(0.0)).as("mass"))
+        .withColumn("__k", Guards.constKey(col("mass")))
+      state = state.drop("rank")
+        .join(contribs, Seq("node"), "left")
+        .withColumn("__k", Guards.constKey(col("node")))
+        .join(broadcast(dangling), "__k")
+        .select(col("node"), col("outdeg"), col("p"),
+          round(lit(teleport) * col("p") +
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
+              col("mass") * col("p")), 12).as("rank"))
+        .localCheckpoint()
+      it += 1
+    }
+    state.select(col("node"), col("rank"))
+  }
 }

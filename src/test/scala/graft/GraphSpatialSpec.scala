@@ -156,4 +156,26 @@ class GraphSpatialSpec extends SparkSpec {
     assert(r.src_side == 3 && r.out_w == 2 && r.out_h == 2)
     assert(r.checksum == ('A' + 'B' + 'D' + 'E').toLong % 997)
   }
+
+  test("personalizedPageRank: hand-solved chain, mass conserved, seeds anchor") {
+    import spark.implicits._
+    // a -> b -> c, seed {a}: 3 rounds by hand (dangling mass returns to a)
+    //   r1 = (0.15, 0.85, 0); r2 = (0.15, 0.1275, 0.7225)
+    //   r3 = (0.15 + 0.85·0.7225, 0.1275, 0.85·0.1275)
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = graph.Graph.personalizedPageRank(e,
+        n => n === "a", iterations = 3)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("a") - 0.764125) < 1e-9)
+    assert(math.abs(got("b") - 0.1275) < 1e-9)
+    assert(math.abs(got("c") - 0.108375) < 1e-9)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conserved")
+    // unreachable-from-seed nodes hold zero rank
+    val e2 = Seq(("a", "b"), ("x", "y")).toDF("src", "dst")
+    val got2 = graph.Graph.personalizedPageRank(e2,
+        n => n === "a", iterations = 2)
+      .as[(String, Double)].collect().toMap
+    assert(got2("x") == 0.0 && got2("y") == 0.0)
+    assert(got2("a") > 0 && got2("b") > 0)
+  }
 }
