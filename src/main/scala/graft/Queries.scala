@@ -6850,6 +6850,82 @@ object Queries {
       WHERE node LIKE 's%'
       ORDER BY rank DESC, node LIMIT 30"""))
 
+  /** Zipf-law fit over the token-frequency head — the corpus-health
+    * statistic (natural text reads slope ≈ −1 on log rank vs log count;
+    * synthetic/templated corpora drift). The vocabulary head is a
+    * TakeOrdered top-1000 (no global window over the vocab), ranked
+    * under a constKey-bounded window; the regression is closed-form OLS
+    * over 12-dp-rounded log terms summed exactly as decimal — q138's
+    * sufficient-statistics shape on log-transformed data. */
+  val q166ZipfFit = Q(
+    "q166_zipf_fit",
+    (s, d) => {
+      val counts = documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val top = counts.orderBy(col("c").desc, col("tok")).limit(1000)
+      val wR = Window
+        .partitionBy(graft.operators.Guards.constKey(col("tok")))
+        .orderBy(col("c").desc, col("tok"))
+      val ranked = top.withColumn("r", row_number().over(wR))
+        .select(
+          round(log(col("r").cast("double")), 12)
+            .cast("decimal(28,12)").as("x"),
+          round(log(col("c").cast("double")), 12)
+            .cast("decimal(28,12)").as("y"))
+      val a = ranked.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(round(col("x").cast("double") * col("y").cast("double"), 12)
+          .cast("decimal(38,12)")).as("sxy"),
+        sum(round(col("x").cast("double") * col("x").cast("double"), 12)
+          .cast("decimal(38,12)")).as("sxx"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxy = col("sxy").cast("double"); val sxx = col("sxx").cast("double")
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      a.select(col("n"),
+        round(slope, 6).as("zipf_slope"),
+        round((sy - slope * sx) / n, 6).as("intercept"))
+    },
+    Some("""WITH t AS (
+        SELECT CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+          END AS toks
+        FROM documents),
+      counts AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+      top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 1000),
+      ranked AS (
+        SELECT
+          CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE)), 12)
+            AS DECIMAL(28,12)) AS x,
+          CAST(round(ln(CAST(c AS DOUBLE)), 12) AS DECIMAL(28,12)) AS y
+        FROM top),
+      a AS (
+        SELECT count(*) AS n,
+          sum(x) AS sx, sum(y) AS sy,
+          sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+            AS DECIMAL(38,12))) AS sxy,
+          sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+            AS DECIMAL(38,12))) AS sxx
+        FROM ranked)
+      SELECT n,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+        round((CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE))
+          / CAST(n AS DOUBLE), 6) AS intercept
+      FROM a"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6893,5 +6969,5 @@ object Queries {
     q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence,
     q158HllOverlap, q159ZorderLayout, q160BpeEncode, q161HybridRrf,
     q162SeasonalAnomaly, q163BloomSemijoin, q164Ewma,
-    q165PersonalizedPr)
+    q165PersonalizedPr, q166ZipfFit)
 }

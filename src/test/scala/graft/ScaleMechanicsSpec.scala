@@ -142,6 +142,9 @@ class ScaleMechanicsSpec extends SparkSpec {
     // ewma: the monthly rollup + per-key series collect; the smoothing
     // fold itself is a map-side array expression
     check("q164", Queries.q164Ewma, 2)
+    // zipf fit: the vocab count is the only data-sized shuffle; the
+    // head is a TakeOrdered + constKey window + one-row OLS rollup
+    check("q166", Queries.q166ZipfFit, 1)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
