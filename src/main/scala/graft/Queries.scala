@@ -6926,6 +6926,39 @@ object Queries {
           / CAST(n AS DOUBLE), 6) AS intercept
       FROM a"""))
 
+  /** Hybrid skew join (Joins.skewHybridJoin): events⋈user-segment with
+    * heavy users split to a broadcast branch and the balanced remainder
+    * taking the ordinary shuffle — the few-hot-keys alternative to
+    * q91's salting. The split∪ is exactly the plain join, which is the
+    * oracle (DuckDB runs it split-free). */
+  val q167SkewHybrid = Q(
+    "q167_skew_hybrid_join",
+    (s, d) => {
+      val e = events(s, d).select("user_id", "ts", "event_id",
+        "event_type", "value")
+      val dim = e.groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("segment"))
+      graft.operators.Joins.skewHybridJoin(
+          e.select("user_id", "event_type", "value"), dim, "user_id",
+          hotThreshold = 68)
+        .groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value"), 9).cast("decimal(28,9)"))
+            .cast("double"), 6).as("sum_value"))
+    },
+    Some("""WITH dim AS (
+        SELECT user_id, event_type AS segment FROM (
+          SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id, event_type) AS rn
+          FROM events) WHERE rn = 1)
+      SELECT d.segment, e.event_type, count(*) AS n,
+        round(CAST(sum(CAST(round(e.value, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+          AS sum_value
+      FROM events e JOIN dim d USING (user_id)
+      GROUP BY 1, 2"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -6969,5 +7002,5 @@ object Queries {
     q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence,
     q158HllOverlap, q159ZorderLayout, q160BpeEncode, q161HybridRrf,
     q162SeasonalAnomaly, q163BloomSemijoin, q164Ewma,
-    q165PersonalizedPr, q166ZipfFit)
+    q165PersonalizedPr, q166ZipfFit, q167SkewHybrid)
 }

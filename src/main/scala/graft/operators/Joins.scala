@@ -203,4 +203,37 @@ object Joins {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .where(col("dist") <= maxDist)
   }
+
+  /** Hybrid skew join — the broadcast-split alternative to
+    * [[saltedJoin]]: an exact heavy-hitter census (one partial-agg'd
+    * pass; hot keys combine map-side by definition) splits the fact into
+    * a HOT slice, joined against the hot dim subset by BROADCAST (hot
+    * rows never shuffle on the skewed key at all), and a COLD slice that
+    * takes the ordinary shuffle join its now-balanced distribution can
+    * afford. The union is exactly the plain join — split ∪ is a
+    * partition of the fact, and each side joins the full set of its
+    * matching dim rows. Prefer this over salting when hot keys are FEW
+    * and their dim rows fit a broadcast; prefer salting when the hot
+    * side of the dim is itself too big to ship.
+    *
+    * `hotThreshold` is in fact-rows-per-key. The hot-key frame must be
+    * broadcast-small — that is the technique's applicability condition,
+    * asserted here (loudly, driver-side) rather than assumed.
+    */
+  def skewHybridJoin(fact: DataFrame, dim: DataFrame, key: String,
+                     hotThreshold: Long, maxHotKeys: Int = 100000)
+      : DataFrame = {
+    require(hotThreshold >= 2, "a hot threshold below 2 marks everything hot")
+    val hot = fact.groupBy(key).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= hotThreshold).select(key)
+      .localCheckpoint()
+    require(hot.count() <= maxHotKeys,
+      s"[graft] skewHybridJoin: hot-key census exceeds $maxHotKeys keys; " +
+        "the broadcast split does not apply — use saltedJoin")
+    val factHot = fact.join(broadcast(hot), Seq(key), "left_semi")
+    val factCold = fact.join(broadcast(hot), Seq(key), "left_anti")
+    val dimHot = dim.join(broadcast(hot), Seq(key), "left_semi")
+    factHot.join(broadcast(dimHot), Seq(key))
+      .unionByName(factCold.join(dim, Seq(key)))
+  }
 }

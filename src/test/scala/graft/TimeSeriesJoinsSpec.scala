@@ -133,4 +133,32 @@ class TimeSeriesJoinsSpec extends SparkSpec {
     assert(raw == Map(("a", 1) -> 10.0, ("a", 2) -> 20.0,
       ("a", 3) -> 30.0, ("b", 1) -> 7.0))
   }
+
+  test("skewHybridJoin: planted hot key — same answer as the plain join") {
+    // key "hot" carries 1000 fact rows; 20 cold keys carry 10 each
+    val fact = ((1 to 1000).map(i => ("hot", i)) ++
+      (for (k <- 1 to 20; i <- 1 to 10) yield (s"c$k", i))).toDF("k", "v")
+    val dim = (Seq("hot") ++ (1 to 20).map(k => s"c$k") :+ "unmatched")
+      .map(k => (k, s"attr_$k")).toDF("k", "a")
+    val hybrid = Joins.skewHybridJoin(fact, dim, "k", hotThreshold = 100)
+      .groupBy("k", "a").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val plain = fact.join(dim, "k")
+      .groupBy("k", "a").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(hybrid == plain && plain.size == 21)
+    // the split really split: exactly one key crossed the threshold
+    val hot = fact.groupBy("k").count().where(col("count") >= 100)
+    assert(hot.count() == 1L)
+  }
+
+  test("skewHybridJoin: refuses a census too hot to broadcast") {
+    val fact = (1 to 100).flatMap(k => (1 to 3).map(i => (s"k$k", i)))
+      .toDF("k", "v")
+    val dim = (1 to 100).map(k => (s"k$k", "a")).toDF("k", "a")
+    intercept[IllegalArgumentException] {
+      Joins.skewHybridJoin(fact, dim, "k", hotThreshold = 2, maxHotKeys = 10)
+        .count()
+    }
+  }
 }
