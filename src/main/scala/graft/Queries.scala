@@ -6959,6 +6959,44 @@ object Queries {
       FROM events e JOIN dim d USING (user_id)
       GROUP BY 1, 2"""))
 
+  /** Incremental rollup via mergeable exact partials (operators.Partials):
+    * the event stream lands as two batches (event_id parity — any
+    * partition works, that's the point), each reduced to per-type
+    * (n, Σv, min, max, Σv²) state; the readout comes from MERGED state,
+    * never re-touching the raw rows. The oracle computes the same
+    * moments directly over all events — equality IS the
+    * merge-invariance contract. */
+  val q168IncrementalRollup = Q(
+    "q168_incremental_rollup",
+    (s, d) => {
+      import graft.operators.Partials
+      val e = events(s, d).select(col("event_id"), col("event_type"),
+        col("value"))
+      val batchA = Partials.build(
+        e.where(col("event_id") % 2 === 0), Seq("event_type"), col("value"))
+      val batchB = Partials.build(
+        e.where(col("event_id") % 2 === 1), Seq("event_type"), col("value"))
+      Partials.finish(
+        Partials.merge(batchA.unionByName(batchB), Seq("event_type")),
+        Seq("event_type"))
+    },
+    Some("""SELECT event_type,
+        count(*) AS n,
+        round(CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+          AS sum_value,
+        min(value) AS min_value,
+        max(value) AS max_value,
+        round(CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE)
+          / count(*), 6) AS mean,
+        round(greatest(
+          CAST(sum(CAST(round(value * value, 9) AS DECIMAL(28,9))) AS DOUBLE)
+            / count(*)
+          - (CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / count(*))
+            * (CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / count(*)), 0), 6) AS variance
+      FROM events GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7002,5 +7040,6 @@ object Queries {
     q154AbTest, q155ChiSquare, q156DupSpans, q157JsDivergence,
     q158HllOverlap, q159ZorderLayout, q160BpeEncode, q161HybridRrf,
     q162SeasonalAnomaly, q163BloomSemijoin, q164Ewma,
-    q165PersonalizedPr, q166ZipfFit, q167SkewHybrid)
+    q165PersonalizedPr, q166ZipfFit, q167SkewHybrid,
+    q168IncrementalRollup)
 }

@@ -145,6 +145,12 @@ class ScaleMechanicsSpec extends SparkSpec {
     // zipf fit: the vocab count is the only data-sized shuffle; the
     // head is a TakeOrdered + constKey window + one-row OLS rollup
     check("q166", Queries.q166ZipfFit, 1)
+    // hybrid skew join: dim build + the cold-branch shuffle join + final
+    // rollup — the hot branch is broadcast-only by design
+    check("q167", Queries.q167SkewHybrid, 3)
+    // incremental rollup: two batch builds; the merge+finish run over
+    // state rows (map-side combine collapses them before the exchange)
+    check("q168", Queries.q168IncrementalRollup, 2)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
