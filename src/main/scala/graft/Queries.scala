@@ -6997,6 +6997,30 @@ object Queries {
                / count(*)), 0), 6) AS variance
       FROM events GROUP BY 1"""))
 
+  /** Time-weighted average per user (Windows.timeWeightedAverage): each
+    * reading holds until the next, so idle-period values stop being
+    * drowned by burst samples. Decimal×micros exact arithmetic; the
+    * single divide is the only float op. */
+  val q169TimeWeighted = Q(
+    "q169_time_weighted_avg",
+    (s, d) =>
+      graft.operators.Windows.timeWeightedAverage(
+        events(s, d), Seq("user_id"), col("ts"), col("event_id"),
+        col("value")),
+    Some("""WITH o AS (
+        SELECT user_id, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          lead(epoch_us(CAST(ts AS TIMESTAMP)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events)
+      SELECT user_id, count(*) AS n_intervals,
+        round(CAST(sum(nxt - us) AS DOUBLE) / 1e6, 6) AS span_seconds,
+        round(CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9)) * (nxt - us))
+            AS DOUBLE)
+          / CAST(sum(nxt - us) AS DOUBLE), 6) AS twa
+      FROM o WHERE nxt IS NOT NULL
+      GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7041,5 +7065,5 @@ object Queries {
     q158HllOverlap, q159ZorderLayout, q160BpeEncode, q161HybridRrf,
     q162SeasonalAnomaly, q163BloomSemijoin, q164Ewma,
     q165PersonalizedPr, q166ZipfFit, q167SkewHybrid,
-    q168IncrementalRollup)
+    q168IncrementalRollup, q169TimeWeighted)
 }

@@ -226,4 +226,33 @@ object Windows {
       .withColumn("is_anomaly", coalesce(abs(z) > lit(cutoff), lit(false)))
       .drop("__n", "__sx", "__sxx")
   }
+
+  /** Time-weighted average per entity — the sensor/IoT mean where a
+    * reading HOLDS until the next one arrives, so each value weighs by
+    * its holding duration, not its sample count (burst-sampled idle
+    * periods stop dominating the plain mean). One keyed lead window
+    * (total order: ts then a unique tie-break), then exact arithmetic
+    * end-to-end: 9-dp-rounded decimal values × integer microsecond
+    * durations sum exactly, and only the final divide is a double —
+    * bit-identical in any engine at any partition order. The last
+    * reading per entity has no holding interval and is excluded
+    * (entities with one reading vanish; emit them separately if "no
+    * interval" is itself a signal).
+    *
+    * Returns (keys..., n_intervals, span_seconds, twa).
+    */
+  def timeWeightedAverage(df: DataFrame, keys: Seq[String], tsCol: Column,
+                          tieBreak: Column, valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tsCol, tieBreak)
+    val us = unix_micros(tsCol.cast("timestamp"))
+    val dur = lead(us, 1).over(w) - us
+    df.withColumn("__dur", dur)
+      .where(col("__dur").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        round(sum(col("__dur")).cast("double") / 1e6, 6).as("span_seconds"),
+        round(
+          sum(round(valueCol, 9).cast("decimal(28,9)") * col("__dur"))
+            .cast("double") / sum(col("__dur")).cast("double"), 6).as("twa"))
+  }
 }

@@ -151,6 +151,9 @@ class ScaleMechanicsSpec extends SparkSpec {
     // incremental rollup: two batch builds; the merge+finish run over
     // state rows (map-side combine collapses them before the exchange)
     check("q168", Queries.q168IncrementalRollup, 2)
+    // TWA: one keyed lead window + the per-user aggregate share the
+    // user_id exchange
+    check("q169", Queries.q169TimeWeighted, 1)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {

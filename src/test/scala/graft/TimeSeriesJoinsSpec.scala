@@ -152,6 +152,26 @@ class TimeSeriesJoinsSpec extends SparkSpec {
     assert(hot.count() == 1L)
   }
 
+  test("timeWeightedAverage: holding durations weigh values; singletons drop") {
+    import graft.operators.Windows
+    def t(sec: Int) = Timestamp.valueOf(s"2024-01-01 00:00:${"%02d".format(sec)}")
+    val df = Seq(
+      (1L, t(0), 100L, 10.0), (1L, t(10), 101L, 20.0), (1L, t(40), 102L, 99.0),
+      (2L, t(5), 200L, 7.0) // single reading: no interval, excluded
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Windows.timeWeightedAverage(df, Seq("user_id"), col("ts"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Double, Double)].collect().toMap2twa
+    // (10·10 + 20·30) / 40 = 17.5 — the plain mean would read 43
+    assert(got(1L) == ((2L, 40.0, 17.5)))
+    assert(!got.contains(2L))
+  }
+
+  private implicit class TwaOps(rows: Array[(Long, Long, Double, Double)]) {
+    def toMap2twa: Map[Long, (Long, Double, Double)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
   test("skewHybridJoin: refuses a census too hot to broadcast") {
     val fact = (1 to 100).flatMap(k => (1 to 3).map(i => (s"k$k", i)))
       .toDF("k", "v")
