@@ -357,4 +357,72 @@ class PropertySpec extends SparkSpec {
       .as[(String, Double, Double, Long, Long)].collect().head
     assert(rc._5 == 0L && rc._3 == 0.0)
   }
+
+  private val seriesRows = Gen.nonEmptyListOf(for {
+    k <- Gen.oneOf("p", "q")
+    v <- Gen.choose(-50.0, 50.0)
+  } yield (k, v))
+
+  test("ewma stays within each series' [min, max] envelope (convexity)") {
+    forAll(seriesRows) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (k, i, v) }
+        .toDF("k", "t", "v")
+      val out = TimeSeries.ewma(df, Seq("k"), "t", col("v"), alpha = 0.4)
+        .groupBy("k").agg(min("ewma").as("elo"), max("ewma").as("ehi"),
+          min("value").as("vlo"), max("value").as("vhi"))
+        .as[(String, Double, Double, Double, Double)].collect()
+      out.foreach { case (k, elo, ehi, vlo, vhi) =>
+        assert(elo >= vlo - 1e-6 && ehi <= vhi + 1e-6,
+          s"$k: ewma [$elo,$ehi] escapes value envelope [$vlo,$vhi]")
+      }
+    }
+  }
+
+  test("timeWeightedAverage lies within the interval values' [min, max]") {
+    import graft.operators.Windows
+    val twaRows = Gen.nonEmptyListOf(for {
+      u <- Gen.oneOf(1L, 2L)
+      s <- Gen.choose(0, 3600)
+      v <- Gen.choose(-10.0, 10.0)
+    } yield (u, s, v)).map(_.distinctBy(r => (r._1, r._2)))
+      .suchThat(_.nonEmpty)
+    forAll(twaRows) { rows =>
+      val df = rows.zipWithIndex.map { case ((u, s, v), i) =>
+        (u, java.sql.Timestamp.valueOf(
+          s"2024-01-01 ${"%02d".format(s / 3600)}:${"%02d".format(s / 60 % 60)}:${"%02d".format(s % 60)}"),
+          i.toLong, v)
+      }.toDF("user_id", "ts", "event_id", "v")
+      // envelope over the values that actually carry an interval (all
+      // but each user's last reading)
+      val got = Windows.timeWeightedAverage(df, Seq("user_id"), col("ts"),
+          col("event_id"), col("v"))
+        .as[(Long, Long, Double, Double)].collect()
+      got.foreach { case (u, _, _, twa) =>
+        val vs = rows.filter(_._1 == u).sortBy(_._2).dropRight(1).map(_._3)
+        if (vs.nonEmpty)
+          assert(twa >= vs.min - 1e-6 && twa <= vs.max + 1e-6,
+            s"user $u: twa $twa outside [${vs.min}, ${vs.max}]")
+      }
+    }
+  }
+
+  test("duplicateSpans: dup budget never exceeds the doc; symmetric docs agree") {
+    import graft.operators.Corpus
+    val wordGen = Gen.listOfN(30, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"))
+    forAll(Gen.zip(wordGen, wordGen), n = 3) { case (w1, w2) =>
+      val docs = Seq((1L, w1.mkString(" ")), (2L, w2.mkString(" ")),
+        (3L, (w1 ++ w2).mkString(" "))).toDF("doc_id", "text")
+      val out = Corpus.duplicateSpans(docs, "doc_id", "text", k = 8)
+        .as[(Long, Long, Long, Long, Double)].collect()
+      out.foreach { case (id, nSpans, dupToks, nToks, ratio) =>
+        assert(dupToks <= nToks, s"doc $id: dup $dupToks > total $nToks")
+        assert(nSpans >= 1 && ratio >= 0.0 && ratio <= 1.0)
+      }
+      // doc 3 contains both docs verbatim: any doc with >= 8 tokens
+      // shares its full run with doc 3, so it must appear in the output
+      val ids = out.map(_._1).toSet
+      assert(ids.contains(3L) && ids.contains(1L) && ids.contains(2L))
+    }
+  }
 }
