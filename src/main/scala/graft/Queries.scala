@@ -7021,6 +7021,51 @@ object Queries {
       FROM o WHERE nxt IS NOT NULL
       GROUP BY 1"""))
 
+  /** Directed containment join (Dedup.containmentJoin): near-superset /
+    * quotation pairs C(a→b) = |Sa∩Sb|/|Sa| ≥ 0.6 over 5-gram shingles —
+    * the asymmetric dup signal Jaccard structurally misses. Same
+    * lossless rare-prefix candidate machinery as q107, one-sided. */
+  val q170Containment = Q(
+    "q170_containment_join",
+    (s, d) =>
+      Dedup.containmentJoin(documents(s, d), "doc_id", "text",
+        n = 5, threshold = 0.6),
+    Some(s"""WITH t AS ($duckToksSql),
+      s0 AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        FROM t WHERE len(toks) >= 5),
+      dt AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS tok
+        FROM s0),
+      sets AS (
+        SELECT doc_id, list(tok) AS st, count(*) AS sz
+        FROM dt GROUP BY 1),
+      th AS (
+        SELECT doc_id, tok,
+          ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT AS h
+        FROM dt),
+      dfq AS (SELECT h, count(*) AS c FROM th GROUP BY 1),
+      ranked AS (
+        SELECT doc_id, h,
+          row_number() OVER (PARTITION BY doc_id ORDER BY c, h, tok) AS r,
+          count(*) OVER (PARTITION BY doc_id) AS sz
+        FROM th JOIN dfq USING (h)),
+      pre AS (
+        SELECT doc_id AS id1, sz AS z1, h AS ptok
+        FROM ranked WHERE r <= sz - ceil(0.6 * sz) + 1),
+      cand AS (
+        SELECT DISTINCT pre.id1, b.doc_id AS id2, pre.z1
+        FROM pre JOIN ranked b ON pre.ptok = b.h AND pre.id1 <> b.doc_id
+        WHERE b.sz >= ceil(0.6 * pre.z1)),
+      c AS (
+        SELECT id1, id2,
+          CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE) / z1 AS cont
+        FROM cand
+        JOIN sets sa ON cand.id1 = sa.doc_id
+        JOIN sets sb ON cand.id2 = sb.doc_id)
+      SELECT id1, id2, round(cont, 6) AS containment
+      FROM c WHERE cont >= 0.6"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7065,5 +7110,5 @@ object Queries {
     q158HllOverlap, q159ZorderLayout, q160BpeEncode, q161HybridRrf,
     q162SeasonalAnomaly, q163BloomSemijoin, q164Ewma,
     q165PersonalizedPr, q166ZipfFit, q167SkewHybrid,
-    q168IncrementalRollup, q169TimeWeighted)
+    q168IncrementalRollup, q169TimeWeighted, q170Containment)
 }

@@ -137,6 +137,62 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Directed set-containment join (Broder 1997's containment measure —
+    * the asymmetric cousin of [[prefixJaccardJoin]]): pairs (a, b),
+    * a ≠ b, with C(a→b) = |Sa∩Sb| / |Sa| >= t — near-superset /
+    * quotation detection that Jaccard structurally misses (a 100-token
+    * doc quoted verbatim inside a 10 000-token doc reads J ≈ 0.01 but
+    * C = 1.0).
+    *
+    * LOSSLESS for C >= t: fewer than p = |Sa| − ceil(t·|Sa|) + 1 of a's
+    * rare-first-ordered tokens can lie outside Sb, so a's p-prefix must
+    * hit SOME token of b — candidates are a-prefix × b-ALL-tokens.
+    * Scale rests on the same pillar as the Jaccard prefix join: prefixes
+    * land on LOW-df keys, so each prefix token meets only its few
+    * carrier documents; the b side never derives a prefix (containment
+    * is one-sided) and pays only the size filter |Sb| >= ceil(t·|Sa|)
+    * pre-verification. Shares docs/shingle/df machinery — one
+    * checkpointed shingle pass, 8-byte keys through every shuffle.
+    *
+    * Returns directed (id1, id2, containment): id1's set is >= t inside
+    * id2's.
+    */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val docs = df.select(col(idCol).as("id"),
+        array_distinct(Text.wordShingles(col(textCol), n)).as("set"))
+      .where(size(col("set")) > 0)
+      .withColumn("sz", size(col("set")))
+      .localCheckpoint(true)
+    val toks = docs
+      .select(col("id"), col("sz"), explode(col("set")).as("tok"))
+      .withColumn("h", Text.md5Hash64(col("tok"), 0))
+    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("c"))
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val pre = toks.join(dfreq, "h")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("c"), col("h"), col("tok"))))
+      .where(col("r") <= prefixLen)
+      .select(col("id").as("id1"), col("sz").as("z1"), col("h").as("ptok"))
+    val all = toks.select(col("id").as("id2"), col("sz").as("z2"),
+      col("h").as("ptok"))
+    val pairs = pre.join(all, Seq("ptok"))
+      .where(col("id1") =!= col("id2") &&
+        // |Sa∩Sb| <= |Sb|, so C >= t forces |Sb| >= ceil(t*|Sa|)
+        col("z2") >= ceil(lit(threshold) * col("z1")))
+      .select(col("id1"), col("id2"), col("z1"))
+      .dropDuplicates("id1", "id2")
+    pairs
+      .join(docs.select(col("id").as("id1"), col("set").as("s1")), Seq("id1"))
+      .join(docs.select(col("id").as("id2"), col("set").as("s2")), Seq("id2"))
+      .withColumn("containment",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") / col("z1"))
+      .where(col("containment") >= threshold)
+      .select(col("id1"), col("id2"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Mersenne prime 2^31-1: universal-hash modulus. One md5 per shingle;
     * the k hash functions are (a_i * h + b_i) mod P — standard MinHash
     * practice (32x fewer md5 evaluations than hashing per seed).

@@ -154,6 +154,9 @@ class ScaleMechanicsSpec extends SparkSpec {
     // TWA: one keyed lead window + the per-user aggregate share the
     // user_id exchange
     check("q169", Queries.q169TimeWeighted, 1)
+    // containment: df census + prefix-window exchanges only (candidate
+    // and set-fetch joins reuse the checkpointed shingle partitioning)
+    check("q170", Queries.q170Containment, 4)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {

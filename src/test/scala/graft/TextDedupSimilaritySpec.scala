@@ -226,6 +226,37 @@ class TextDedupSimilaritySpec extends SparkSpec {
     assert(!got.contains((1L, 3L)))
   }
 
+  test("containmentJoin: LOSSLESS vs brute force; finds the quote Jaccard misses") {
+    import spark.implicits._
+    val quoted = (1 to 12).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, quoted),                                            // the quote
+      (2L, ((1 to 80).map(i => s"w$i") :+ quoted).mkString(" ")), // quotes doc 1
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))           // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, "doc_id", "text", n = 5,
+        threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // doc 1's full shingle set sits inside doc 2: directed hit (1 -> 2)
+    assert(got(1L -> 2L) == 1.0)
+    // the reverse direction fails the threshold (2 is much bigger) ...
+    assert(!got.contains(2L -> 1L))
+    // ... and so would symmetric Jaccard at any useful threshold
+    val jac = Dedup.prefixJaccardJoin(docs, "doc_id", "text", n = 5,
+        threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(r => Set(r._1, r._2) == Set(1L, 2L)))
+    // losslessness: brute-force directed containment over all pairs
+    val brute = for {
+      a <- Seq(1L, 2L, 3L); b <- Seq(1L, 2L, 3L) if a != b
+      ta = docs.where(col("doc_id") === a).head.getString(1).split(" ").sliding(5).map(_.mkString(" ")).toSet
+      tb = docs.where(col("doc_id") === b).head.getString(1).split(" ").sliding(5).map(_.mkString(" ")).toSet
+      c = ta.intersect(tb).size.toDouble / ta.size if c >= 0.6
+    } yield (a, b)
+    assert(got.keySet == brute.toSet)
+  }
+
   test("rrfFuse: hand-computed fusion; union semantics; absent list contributes 0") {
     import spark.implicits._
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
