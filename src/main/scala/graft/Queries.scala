@@ -7066,6 +7066,41 @@ object Queries {
       SELECT id1, id2, round(cont, 6) AS containment
       FROM c WHERE cont >= 0.6"""))
 
+  /** Weekly trending ranks with week-over-week movement — the
+    * "what's rising" readout: per-week event-type ranks (keyed window,
+    * weeks bounded by the calendar) and each type's rank delta vs its
+    * previous week under one keyed lag. All-integer arithmetic; both
+    * engines truncate weeks to Monday. */
+  val q171Trending = Q(
+    "q171_trending",
+    (s, d) => {
+      val weekly = events(s, d)
+        .groupBy(trunc(col("ts").cast("date"), "week").as("week"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wRank = Window.partitionBy("week")
+        .orderBy(col("n").desc, col("event_type"))
+      val wPrev = Window.partitionBy("event_type").orderBy("week")
+      weekly
+        .withColumn("rank", row_number().over(wRank))
+        .withColumn("rank_delta",
+          coalesce(lag(col("rank"), 1).over(wPrev) - col("rank"), lit(0)))
+        .select("week", "event_type", "n", "rank", "rank_delta")
+    },
+    Some("""WITH w AS (
+        SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+          event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT week, event_type, n,
+          CAST(row_number() OVER (PARTITION BY week
+            ORDER BY n DESC, event_type) AS INT) AS rank
+        FROM w)
+      SELECT week, event_type, n, rank,
+        CAST(coalesce(lag(rank) OVER (PARTITION BY event_type ORDER BY week)
+          - rank, 0) AS INT) AS rank_delta
+      FROM r"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7110,5 +7145,6 @@ object Queries {
     q158HllOverlap, q159ZorderLayout, q160BpeEncode, q161HybridRrf,
     q162SeasonalAnomaly, q163BloomSemijoin, q164Ewma,
     q165PersonalizedPr, q166ZipfFit, q167SkewHybrid,
-    q168IncrementalRollup, q169TimeWeighted, q170Containment)
+    q168IncrementalRollup, q169TimeWeighted, q170Containment,
+    q171Trending)
 }

@@ -157,6 +157,8 @@ class ScaleMechanicsSpec extends SparkSpec {
     // containment: df census + prefix-window exchanges only (candidate
     // and set-fetch joins reuse the checkpointed shingle partitioning)
     check("q170", Queries.q170Containment, 4)
+    // trending: weekly rollup + the two keyed rank/lag windows
+    check("q171", Queries.q171Trending, 3)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
