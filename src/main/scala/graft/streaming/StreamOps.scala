@@ -76,4 +76,34 @@ object StreamOps {
       .withColumn("is_known_dup", coalesce(col("__in_corpus"), lit(false)))
       .drop("__in_corpus")
   }
+
+  /** Stream-STREAM event-time join — the click-attribution shape: each
+    * click joins the impression with the same key whose event time
+    * precedes it by at most `within`. Both sides carry watermarks and
+    * the join condition bounds BOTH event times, so Spark can size the
+    * buffered state exactly (impressions evict once no future click can
+    * reach them; clicks evict past their own watermark) — the honest
+    * unbounded-stream contract for a two-stream join. Inner join: a
+    * click with no in-window impression drops (left-outer emits nulls
+    * only after the watermark closes the window — same code, different
+    * joinType, more latency).
+    *
+    * `impressions` needs (keyCol, impTsCol, ...), `clicks`
+    * (keyCol, clickTsCol, ...); both must already have
+    * `.withWatermark` applied upstream. Returns every matched pair with
+    * the attribution latency in seconds (exact integer micros → one
+    * divide).
+    */
+  def streamStreamAttribution(
+      impressions: DataFrame, clicks: DataFrame, keyCol: String,
+      impTsCol: String, clickTsCol: String, within: String): DataFrame =
+    impressions.join(clicks,
+      impressions(keyCol) === clicks(keyCol) &&
+        clicks(clickTsCol) >= impressions(impTsCol) &&
+        clicks(clickTsCol) <=
+          impressions(impTsCol) + expr(s"INTERVAL $within"))
+      .drop(clicks(keyCol))
+      .withColumn("latency_seconds",
+        (unix_micros(col(clickTsCol)) - unix_micros(col(impTsCol)))
+          .cast("double") / 1e6)
 }
