@@ -7101,6 +7101,47 @@ object Queries {
           - rank, 0) AS INT) AS rank_delta
       FROM r"""))
 
+  /** Table diff / reconciliation audit (Reshape.tableDiff): orders vs a
+    * deterministically patched version (every 97th key dropped, every
+    * 89th price bumped, every 83rd re-keyed in as new) — the
+    * added/removed/changed/unchanged census a pipeline migration signs
+    * off on. One full-outer key join, null-safe struct compare. */
+  val q172TableDiff = Q(
+    "q172_table_diff",
+    (s, d) => {
+      val before = orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val after = before.where(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(before.where(col("o_orderkey") % 83 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+      graft.operators.Reshape.tableDiff(before, after, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH b AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      a AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+               ELSE o_totalprice END AS o_totalprice,
+          o_orderstatus
+        FROM b WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus
+        FROM b WHERE o_orderkey % 83 = 0),
+      d AS (
+        SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                    WHEN a.o_orderkey IS NULL THEN 'removed'
+                    WHEN b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice
+                     AND b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus
+                    THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM b FULL JOIN a ON b.o_orderkey = a.o_orderkey)
+      SELECT status, count(*) AS n FROM d GROUP BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7146,5 +7187,5 @@ object Queries {
     q162SeasonalAnomaly, q163BloomSemijoin, q164Ewma,
     q165PersonalizedPr, q166ZipfFit, q167SkewHybrid,
     q168IncrementalRollup, q169TimeWeighted, q170Containment,
-    q171Trending)
+    q171Trending, q172TableDiff)
 }

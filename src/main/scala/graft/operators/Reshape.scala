@@ -42,4 +42,34 @@ object Reshape {
   def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
            varName: String = "variable", valueName: String = "value"): DataFrame =
     df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valueName)
+
+  /** Table diff / reconciliation — the data-regression audit every
+    * pipeline migration runs ("same keys? same values?"): classify each
+    * key as added (only in `after`), removed (only in `before`), changed
+    * (both sides, any compared column differs — null-safe), or
+    * unchanged. ONE full-outer key join; value comparison is the
+    * null-safe equality of the two column structs, so nulls diff like
+    * values and never leak 'changed' rows as 'unchanged'. Both sides
+    * must be key-unique (enforce upstream — a duplicate key makes "the"
+    * row ill-defined on either side).
+    *
+    * Returns (keys..., status); aggregate downstream for the audit
+    * summary, or filter status != 'unchanged' for the delta feed.
+    */
+  def tableDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+                compare: Seq[String]): DataFrame = {
+    val b = before.select((keys ++ compare).map(col): _*)
+      .withColumn("__b", struct(compare.map(col): _*))
+      .select((keys.map(col) :+ col("__b")): _*)
+    val a = after.select((keys ++ compare).map(col): _*)
+      .withColumn("__a", struct(compare.map(col): _*))
+      .select((keys.map(col) :+ col("__a")): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("status",
+        when(col("__b").isNull, lit("added"))
+          .when(col("__a").isNull, lit("removed"))
+          .when(col("__b") <=> col("__a"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select((keys.map(col) :+ col("status")): _*)
+  }
 }

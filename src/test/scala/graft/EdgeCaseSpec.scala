@@ -132,4 +132,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(z.length == 1 && z(0).getAs[Long]("n_docs") == 1L &&
       z(0).getAs[Long]("padding") == 20L && z(0).getAs[Long]("overflow") == 0L)
   }
+
+  test("tableDiff: added/removed/changed/unchanged, nulls diff like values") {
+    import graft.operators.Reshape
+    val before = Seq((1L, Some(10.0), "x"), (2L, Some(20.0), "y"),
+      (3L, None, "z"), (4L, Some(40.0), "w")).toDF("k", "v", "s")
+    val after = Seq((1L, Some(10.0), "x"),      // unchanged
+      (2L, Some(21.0), "y"),                    // changed value
+      (3L, Some(30.0), "z"),                    // null -> value = changed
+      (5L, Some(50.0), "n")                     // added; 4 removed
+    ).toDF("k", "v", "s")
+    val got = Reshape.tableDiff(before, after, Seq("k"), Seq("v", "s"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
 }

@@ -159,6 +159,8 @@ class ScaleMechanicsSpec extends SparkSpec {
     check("q170", Queries.q170Containment, 4)
     // trending: weekly rollup + the two keyed rank/lag windows
     check("q171", Queries.q171Trending, 3)
+    // table diff: the one full-outer key join + status rollup
+    check("q172", Queries.q172TableDiff, 3)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
