@@ -7142,6 +7142,50 @@ object Queries {
         FROM b FULL JOIN a ON b.o_orderkey = a.o_orderkey)
       SELECT status, count(*) AS n FROM d GROUP BY 1"""))
 
+  /** Trailing-window uniques from daily sketch partials: per-day HLL
+    * user sketches (the once-per-ingest artifact) answer every trailing
+    * 7-day distinct-user question by sketch-union — no rescan of raw
+    * events, the temporal form of the q53/q158 mergeable-partial
+    * contract. Day-level self-join (≤7× day-count rows, calendar-scale);
+    * the oracle pins exact trailing uniques + a 3·RSE bounds boolean. */
+  val q173TrailingUniques = Q(
+    "q173_trailing_uniques",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+          count(lit(1)).as("n_events"))
+      val trail = daily.as("t")
+        .join(daily.select(col("day").as("d2"), col("sk").as("sk2")).as("u"),
+          col("d2").between(date_sub(col("day"), 6), col("day")))
+        .groupBy(col("day"), col("n_events"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk2"), lit(true)))
+          .cast("double").as("est_u7"))
+      val exact = events(s, d)
+        .select(col("ts").cast("date").as("d2"), col("user_id")).distinct()
+        .withColumn("day", explode(sequence(col("d2"),
+          date_add(col("d2"), 6))))
+        .select("day", "user_id").distinct()
+        .groupBy("day").agg(count(lit(1)).as("exact_u7"))
+      trail.join(exact, Seq("day"))
+        .select(col("day"), col("n_events"), col("exact_u7"),
+          (abs(col("est_u7") - col("exact_u7")) / col("exact_u7") <= 0.05)
+            .as("within_3rse"))
+    },
+    Some("""WITH e AS (
+        SELECT CAST(ts AS DATE) AS d2, user_id FROM events),
+      days AS (SELECT DISTINCT d2 AS day FROM e),
+      n AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1),
+      ex AS (
+        SELECT days.day, count(DISTINCT e.user_id) AS exact_u7
+        FROM days JOIN e ON e.d2 BETWEEN days.day - 6 AND days.day
+        GROUP BY 1)
+      SELECT day, n.n_events, CAST(ex.exact_u7 AS BIGINT) AS exact_u7,
+        true AS within_3rse
+      FROM ex JOIN n USING (day)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7187,5 +7231,5 @@ object Queries {
     q162SeasonalAnomaly, q163BloomSemijoin, q164Ewma,
     q165PersonalizedPr, q166ZipfFit, q167SkewHybrid,
     q168IncrementalRollup, q169TimeWeighted, q170Containment,
-    q171Trending, q172TableDiff)
+    q171Trending, q172TableDiff, q173TrailingUniques)
 }

@@ -161,6 +161,9 @@ class ScaleMechanicsSpec extends SparkSpec {
     check("q171", Queries.q171Trending, 3)
     // table diff: the one full-outer key join + status rollup
     check("q172", Queries.q172TableDiff, 3)
+    // trailing uniques: daily sketch build + day-scale trailing join +
+    // the exact-verification branch (absent in production use)
+    check("q173", Queries.q173TrailingUniques, 6)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
