@@ -7186,6 +7186,73 @@ object Queries {
         true AS within_3rse
       FROM ex JOIN n USING (day)"""))
 
+  /** PMI collocations (Church & Hanks 1990): top adjacent token pairs by
+    * pointwise mutual information, min support 5 — the collocation
+    * extractor corpus linguistics runs before phrase-aware tokenization.
+    * Exact counts everywhere; PMI is one fixed-order scalar per pair;
+    * unigram dims join on the token key, totals ride one-row constKey
+    * broadcasts; the cut is TakeOrdered on (rounded PMI, pair). */
+  val q174PmiCollocations = Q(
+    "q174_pmi_collocations",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+        .where(size(col("__toks")) >= 2)
+      val bi = toks.select(
+          explode(zip_with(
+            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c_ab"))
+      val uni = documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val totals = uni.agg(sum("c").as("t_uni"),
+          Guards.constKey(min(col("tok"))).as("__k"))
+      val bTotal = bi.agg(sum("c_ab").as("t_bi"),
+          Guards.constKey(min(col("a"))).as("__k"))
+      val pmi = log2((col("c_ab").cast("double") / col("t_bi")) /
+        ((col("c_a").cast("double") / col("t_uni")) *
+          (col("c_b").cast("double") / col("t_uni"))))
+      bi.where(col("c_ab") >= 5)
+        .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+        .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+        .withColumn("__k", Guards.constKey(col("a")))
+        .join(broadcast(totals), "__k")
+        .join(broadcast(bTotal), "__k")
+        .select(col("a"), col("b"), col("c_ab"), round(pmi, 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b")).limit(20)
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+          END AS toks
+        FROM documents),
+      bi AS (
+        SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS c_ab
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE len(toks) >= 2)
+        GROUP BY 1, 2),
+      uni AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+      tu AS (SELECT sum(c) AS t_uni FROM uni),
+      tb AS (SELECT sum(c_ab) AS t_bi FROM bi)
+      SELECT bi.a, bi.b, bi.c_ab,
+        round(log2((CAST(bi.c_ab AS DOUBLE) / t_bi) /
+          ((CAST(ua.c AS DOUBLE) / t_uni)
+            * (CAST(ub.c AS DOUBLE) / t_uni))), 6) AS pmi
+      FROM bi
+      JOIN uni ua ON bi.a = ua.tok
+      JOIN uni ub ON bi.b = ub.tok
+      CROSS JOIN tu CROSS JOIN tb
+      WHERE bi.c_ab >= 5
+      ORDER BY pmi DESC, bi.a, bi.b LIMIT 20"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7231,5 +7298,6 @@ object Queries {
     q162SeasonalAnomaly, q163BloomSemijoin, q164Ewma,
     q165PersonalizedPr, q166ZipfFit, q167SkewHybrid,
     q168IncrementalRollup, q169TimeWeighted, q170Containment,
-    q171Trending, q172TableDiff, q173TrailingUniques)
+    q171Trending, q172TableDiff, q173TrailingUniques,
+    q174PmiCollocations)
 }

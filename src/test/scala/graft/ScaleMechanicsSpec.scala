@@ -164,6 +164,9 @@ class ScaleMechanicsSpec extends SparkSpec {
     // trailing uniques: daily sketch build + day-scale trailing join +
     // the exact-verification branch (absent in production use)
     check("q173", Queries.q173TrailingUniques, 6)
+    // PMI: bigram + unigram counts and the two token-keyed dim joins;
+    // totals ride one-row broadcasts, the cut is TakeOrdered
+    check("q174", Queries.q174PmiCollocations, 7)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
