@@ -41,7 +41,11 @@ class PlanQualitySpec extends SparkSpec {
     "q158_hll_overlap",
     // hybrid RRF's vector arm is the q26 brute shape: corpus x ONE
     // broadcast probe row — bounded by probe count exactly like q26
-    "q161_hybrid_rrf")
+    "q161_hybrid_rrf",
+    // trailing-uniques sketch rollup: day×day range join over the
+    // calendar-scale daily-partials frame — ≤7 rows per day by the
+    // BETWEEN bound, never data-scale
+    "q173_trailing_uniques")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).
