@@ -7253,6 +7253,45 @@ object Queries {
       WHERE bi.c_ab >= 5
       ORDER BY pmi DESC, bi.a, bi.b LIMIT 20"""))
 
+  /** Per-slice quantile drift vs the corpus (data-drift monitor): each
+    * event type's value deciles against the global deciles, reported as
+    * max and mean absolute gap — the distribution-shift readout a
+    * feature pipeline alarms on. Exact interpolated percentiles (q34's
+    * proven quantile_cont parity) on both sides; the global decile row
+    * broadcasts on a constKey. */
+  val q175QuantileDrift = Q(
+    "q175_quantile_drift",
+    (s, d) => {
+      val decs = (1 to 9).map(_ / 10.0)
+      val decArray = array(decs.map(lit): _*)
+      val byType = events(s, d).groupBy("event_type")
+        .agg(percentile(col("value"), decArray).as("qs"))
+      val global = events(s, d)
+        .agg(percentile(col("value"), decArray).as("gqs"),
+          Guards.constKey(min(col("event_type"))).as("__k"))
+      val gaps = zip_with(col("qs"), col("gqs"), (a, b) => abs(a - b))
+      byType.withColumn("__k", Guards.constKey(col("event_type")))
+        .join(broadcast(global), "__k")
+        .select(col("event_type"),
+          round(array_max(gaps), 6).as("max_drift"),
+          round(aggregate(gaps, lit(0.0), (acc, x) => acc + x) / 9.0, 6)
+            .as("mean_drift"))
+    },
+    Some("""WITH g AS (
+        SELECT quantile_cont(value,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS gqs
+        FROM events),
+      t AS (
+        SELECT event_type, quantile_cont(value,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM events GROUP BY 1)
+      SELECT event_type,
+        round(list_max(list_transform(range(1, 10),
+          i -> abs(qs[i] - gqs[i]))), 6) AS max_drift,
+        round(list_reduce(list_transform(range(1, 10),
+          i -> abs(qs[i] - gqs[i])), (a, b) -> a + b) / 9.0, 6) AS mean_drift
+      FROM t CROSS JOIN g"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7299,5 +7338,5 @@ object Queries {
     q165PersonalizedPr, q166ZipfFit, q167SkewHybrid,
     q168IncrementalRollup, q169TimeWeighted, q170Containment,
     q171Trending, q172TableDiff, q173TrailingUniques,
-    q174PmiCollocations)
+    q174PmiCollocations, q175QuantileDrift)
 }

@@ -167,6 +167,9 @@ class ScaleMechanicsSpec extends SparkSpec {
     // PMI: bigram + unigram counts and the two token-keyed dim joins;
     // totals ride one-row broadcasts, the cut is TakeOrdered
     check("q174", Queries.q174PmiCollocations, 7)
+    // quantile drift: per-type + global percentile aggs; the gap math
+    // is array expressions over broadcast rows
+    check("q175", Queries.q175QuantileDrift, 2)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
