@@ -7292,6 +7292,72 @@ object Queries {
           i -> abs(qs[i] - gqs[i])), (a, b) -> a + b) / 9.0, 6) AS mean_drift
       FROM t CROSS JOIN g"""))
 
+  /** Rendezvous-sharding rebalance audit (Packing.rendezvousShard): the
+    * consistent-sharding guarantee as an exact census — growing 16→17
+    * shards, HRW moves only the keys shard 16 wins (≈1/17) while mod
+    * hashing moves ≈16/17. The census that justifies HRW layouts for
+    * incremental reprocessing at scale; oracle replays the identical
+    * md5 scores in SQL. */
+  val q176RendezvousShard = Q(
+    "q176_rendezvous_shard",
+    (s, d) => {
+      import graft.operators.Packing
+      val key = col("doc_id")
+      val h = Text.md5Hash64(key.cast("string"), 0)
+      documents(s, d).select(
+          Packing.rendezvousShard(key, 16).as("r16"),
+          Packing.rendezvousShard(key, 17).as("r17"),
+          pmod(h, lit(16L)).as("m16"),
+          pmod(h, lit(17L)).as("m17"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("r16") =!= col("r17"), 1L).otherwise(0L))
+            .as("moved_rendezvous"),
+          sum(when(col("m16") =!= col("m17"), 1L).otherwise(0L))
+            .as("moved_mod"))
+        .select(col("n_docs"), col("moved_rendezvous"), col("moved_mod"),
+          round(col("moved_rendezvous").cast("double") / col("n_docs"), 6)
+            .as("frac_rendezvous"),
+          round(col("moved_mod").cast("double") / col("n_docs"), 6)
+            .as("frac_mod"),
+          (col("moved_rendezvous") < col("moved_mod"))
+            .as("rendezvous_more_stable"))
+    },
+    Some("""WITH s AS (
+        SELECT doc_id, i,
+          ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+            CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents, unnest(range(0, 17)) AS t(i)),
+      r17 AS (
+        SELECT doc_id, i AS r17 FROM (
+          SELECT doc_id, i,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY h DESC, i DESC) AS rn
+          FROM s) WHERE rn = 1),
+      r16 AS (
+        SELECT doc_id, i AS r16 FROM (
+          SELECT doc_id, i,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY h DESC, i DESC) AS rn
+          FROM s WHERE i < 16) WHERE rn = 1),
+      m AS (
+        SELECT doc_id,
+          ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            AS h0
+        FROM documents),
+      j AS (
+        SELECT r16.r16, r17.r17, m.h0 % 16 AS m16, m.h0 % 17 AS m17
+        FROM r16 JOIN r17 USING (doc_id) JOIN m USING (doc_id))
+      SELECT count(*) AS n_docs,
+        CAST(count(*) FILTER (WHERE r16 <> r17) AS BIGINT) AS moved_rendezvous,
+        CAST(count(*) FILTER (WHERE m16 <> m17) AS BIGINT) AS moved_mod,
+        round(CAST(count(*) FILTER (WHERE r16 <> r17) AS DOUBLE) / count(*), 6)
+          AS frac_rendezvous,
+        round(CAST(count(*) FILTER (WHERE m16 <> m17) AS DOUBLE) / count(*), 6)
+          AS frac_mod,
+        count(*) FILTER (WHERE r16 <> r17) < count(*) FILTER (WHERE m16 <> m17)
+          AS rendezvous_more_stable
+      FROM j"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7338,5 +7404,5 @@ object Queries {
     q165PersonalizedPr, q166ZipfFit, q167SkewHybrid,
     q168IncrementalRollup, q169TimeWeighted, q170Containment,
     q171Trending, q172TableDiff, q173TrailingUniques,
-    q174PmiCollocations, q175QuantileDrift)
+    q174PmiCollocations, q175QuantileDrift, q176RendezvousShard)
 }

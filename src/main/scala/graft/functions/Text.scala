@@ -210,4 +210,11 @@ object Text {
   def md5Hash64(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(seed.toString), lit(":"), c)), 1, 15), 16, 10)
       .cast("long")
+
+  /** [[md5Hash64]] with a COLUMN seed — for per-element hashing inside
+    * array lambdas (rendezvous shard scoring), where the seed is the
+    * lambda variable. Identical bytes hashed, identical SQL mirror. */
+  def md5Hash64Col(c: Column, seed: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), c)), 1, 15), 16, 10)
+      .cast("long")
 }

@@ -189,4 +189,23 @@ object Packing {
       .withColumn("pos", row_number().over(w) - 1)
       .drop("__h")
   }
+
+  /** Rendezvous / highest-random-weight shard assignment (Thaler &
+    * Ravishankar 1998) — the consistent sharding mod-hash can't give:
+    * growing n→n+1 shards moves ONLY the keys the new shard wins
+    * (≈ 1/(n+1) of them), where `pmod(h, n)` reshuffles ≈ n/(n+1) of
+    * the corpus. At 100 TB that is the difference between reprocessing
+    * one shard and reprocessing the fleet. Pure expression: score every
+    * shard id with the engine-portable md5 hash and take the argmax
+    * (struct max over (score, shard) — ties, cosmically unlikely on
+    * 60-bit scores, break to the HIGHEST shard id in both engines).
+    */
+  def rendezvousShard(keyCol: Column, shards: Int): Column = {
+    require(shards >= 1, "need at least one shard")
+    array_max(transform(sequence(lit(0), lit(shards - 1)),
+      i => struct(
+        Text.md5Hash64Col(keyCol.cast("string"), i).as("h"),
+        i.as("i"))))
+      .getField("i")
+  }
 }

@@ -163,4 +163,20 @@ class PackingSpec extends SparkSpec {
     val heavy = picked.count(_ > 100L)
     assert(heavy > 15, s"expected heavy docs to dominate, got $heavy/20")
   }
+
+  test("rendezvousShard: monotone growth — keys move ONLY to the new shard") {
+    val keys = spark.range(2000).toDF("id")
+    val shards = keys.select(
+        Packing.rendezvousShard(col("id"), 8).as("s8"),
+        Packing.rendezvousShard(col("id"), 9).as("s9"))
+      .as[(Int, Int)].collect()
+    // HRW invariant: s9 == s8 unless the NEW shard (8) won the key
+    assert(shards.forall { case (a, b) => b == a || b == 8 })
+    val moved = shards.count { case (a, b) => a != b }
+    // expected n/9 ≈ 222; allow generous binomial slack
+    assert(moved > 120 && moved < 340, s"moved $moved of 2000")
+    // balance: every shard owns something, none owns a majority
+    val sizes = shards.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.size == 8 && sizes.values.forall(s => s > 100 && s < 500))
+  }
 }

@@ -170,6 +170,8 @@ class ScaleMechanicsSpec extends SparkSpec {
     // quantile drift: per-type + global percentile aggs; the gap math
     // is array expressions over broadcast rows
     check("q175", Queries.q175QuantileDrift, 2)
+    // rendezvous audit: all scoring is expression work; one final agg
+    check("q176", Queries.q176RendezvousShard, 1)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
