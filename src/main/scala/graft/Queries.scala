@@ -7358,6 +7358,55 @@ object Queries {
           AS rendezvous_more_stable
       FROM j"""))
 
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938): observed
+    * first-significant-digit frequencies of order totals against the
+    * log10(1+1/d) law — the forensic data-quality screen for fabricated
+    * or truncated numeric columns. The digit comes from the DECIMAL
+    * string (both engines format decimals identically), never from
+    * float log10/pow whose ulp at exact powers of ten could flip a
+    * digit between engines. */
+  val q177BenfordAudit = Q(
+    "q177_benford_audit",
+    (s, d) => {
+      val digit = substring(regexp_replace(
+        col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        "[^1-9]", ""), 1, 1)
+      orders(s, d)
+        .where(col("o_totalprice") > 0)
+        .groupBy(digit.as("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+        .withColumn("__k", graft.operators.Guards.constKey(col("digit")))
+        .join(broadcast(
+          orders(s, d).where(col("o_totalprice") > 0)
+            .agg(count(lit(1)).as("n_total"),
+              graft.operators.Guards.constKey(count(lit(1))).as("__k"))),
+          "__k")
+        .select(col("digit"), col("n_obs"),
+          round(log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            * col("n_total"), 6).as("n_expected"),
+          round((col("n_obs") - log(10.0,
+            lit(1.0) + lit(1.0) / col("digit").cast("double")) * col("n_total"))
+            / (log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double"))
+              * col("n_total")), 6).as("rel_deviation"))
+    },
+    Some("""WITH o AS (
+        SELECT substr(regexp_replace(
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+            '[^1-9]', '', 'g'), 1, 1) AS digit
+        FROM orders WHERE o_totalprice > 0),
+      c AS (SELECT digit, count(*) AS n_obs FROM o GROUP BY 1),
+      t AS (SELECT sum(n_obs) AS n_total FROM c)
+      SELECT digit, n_obs,
+        -- ln-quotient, NOT log10(): Spark's LOG(10, x) computes
+        -- ln(x)/ln(10) and the trees must match to the last ulp
+        round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * n_total, 6)
+          AS n_expected,
+        round((n_obs - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+            * n_total)
+          / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * n_total), 6)
+          AS rel_deviation
+      FROM c CROSS JOIN t"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7404,5 +7453,6 @@ object Queries {
     q165PersonalizedPr, q166ZipfFit, q167SkewHybrid,
     q168IncrementalRollup, q169TimeWeighted, q170Containment,
     q171Trending, q172TableDiff, q173TrailingUniques,
-    q174PmiCollocations, q175QuantileDrift, q176RendezvousShard)
+    q174PmiCollocations, q175QuantileDrift, q176RendezvousShard,
+    q177BenfordAudit)
 }

@@ -172,6 +172,8 @@ class ScaleMechanicsSpec extends SparkSpec {
     check("q175", Queries.q175QuantileDrift, 2)
     // rendezvous audit: all scoring is expression work; one final agg
     check("q176", Queries.q176RendezvousShard, 1)
+    // benford: digit census + a one-row total broadcast
+    check("q177", Queries.q177BenfordAudit, 2)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
