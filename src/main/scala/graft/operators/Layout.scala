@@ -21,10 +21,13 @@ object Layout {
     */
   def zorderKey(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    // long lanes throughout: for bits > 15 the interleaved position
+    // 2i+1 exceeds an int's shift range (int shifts wrap mod 32)
+    val (xl, yl) = (x.cast("long"), y.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i)
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(
-          shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1))
+          shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
   }
 

@@ -18,7 +18,7 @@ class LayoutSpec extends SparkSpec {
       .toDF("x", "y")
       .select(col("x"), col("y"),
         Layout.zorderKey(col("x"), col("y"), 3).as("z"))
-      .as[(Int, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(out((3, 5)) == 39)
     assert(out((0, 0)) == 0)
     assert(out((7, 7)) == 63)
@@ -29,17 +29,25 @@ class LayoutSpec extends SparkSpec {
       .select((col("id") % 8).cast("int").as("x"),
         (col("id") / 8).cast("int").as("y"))
       .select(Layout.zorderKey(col("x"), col("y"), 3).as("z"))
-      .as[Int].collect().toSet
-    assert(all == (0 until 64).toSet)
+      .as[Long].collect().toSet
+    assert(all == (0L until 64L).toSet)
+  }
+
+  test("zorderKey: wide inputs — 20-bit lanes interleave without wrapping") {
+    // (2^19, 2^19): x bit 19 -> position 38, y bit 19 -> position 39
+    val z = Seq((1 << 19, 1 << 19)).toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y"), 20).as("z"))
+      .as[Long].collect().head
+    assert(z == (1L << 38 | 1L << 39), s"got $z")
   }
 
   test("zTile: an aligned 16x16 box lives in exactly one tile; unaligned in 4") {
-    def tilesOf(x0: Int, y0: Int): Set[Int] = {
+    def tilesOf(x0: Int, y0: Int): Set[Long] = {
       val rows = for (x <- x0 until x0 + 16; y <- y0 until y0 + 16) yield (x, y)
       rows.toDF("x", "y")
         .select(Layout.zTile(
           Layout.zorderKey(col("x"), col("y"), 8), 4).as("t"))
-        .as[Int].collect().toSet
+        .as[Long].collect().toSet
     }
     assert(tilesOf(32, 96).size == 1, "tile-aligned box → one 16x16 z-tile")
     assert(tilesOf(40, 100).size == 4, "box straddling both axes → 4 tiles")
@@ -57,7 +65,7 @@ class LayoutSpec extends SparkSpec {
     // reader pushing zb = <tile> scans 1/256 of the table
     val boxTiles = data
       .where(col("x").between(32, 47) && col("y").between(96, 111))
-      .select("zb").distinct().as[Int].collect()
+      .select("zb").distinct().as[Long].collect()
     assert(boxTiles.length == 1)
     val pruned = spark.read.parquet(s"$dir/zt")
       .where(col("zb") === boxTiles.head)
