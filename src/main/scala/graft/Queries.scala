@@ -7407,6 +7407,60 @@ object Queries {
           AS rel_deviation
       FROM c CROSS JOIN t"""))
 
+  /** Inter-source overlap matrix: exact Jaccard between every pair of
+    * SOURCES over their distinct 8-gram shingle sets — "how much of
+    * source A is also in source B", the corpus-procurement audit that
+    * decides what a new source actually adds. The pair fan-out rides
+    * the shingle key (each shingle meets ≤ |sources| carriers, a
+    * config-scale bound), never doc×doc; q158 is this audit's sketch
+    * form, this is the exact one. */
+  val q178SourceOverlap = Q(
+    "q178_source_overlap",
+    (s, d) => {
+      val sh = documents(s, d)
+        .select(col("source"),
+          explode(Text.wordShingles(col("text"), 8)).as("tok"))
+        .select(col("source"), Text.md5Hash64(col("tok"), 0).as("key"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.key") === col("b.key") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))),
+          Seq("s1"))
+        .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))),
+          Seq("s2"))
+        .select(col("s1"), col("s2"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            (col("n1") + col("n2") - col("n_shared")), 6).as("jaccard"))
+    },
+    Some("""WITH t AS (
+        SELECT source,
+          CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+          END AS toks
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT source,
+          ('0x' || substr(md5('0:' ||
+            array_to_string(toks[i : i + 7], ' ')), 1, 15))::BIGINT AS key
+        FROM (SELECT source, toks, unnest(range(1, len(toks) - 6)) AS i
+              FROM t WHERE len(toks) >= 8)),
+      n AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+      i AS (
+        SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.key = b.key AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT s1, s2, n_shared,
+        round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6)
+          AS jaccard
+      FROM i JOIN n na ON i.s1 = na.source JOIN n nb ON i.s2 = nb.source"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7454,5 +7508,5 @@ object Queries {
     q168IncrementalRollup, q169TimeWeighted, q170Containment,
     q171Trending, q172TableDiff, q173TrailingUniques,
     q174PmiCollocations, q175QuantileDrift, q176RendezvousShard,
-    q177BenfordAudit)
+    q177BenfordAudit, q178SourceOverlap)
 }

@@ -174,6 +174,9 @@ class ScaleMechanicsSpec extends SparkSpec {
     check("q176", Queries.q176RendezvousShard, 1)
     // benford: digit census + a one-row total broadcast
     check("q177", Queries.q177BenfordAudit, 2)
+    // source overlap: shingle distinct + the key-bounded pair join +
+    // size dims; each shingle meets <= |sources| carriers
+    check("q178", Queries.q178SourceOverlap, 7)
   }
 
   test("PQ encode/score plans are exchange-free single passes") {
