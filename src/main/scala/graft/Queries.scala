@@ -7461,6 +7461,126 @@ object Queries {
           AS jaccard
       FROM i JOIN n na ON i.s1 = na.source JOIN n nb ON i.s2 = nb.source"""))
 
+  /** q123's cluster layout, under the oracle gate: the SAME customer→
+    * supplier PageRank, but the deduped edge set is first written ONCE as
+    * a src-bucketed table ([[graft.sources.Sinks.writeBucketed]]) and the
+    * ranker runs with `edgesPrepared = true` — no re-distinct, no
+    * checkpoint of the edge frame — so every one of the 6 rounds joins
+    * the bucketed scan with ZERO edge-side exchanges
+    * (GraphClusterPlanSpec locks the plan; this query locks the hashes:
+    * same oracle as q123, bit-identical ranks). This is the one-time
+    * layout that replaces q123's per-round ~20 MB edge re-shuffle when
+    * the edge set is 100 TB-class: the bucketing IS the exchange, paid
+    * once at write time. */
+  val q179PagerankBucketed = Q(
+    "q179_pagerank_bucketed",
+    (s, d) => {
+      val e = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.sources.Sinks.writeBucketed(e, "q179_edges", 8, "src")
+      graft.graph.Graph.pageRank(s.table("q179_edges"), iterations = 6,
+          edgesPrepared = true)
+        .where(col("node").startsWith("s"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(30)
+        .select(col("node"), round(col("rank"), 12).as("rank"))
+    },
+    q123PageRank.oracle)
+
+  /** 3-way Z-order layout audit (Layout.zorderKeyN / zTileN): cluster
+    * lineitem on the k=3 Morton interleave of (partkey, suppkey,
+    * orderkey) buckets — the source × lang × date shape of a real layout
+    * tune — and measure what a 3-D box predicate scans under 4×4×4
+    * z-tiles. Same exact relational pruning arithmetic as q159's 2-D
+    * audit; LayoutSpec separately proves the partition-level file
+    * pruning the tile id buys at read time. */
+  val q180Zorder3 = Q(
+    "q180_zorder3",
+    (s, d) => {
+      import graft.operators.Layout
+      val x = pmod(col("l_partkey"), lit(32)).cast("int")
+      val y = pmod(col("l_suppkey"), lit(32)).cast("int")
+      val w = pmod(col("l_orderkey"), lit(32)).cast("int")
+      val tiled = lineitem(s, d)
+        .select(x.as("x"), y.as("y"), w.as("w"))
+        .withColumn("zb", Layout.zTileN(
+          Layout.zorderKeyN(Seq(col("x"), col("y"), col("w")), 5), 2, 3))
+      val inBox = col("x").between(8, 15) && col("y").between(16, 23) &&
+        col("w").between(4, 11)
+      tiled.groupBy("zb")
+        .agg(count(lit(1)).as("tile_rows"),
+          count(when(inBox, 1)).as("box_rows"))
+        .agg(count(lit(1)).as("n_tiles"),
+          sum(when(col("box_rows") > 0, 1L).otherwise(0L)).as("tiles_touched"),
+          sum("box_rows").as("rows_in_box"),
+          sum(when(col("box_rows") > 0, col("tile_rows")).otherwise(0L))
+            .as("rows_scanned"),
+          sum("tile_rows").as("rows_total"))
+        .select(col("n_tiles"), col("tiles_touched"), col("rows_in_box"),
+          col("rows_scanned"), col("rows_total"),
+          round(col("rows_scanned").cast("double") / col("rows_total"), 6)
+            .as("scan_fraction"))
+    },
+    Some {
+      val zExpr = (0 until 5).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${3 * i})",
+        s"(((y >> $i) & 1) << ${3 * i + 1})",
+        s"(((w >> $i) & 1) << ${3 * i + 2})"))
+        .mkString(" | ")
+      s"""WITH b AS (
+        SELECT CAST(l_partkey % 32 AS INT) AS x,
+               CAST(l_suppkey % 32 AS INT) AS y,
+               CAST(l_orderkey % 32 AS INT) AS w
+        FROM lineitem),
+      t AS (
+        SELECT ($zExpr) >> 6 AS zb,
+          count(*) AS tile_rows,
+          count(*) FILTER (WHERE x BETWEEN 8 AND 15
+                             AND y BETWEEN 16 AND 23
+                             AND w BETWEEN 4 AND 11) AS box_rows
+        FROM b GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_tiles,
+        CAST(count(*) FILTER (WHERE box_rows > 0) AS BIGINT) AS tiles_touched,
+        CAST(sum(box_rows) AS BIGINT) AS rows_in_box,
+        CAST(sum(CASE WHEN box_rows > 0 THEN tile_rows ELSE 0 END) AS BIGINT)
+          AS rows_scanned,
+        CAST(sum(tile_rows) AS BIGINT) AS rows_total,
+        round(CAST(sum(CASE WHEN box_rows > 0 THEN tile_rows ELSE 0 END)
+          AS DOUBLE) / sum(tile_rows), 6) AS scan_fraction
+      FROM t"""
+    })
+
+  /** The production PageRank contract (Graph.pageRankConverged): iterate
+    * to an L1 fixed point (tol = 1e-9) instead of a pinned round count —
+    * what a real crawl ranker runs, since the needed round count depends
+    * on the damping factor, not the analyst. A data-dependent stop cannot
+    * be unrolled into a SQL oracle, so this rides the driver's rows-only
+    * check; determinism and fixed-point correctness are pinned in
+    * GraphClusterPlanSpec (converged state ≡ the fixed-round recurrence
+    * at the same k, one extra round moves L1 by < tol). */
+  val q182PagerankTol = Q(
+    "q182_pagerank_tol",
+    (s, d) => {
+      val e = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      // tol picked for the demo's cost envelope: the L1 delta contracts
+      // ~×damping per round (measured 2.1e-4 after 40 rounds at
+      // sf0.001), so 0.02 stops near round 12 — the stop demonstrably
+      // TRIGGERS (iters < maxIter) instead of riding the cap
+      graft.graph.Graph.pageRankConverged(e, tol = 0.02, maxIter = 30)
+        .where(col("node").startsWith("s"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(30)
+        .select(col("node"), round(col("rank"), 12).as("rank"),
+          col("iters"), col("l1_delta"))
+    },
+    None)
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7508,5 +7628,6 @@ object Queries {
     q168IncrementalRollup, q169TimeWeighted, q170Containment,
     q171Trending, q172TableDiff, q173TrailingUniques,
     q174PmiCollocations, q175QuantileDrift, q176RendezvousShard,
-    q177BenfordAudit, q178SourceOverlap)
+    q177BenfordAudit, q178SourceOverlap, q179PagerankBucketed,
+    q180Zorder3, q182PagerankTol)
 }

@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Lineage cut for iterative state. `durable = false` →
+    * `localCheckpoint()`: blocks pinned in executor memory — fastest on a
+    * single box, but NOT fault-tolerant (a lost executor loses the blocks
+    * and kills the whole multi-round job). `durable = true` → reliable
+    * `checkpoint()` against the SparkContext checkpoint directory: each
+    * round's state is written to the (distributed) filesystem, so a lost
+    * executor re-reads instead of recomputing 40 rounds of lineage — the
+    * right trade for a long iterative job on a real cluster, at the cost
+    * of one state write per round. Both paths cut lineage eagerly (one
+    * job per round, no geometric plan growth) and produce bit-identical
+    * state ([[GraphClusterPlanSpec]] pins the hash parity). */
+  private def cut(df: DataFrame, durable: Boolean): DataFrame =
+    if (durable) df.checkpoint() else df.localCheckpoint()
+
+  /** Route a caller-supplied checkpoint dir to the context; returns
+    * whether the durable path is active. Set once per operator call, not
+    * per round (setCheckpointDir creates a fresh UUID subdir each time). */
+  private def durableDir(df: DataFrame, dir: Option[String]): Boolean = {
+    dir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    dir.isDefined
+  }
+
   /** Dense APSP with predecessor matrix. Infinity = Double.MaxValue/4. */
   def floydWarshall(n: Int, edges: Seq[(Int, Int, Double)])
       : (Array[Array[Double]], Array[Array[Int]]) = {
@@ -79,9 +101,11 @@ object Graph {
     * engines, not derived.
     */
   def pageRank(edges: DataFrame, iterations: Int = 8,
-               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
-    import graft.operators.Guards
+               damping: Double = 0.85, teleport: Double = 0.15,
+               checkpointDir: Option[String] = None,
+               edgesPrepared: Boolean = false): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
+    val durable = durableDir(edges, checkpointDir)
     // The contributions join hits `e` on src every round. Two ways to pay
     // for that, A/B-measured at sf0.1 local[32] (r06, per-round times):
     //  - materialized-RDD checkpoint (this code): each round re-shuffles
@@ -97,9 +121,32 @@ object Graph {
     // So: checkpoint locally. On a real cluster, where the per-round
     // shuffle is network-bound and the cache is distributed, the
     // co-location win flips the trade — the cluster answer is a bucketed
-    // edge table on src (one-time layout, zero per-round edge movement),
-    // not a runtime persist.
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // edge table on src (one-time layout, zero per-round edge movement).
+    // That path is `edgesPrepared = true`: the caller passes an
+    // already-DEDUPED (src, dst) frame — typically `spark.table` over a
+    // [[graft.sources.Sinks.writeBucketed]] table bucketed by src — and
+    // this code must NOT re-distinct or checkpoint it, either of which
+    // would destroy the scan's bucketed output partitioning and
+    // reintroduce the per-round edge exchange. GraphClusterPlanSpec locks
+    // the zero-edge-side-exchange plan and the hash parity of both paths;
+    // q179 runs the bucketed variant under the driver's oracle gate.
+    val e =
+      if (edgesPrepared) edges.select(col("src"), col("dst"))
+      else cut(edges.select(col("src"), col("dst")).distinct(), durable)
+    var state = cut(prInit(e), durable)
+    var it = 0
+    while (it < iterations) {
+      state = cut(prRound(state, e, damping, teleport), durable)
+      it += 1
+    }
+    state.select(col("node"), col("rank"))
+  }
+
+  /** PageRank state init: (node, outdeg, n, rank=1/n). Package-private so
+    * the plan canary can inspect a single round against a bucketed edge
+    * table without the post-checkpoint plan truncation hiding it. */
+  private[graft] def prInit(e: DataFrame): DataFrame = {
+    import graft.operators.Guards
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src").as("node"))
@@ -107,36 +154,81 @@ object Graph {
     // (node, outdeg) with outdeg null for sinks; N broadcast on constKey
     val meta = nodes.agg(count(lit(1)).as("n"))
       .withColumn("__k", Guards.constKey(col("n")))
-    var state = nodes.join(outdeg, Seq("node"), "left")
+    nodes.join(outdeg, Seq("node"), "left")
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(meta), "__k")
       .select(col("node"), col("outdeg"), col("n"),
         round(lit(1.0) / col("n"), 12).as("rank"))
-      .localCheckpoint()
+  }
+
+  /** One PageRank round over (node, outdeg, n, rank) state — the plan a
+    * cluster pays `iterations` times: one state⋈edges join on src (edge
+    * side exchange-free when e is bucketed by src), one dst aggregation,
+    * two one-row constKey broadcasts. */
+  private[graft] def prRound(state: DataFrame, e: DataFrame,
+                             damping: Double, teleport: Double): DataFrame = {
+    import graft.operators.Guards
     val exactSum12 = (c: Column) =>
       sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+    val contribs = state.where(col("outdeg").isNotNull)
+      .join(e, state("node") === e("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(exactSum12(col("rank") / col("outdeg")).as("in_sum"))
+    val dangling = state
+      .agg(coalesce(exactSum12(when(col("outdeg").isNull, col("rank"))),
+        lit(0.0)).as("mass"))
+      .withColumn("__k", Guards.constKey(col("mass")))
+    // carry pageRankConverged's __prev column through, if present
+    val carry = state.columns.filter(_ == "__prev").toSeq.map(col)
+    state.drop("rank")
+      .join(contribs, Seq("node"), "left")
+      .withColumn("__k", Guards.constKey(col("node")))
+      .join(broadcast(dangling), "__k")
+      .select(Seq(col("node"), col("outdeg"), col("n")) ++ carry :+
+        round(lit(teleport) / col("n") +
+          lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
+            col("mass") / col("n")), 12).as("rank"): _*)
+  }
+
+  /** [[pageRank]] with a convergence stop instead of a fixed round count:
+    * iterate until the L1 delta Σ|rank_k − rank_{k−1}| falls below `tol`
+    * (or `maxIter` rounds), returning (node, rank, iters, l1_delta) so
+    * callers can see what the stop actually was. This is the production
+    * contract (PageRank's power iteration contracts at rate ~damping per
+    * round, so tol=1e-9 lands in ~tens of rounds regardless of graph
+    * size); the fixed-round [[pageRank]] stays the bit-exact oracle twin
+    * (an unrolled SQL oracle cannot express a data-dependent stop —
+    * q182 rides the driver's rows-only check instead). The delta is one
+    * extra one-row aggregate per round — a driver-side action, same cost
+    * class as the eager checkpoint that already runs each round. */
+  def pageRankConverged(edges: DataFrame, tol: Double, maxIter: Int = 50,
+                        damping: Double = 0.85, teleport: Double = 0.15,
+                        checkpointDir: Option[String] = None,
+                        edgesPrepared: Boolean = false): DataFrame = {
+    require(tol > 0 && maxIter >= 1, "need tol > 0 and maxIter >= 1")
+    val durable = durableDir(edges, checkpointDir)
+    val e =
+      if (edgesPrepared) edges.select(col("src"), col("dst"))
+      else cut(edges.select(col("src"), col("dst")).distinct(), durable)
+    var state = cut(prInit(e), durable)
     var it = 0
-    while (it < iterations) {
-      val contribs = state.where(col("outdeg").isNotNull)
-        .join(e, state("node") === e("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(exactSum12(col("rank") / col("outdeg")).as("in_sum"))
-      val dangling = state
-        .agg(coalesce(exactSum12(when(col("outdeg").isNull, col("rank"))),
-          lit(0.0)).as("mass"))
-        .withColumn("__k", Guards.constKey(col("mass")))
-      state = state.drop("rank")
-        .join(contribs, Seq("node"), "left")
-        .withColumn("__k", Guards.constKey(col("node")))
-        .join(broadcast(dangling), "__k")
-        .select(col("node"), col("outdeg"), col("n"),
-          round(lit(teleport) / col("n") +
-            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
-              col("mass") / col("n")), 12).as("rank"))
-        .localCheckpoint()
+    var delta = Double.MaxValue
+    while (it < maxIter && delta >= tol) {
+      // same round plan as prRound, plus the old rank carried through as
+      // __prev — delta tracking costs ONE one-row aggregate over the
+      // already-checkpointed state per round, not an extra shuffle join
+      val next = cut(
+        prRound(state.withColumn("__prev", col("rank")), e, damping, teleport),
+        durable)
+      delta = next
+        .agg(sum(abs(col("rank") - col("__prev")).cast("decimal(28,12)"))
+          .cast("double"))
+        .head().getDouble(0)
+      state = next
       it += 1
     }
-    state.select(col("node"), col("rank"))
+    state.select(col("node"), col("rank"),
+      lit(it).as("iters"), round(lit(delta), 12).as("l1_delta"))
   }
 
   /** HITS hubs and authorities (Kleinberg, JACM 1999) — the
@@ -157,52 +249,80 @@ object Graph {
     * `localCheckpoint` lineage cut per half-step and the same cluster
     * note: bucket both sides by node and every round is co-partitioned.
     */
-  def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
+  def hits(edges: DataFrame, iterations: Int = 4,
+           checkpointDir: Option[String] = None,
+           edgesPrepared: Boolean = false,
+           edgesByDst: Option[DataFrame] = None): DataFrame = {
     import graft.operators.Guards
     require(iterations >= 1, "hits needs at least one iteration")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val durable = durableDir(edges, checkpointDir)
+    // HITS joins edges on src (auth half-step) AND on dst (hub
+    // half-step), so the cluster layout that zeroes per-round edge
+    // movement is TWO one-time bucketed copies of the same deduped edge
+    // set: `edges` bucketed by src and `edgesByDst` bucketed by dst
+    // (pass both with edgesPrepared = true). One copy alone still halves
+    // the per-round edge traffic. GraphClusterPlanSpec locks both
+    // half-step plans edge-exchange-free and the hash parity vs the
+    // default path.
+    val e =
+      if (edgesPrepared) edges.select(col("src"), col("dst"))
+      else cut(edges.select(col("src"), col("dst")).distinct(), durable)
+    val eDst = edgesByDst.map(_.select(col("src"), col("dst"))).getOrElse(e)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val meta = nodes.agg(count(lit(1)).as("n"))
       .withColumn("__k", Guards.constKey(col("n")))
-    val exactSum12 = (c: Column) =>
-      sum(round(c, 12).cast("decimal(28,12)")).cast("double")
-    var state = nodes
+    var state = cut(nodes
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(meta), "__k")
       .select(col("node"), round(lit(1.0) / col("n"), 12).as("hub"),
-        round(lit(1.0) / col("n"), 12).as("auth"))
-      .localCheckpoint()
+        round(lit(1.0) / col("n"), 12).as("auth")), durable)
     var it = 0
     while (it < iterations) {
-      val aRaw = state.join(e, state("node") === e("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(exactSum12(col("hub")).as("raw"))
-      val aTot = aRaw.agg(exactSum12(col("raw")).as("tot"))
-        .withColumn("__k", Guards.constKey(col("tot")))
-      val afterAuth = state.drop("auth")
-        .join(aRaw, Seq("node"), "left")
-        .withColumn("__k", Guards.constKey(col("node")))
-        .join(broadcast(aTot), "__k")
-        .select(col("node"), col("hub"),
-          round(coalesce(col("raw"), lit(0.0)) / col("tot"), 12).as("auth"))
-        .localCheckpoint()
-      val hRaw = afterAuth.join(e, afterAuth("node") === e("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(exactSum12(col("auth")).as("raw"))
-      val hTot = hRaw.agg(exactSum12(col("raw")).as("tot"))
-        .withColumn("__k", Guards.constKey(col("tot")))
-      state = afterAuth.drop("hub")
-        .join(hRaw, Seq("node"), "left")
-        .withColumn("__k", Guards.constKey(col("node")))
-        .join(broadcast(hTot), "__k")
-        .select(col("node"),
-          round(coalesce(col("raw"), lit(0.0)) / col("tot"), 12).as("hub"),
-          col("auth"))
-        .localCheckpoint()
+      val afterAuth = cut(hitsAuthStep(state, e), durable)
+      state = cut(hitsHubStep(afterAuth, eDst), durable)
       it += 1
     }
     state
+  }
+
+  private def exactSum12Col(c: Column): Column =
+    sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+
+  /** HITS authority half-step: join state to edges on src, aggregate hub
+    * mass by dst, L1-normalize. Edge side is exchange-free when e is
+    * bucketed by src. */
+  private[graft] def hitsAuthStep(state: DataFrame, e: DataFrame): DataFrame = {
+    import graft.operators.Guards
+    val aRaw = state.join(e, state("node") === e("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(exactSum12Col(col("hub")).as("raw"))
+    val aTot = aRaw.agg(exactSum12Col(col("raw")).as("tot"))
+      .withColumn("__k", Guards.constKey(col("tot")))
+    state.drop("auth")
+      .join(aRaw, Seq("node"), "left")
+      .withColumn("__k", Guards.constKey(col("node")))
+      .join(broadcast(aTot), "__k")
+      .select(col("node"), col("hub"),
+        round(coalesce(col("raw"), lit(0.0)) / col("tot"), 12).as("auth"))
+  }
+
+  /** HITS hub half-step (mirror of [[hitsAuthStep]] on dst): edge side is
+    * exchange-free when eDst is bucketed by dst. */
+  private[graft] def hitsHubStep(state: DataFrame, eDst: DataFrame): DataFrame = {
+    import graft.operators.Guards
+    val hRaw = state.join(eDst, state("node") === eDst("dst"))
+      .groupBy(col("src").as("node"))
+      .agg(exactSum12Col(col("auth")).as("raw"))
+    val hTot = hRaw.agg(exactSum12Col(col("raw")).as("tot"))
+      .withColumn("__k", Guards.constKey(col("tot")))
+    state.drop("hub")
+      .join(hRaw, Seq("node"), "left")
+      .withColumn("__k", Guards.constKey(col("node")))
+      .join(broadcast(hTot), "__k")
+      .select(col("node"),
+        round(coalesce(col("raw"), lit(0.0)) / col("tot"), 12).as("hub"),
+        col("auth"))
   }
 
   /** All-pairs minimum hop counts, capped at `maxHops`, by min-plus
@@ -219,21 +339,21 @@ object Graph {
     * the pairs the caller asked for (and is what makes the doubling join
     * safe: both sides are already capped).
     */
-  def bfsHops(edges: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, maxHops: Int,
+              checkpointDir: Option[String] = None): DataFrame = {
     // edges: (src, dst)
-    var known = edges.select(col("src"), col("dst"), lit(1L).as("hops"))
-      .groupBy("src", "dst").agg(min("hops").as("hops"))
-      .localCheckpoint()
+    val durable = durableDir(edges, checkpointDir)
+    var known = cut(edges.select(col("src"), col("dst"), lit(1L).as("hops"))
+      .groupBy("src", "dst").agg(min("hops").as("hops")), durable)
     var reach = 1L
     while (reach < maxHops) {
       val doubled = known.alias("a")
         .join(known.alias("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"),
           (col("a.hops") + col("b.hops")).as("hops"))
-      known = known.unionByName(doubled)
+      known = cut(known.unionByName(doubled)
         .groupBy("src", "dst").agg(min("hops").as("hops"))
-        .where(col("hops") <= maxHops)
-        .localCheckpoint()
+        .where(col("hops") <= maxHops), durable)
       reach *= 2
     }
     known
@@ -257,10 +377,15 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, isSource: Column => Column,
                            iterations: Int, damping: Double = 0.85,
-                           teleport: Double = 0.15): DataFrame = {
+                           teleport: Double = 0.15,
+                           checkpointDir: Option[String] = None,
+                           edgesPrepared: Boolean = false): DataFrame = {
     import graft.operators.Guards
     require(iterations >= 1, "personalizedPageRank needs at least one iteration")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val durable = durableDir(edges, checkpointDir)
+    val e =
+      if (edgesPrepared) edges.select(col("src"), col("dst"))
+      else cut(edges.select(col("src"), col("dst")).distinct(), durable)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src").as("node"))
@@ -277,7 +402,7 @@ object Graph {
         round(when(isSource(col("node")),
           lit(1.0) / col("ns")).otherwise(lit(0.0)), 12).as("p"))
       .withColumn("rank", col("p"))
-      .localCheckpoint()
+    state = cut(state, durable)
     require(state.where(col("p") > 0).limit(1).count() == 1L,
       "personalizedPageRank: the source predicate matched no node")
     var it = 0
@@ -290,15 +415,14 @@ object Graph {
         .agg(coalesce(exactSum12(when(col("outdeg").isNull, col("rank"))),
           lit(0.0)).as("mass"))
         .withColumn("__k", Guards.constKey(col("mass")))
-      state = state.drop("rank")
+      state = cut(state.drop("rank")
         .join(contribs, Seq("node"), "left")
         .withColumn("__k", Guards.constKey(col("node")))
         .join(broadcast(dangling), "__k")
         .select(col("node"), col("outdeg"), col("p"),
           round(lit(teleport) * col("p") +
             lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
-              col("mass") * col("p")), 12).as("rank"))
-        .localCheckpoint()
+              col("mass") * col("p")), 12).as("rank")), durable)
       it += 1
     }
     state.select(col("node"), col("rank"))

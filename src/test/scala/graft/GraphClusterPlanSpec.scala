@@ -1,0 +1,179 @@
+package graft
+
+import graft.graph.Graph
+import graft.sources.{Scratch, Sinks}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+/** Proves the cluster plan the graph family's comments claim (VERDICT r06
+  * item 1): with the edge set written ONCE as a bucketed table on the join
+  * key, every per-round state⋈edges join plans with ZERO exchanges on the
+  * edge side — the per-round edge movement that dominates a 1000-executor
+  * PageRank disappears into a one-time layout. Locked three ways:
+  *  - plan: the round's join reads the bucketed scan with no shuffle
+  *    between scan and join (and the same round over a plain parquet dir
+  *    DOES shuffle the edge side — the contrast that keeps the canary
+  *    honest);
+  *  - result: the bucketed/prepared path hashes identically to the
+  *    default distinct+checkpoint path;
+  *  - durability: reliable `checkpoint(dir)` state (the fault-tolerant
+  *    cluster option) hashes identically to `localCheckpoint` state.
+  */
+class GraphClusterPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A graph with fan-in, fan-out, a cycle and a sink — every PageRank
+    * code path (contributions, dangling mass) is live. */
+  private def rawEdges: DataFrame =
+    (1 to 400).flatMap { i =>
+      Seq((s"n${i % 40}", s"n${(i * 7) % 40}"),
+        (s"n${i % 40}", "sink"),
+        (s"n${(i * 3) % 17}", s"n${i % 40}"))
+    }.toDF("src", "dst")
+
+  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p.collect { case x => x }
+
+  private def bucketedScans(p: SparkPlan): Seq[FileSourceScanExec] =
+    collectPlan(p).collect { case f: FileSourceScanExec if f.bucketedScan => f }
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    collectPlan(p).collect { case s: ShuffleExchangeExec => s }
+
+  /** The children of shuffle joins that hold a bucketed scan DIRECTLY —
+    * no other join or aggregate in between. (A downstream join's child can
+    * contain the scan deep inside an already-aggregated subtree; that is
+    * not the edge side of the state⋈edges round join.) */
+  private def edgeSides(p: SparkPlan): Seq[SparkPlan] =
+    collectPlan(p).collect {
+      case j: SortMergeJoinExec => j.children
+      case j: ShuffledHashJoinExec => j.children
+    }.flatten.filter { c =>
+      bucketedScans(c).nonEmpty && !collectPlan(c).exists {
+        case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _ => false
+      }
+    }
+
+  /** Run `body` with AQE + auto-broadcast off so the static plan shows the
+    * exchange structure a cluster pays. */
+  private def withPlanConf[T](body: => T): T = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  private def ranksOf(df: DataFrame): Map[String, Double] =
+    df.select(col("node"), col("rank")).as[(String, Double)].collect().toMap
+
+  test("pageRank round over a src-bucketed edge table: zero edge-side exchanges") {
+    val e = rawEdges.distinct()
+    Sinks.writeBucketed(e, "gcp_edges_src", 4, "src")
+    try withPlanConf {
+      val bucketed = spark.table("gcp_edges_src").select(col("src"), col("dst"))
+      val state = Graph.prInit(bucketed).localCheckpoint()
+      val round = Graph.prRound(state, bucketed, 0.85, 0.15)
+      val plan = round.queryExecution.executedPlan
+      val sides = edgeSides(plan)
+      assert(sides.nonEmpty, s"no shuffle join reads the bucketed scan:\n$plan")
+      sides.foreach { side =>
+        assert(shuffles(side).isEmpty,
+          s"edge side of the round join still shuffles:\n$side")
+      }
+      // contrast: the same round over a PLAIN parquet dir must shuffle the
+      // edge side — otherwise the assertion above proves nothing
+      val plainDir = Scratch.dir("gcp_edges_plain")
+      e.write.mode("overwrite").parquet(plainDir)
+      val plain = spark.read.parquet(plainDir).select(col("src"), col("dst"))
+      val plainPlan = Graph.prRound(Graph.prInit(plain).localCheckpoint(),
+        plain, 0.85, 0.15).queryExecution.executedPlan
+      val plainJoinSides = collectPlan(plainPlan).collect {
+        case j: SortMergeJoinExec => j.children
+        case j: ShuffledHashJoinExec => j.children
+      }.flatten.filter(c => collectPlan(c).exists {
+        case f: FileSourceScanExec => true; case _ => false
+      })
+      assert(plainJoinSides.exists(shuffles(_).nonEmpty),
+        s"plain-parquet round did not shuffle the edge side — contrast lost:\n$plainPlan")
+    } finally spark.sql("DROP TABLE IF EXISTS gcp_edges_src")
+  }
+
+  test("hits half-steps over src-/dst-bucketed edge copies: zero edge-side exchanges") {
+    val e = rawEdges.distinct()
+    Sinks.writeBucketed(e, "gcp_edges_src2", 4, "src")
+    Sinks.writeBucketed(e, "gcp_edges_dst2", 4, "dst")
+    try withPlanConf {
+      val eSrc = spark.table("gcp_edges_src2").select(col("src"), col("dst"))
+      val eDst = spark.table("gcp_edges_dst2").select(col("src"), col("dst"))
+      val state = Graph.hits(eSrc, iterations = 1, edgesPrepared = true,
+        edgesByDst = Some(eDst))
+      // per-half-step plans, pre-checkpoint (the result's own plan is a
+      // post-checkpoint RDD scan and shows nothing)
+      val s0 = state.select(col("node"), col("hub"), col("auth")).localCheckpoint()
+      Seq(Graph.hitsAuthStep(s0, eSrc), Graph.hitsHubStep(s0, eDst)).foreach { half =>
+        val plan = half.queryExecution.executedPlan
+        val sides = edgeSides(plan)
+        assert(sides.nonEmpty, s"no shuffle join reads a bucketed scan:\n$plan")
+        sides.foreach(side => assert(shuffles(side).isEmpty,
+          s"edge side of a HITS half-step still shuffles:\n$side"))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcp_edges_src2")
+      spark.sql("DROP TABLE IF EXISTS gcp_edges_dst2")
+    }
+  }
+
+  test("bucketed/prepared pageRank hashes identically to the default path") {
+    val e = rawEdges
+    Sinks.writeBucketed(e.distinct(), "gcp_edges_par", 4, "src")
+    try {
+      val default = ranksOf(Graph.pageRank(e, iterations = 5))
+      val prepared = ranksOf(Graph.pageRank(spark.table("gcp_edges_par"),
+        iterations = 5, edgesPrepared = true))
+      assert(prepared == default, "bucketed-edge path diverged from default")
+    } finally spark.sql("DROP TABLE IF EXISTS gcp_edges_par")
+  }
+
+  test("durable checkpoint path hashes identically to localCheckpoint (pageRank + hits)") {
+    val dir = Scratch.dir("gcp_ckpt")
+    val e = rawEdges
+    val local = ranksOf(Graph.pageRank(e, iterations = 4))
+    val durable = ranksOf(Graph.pageRank(e, iterations = 4,
+      checkpointDir = Some(dir)))
+    assert(durable == local, "reliable-checkpoint pageRank diverged")
+    def hitsMap(df: DataFrame): Map[String, (Double, Double)] =
+      df.select(col("node"), col("hub"), col("auth"))
+        .as[(String, Double, Double)].collect()
+        .map { case (n, h, a) => n -> (h, a) }.toMap
+    val hLocal = hitsMap(Graph.hits(e, iterations = 2))
+    val hDurable = hitsMap(Graph.hits(e, iterations = 2,
+      checkpointDir = Some(dir)))
+    assert(hDurable == hLocal, "reliable-checkpoint hits diverged")
+  }
+
+  test("pageRankConverged stops at the tolerance and matches the fixed-round twin") {
+    val e = rawEdges
+    val conv = Graph.pageRankConverged(e, tol = 1e-6, maxIter = 60)
+    val rows = conv.select(col("node"), col("rank"), col("iters"), col("l1_delta"))
+      .as[(String, Double, Int, Double)].collect()
+    val iters = rows.head._3
+    val delta = rows.head._4
+    assert(rows.forall(r => r._3 == iters && r._4 == delta))
+    assert(delta < 1e-6, s"stopped with l1_delta=$delta >= tol")
+    assert(iters < 60, "hit maxIter instead of converging")
+    // after k rounds the recurrence is identical to pageRank(e, k)
+    val fixed = ranksOf(Graph.pageRank(e, iterations = iters))
+    assert(rows.map(r => r._1 -> r._2).toMap == fixed,
+      "converged ranks diverge from the fixed-round recurrence at the same k")
+    // fixed point: one more round moves the state by less than tol again
+    val oneMore = ranksOf(Graph.pageRank(e, iterations = iters + 1))
+    val l1 = fixed.map { case (n, r) => math.abs(oneMore(n) - r) }.sum
+    assert(l1 < 1e-6, s"one extra round moved L1 by $l1 — not a fixed point")
+  }
+}
