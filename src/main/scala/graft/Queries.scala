@@ -4166,12 +4166,20 @@ object Queries {
     * straight from the parquet — equality proves the full-registry
     * round-trip and the filter semantics. Decimal sums: fixed-point
     * measures ride decimals so sum order can't wobble the hash. */
+  /** q112's 600k-row fixed-width fixture, staged ONCE per (process,
+    * sfDir): the fixture write is setup, not the registry scan under
+    * test, and re-writing it on every bench iteration made q112's
+    * single-shot read as 50 s of I/O against a 4-9 s steady state
+    * (VERDICT r06). computeIfAbsent serializes concurrent writers per
+    * key; Scratch keeps the path process-unique. */
+  private val stpFixtureByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val q112StpRegistry = Q(
     "q112_stp_registry",
     (s, d) => {
       import graft.sources.StpRegistry
       val tag = d.replaceAll(".*/", "")
-      val path = graft.sources.Scratch.dir(s"stp_$tag")
       val overrides: Map[String, Column] = Map(
         "SEQ" -> col("l_linenumber").cast("long"),
         "STOP_AVL" -> pmod(col("l_partkey"), lit(9000)),
@@ -4197,10 +4205,14 @@ object Queries {
           case 'I' => lit(0L); case 'F' => lit(0.0); case _ => lit("")
         }).as(e.name)
       }
-      lineitem(s, d).select(cols62: _*)
-        .select(graft.sources.FixedWidth.formatLine(
-          StpRegistry.writerSpecs(StpRegistry.defaultColumns)).as("value"))
-        .write.mode("overwrite").text(path)
+      val path = stpFixtureByDir.computeIfAbsent(d, _ => {
+        val p = graft.sources.Scratch.dir(s"stp_$tag")
+        lineitem(s, d).select(cols62: _*)
+          .select(graft.sources.FixedWidth.formatLine(
+            StpRegistry.writerSpecs(StpRegistry.defaultColumns)).as("value"))
+          .write.mode("overwrite").text(p)
+        p
+      })
       StpRegistry.revenueService(StpRegistry.read(s, path))
         .groupBy(col("DOW"), col("DIR"))
         .agg(count(lit(1)).as("n"),

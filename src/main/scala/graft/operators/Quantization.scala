@@ -84,6 +84,35 @@ object Quantization {
     cb
   }
 
+  /** Deterministic content-addressed sample: keep rows whose md5-derived
+    * id bucket (mod 100) falls below `pct`. No RNG state — the same rows
+    * are selected on any engine, partitioning, or run (the q103
+    * hash-split discipline), so a training recurrence over the sample is
+    * still exactly replayable. */
+  def hashSample(df: DataFrame, idCol: String, pct: Int,
+                 salt: Int = 0): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1, 100], got $pct")
+    df.where(pmod(graft.functions.Text.md5Hash64(
+      col(idCol).cast("string"), salt), lit(100)) < pct)
+  }
+
+  /** The 100 TB training path [[trainCodebook]]'s docs promise: run the
+    * SAME per-subspace Lloyd recurrence on a deterministic [[hashSample]]
+    * of the corpus — the FAISS convention (ProductQuantizer::train caps
+    * training at ~1M vectors however big the index is; Jégou et al.
+    * §V-A train on a learning subset). Training cost becomes
+    * O(sample × k × dims) per round regardless of corpus size; encode +
+    * ADC then run over the FULL corpus with the sampled codebook.
+    * QuantizationSpec pins that sampled training still beats the init
+    * codebook's recall and lands within tolerance of full-corpus
+    * training. */
+  def trainCodebookSampled(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, m: Int, dims: Int, iters: Int,
+                           pct: Int, salt: Int = 0)
+      : IndexedSeq[IndexedSeq[Double]] =
+    trainCodebook(hashSample(df, idCol, pct, salt), idCol, vecCol,
+      k, m, dims, iters)
+
   /** Squared-L2 distance between a vector slice [lo, lo+len) and a
     * literal codeword slice, as a codegen-friendly fold (ascending
     * dimension order — the oracle's list order). */

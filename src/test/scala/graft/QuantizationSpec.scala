@@ -125,6 +125,18 @@ class QuantizationSpec extends SparkSpec {
     info(f"mean recall@20 over 10 queries: init=$rInit%.3f trained=$rTrained%.3f")
     assert(rTrained > rInit,
       f"training did not improve recall: init=$rInit%.3f trained=$rTrained%.3f")
+    // the 100 TB path: training on a 50% deterministic hash-sample must
+    // still beat init recall and land near full-corpus training — the
+    // sample sees the same distribution, so the codebook quality holds
+    // (FAISS's sampled-training convention, now demonstrated not asserted)
+    val sampled = Quantization.trainCodebookSampled(e, "vec_id", "embedding",
+      k = 16, m = 8, dims = 64, iters = 2, pct = 50)
+    val rSampled = recall(sampled)
+    info(f"mean recall@20 sampled-trained (pct=50): $rSampled%.3f")
+    assert(rSampled > rInit,
+      f"sampled training did not improve recall: init=$rInit%.3f sampled=$rSampled%.3f")
+    assert(rSampled >= rTrained - 0.1,
+      f"sampled training fell > 0.1 below full training: full=$rTrained%.3f sampled=$rSampled%.3f")
   }
 
   test("persisted codes table scores without the vectors (the index shape)") {
