@@ -20,6 +20,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // task-level telemetry (r07 verdict item 4): per-iteration GC time
+    // and shuffle/agg spill, so a noisy steady sample is attributable
+    // from the artifact (q61 at 157 s single-shot vs 6.4 s steady was
+    // VM contention — but nothing in BENCH_r07 could prove it). The
+    // listener bus is async; `drain()` flushes it before each
+    // counter snapshot (bytecode-public waitUntilEmpty via reflection —
+    // best-effort, a timeout just blurs one sample's attribution).
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            gcMs.addAndGet(m.jvmGCTime): Unit
+            spillBytes.addAndGet(
+              m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+          }
+        }
+      })
+    def drain(): Unit = try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus): Unit
+    } catch { case _: Throwable => () }
     // session warmup: JVM/codegen init and cold file-listing/footer reads
     // shouldn't be billed to whichever query happens to run first
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -110,8 +136,15 @@ object Bench {
       completed.collect { case (k, v)
         if v > 10.0 || prior.get(k).exists(p => v > 5 * p) => k }).toSet
     val steadyFailed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // steady entries carry times PLUS the per-iteration GC-time and
+    // spill attribution: {"t":[s,s,s],"gc_ms":[..],"spill_mb":[..]} —
+    // a 3x-outlier iteration with flat gc/spill is external contention,
+    // one with a gc or spill spike is the query's own memory story
+    val steadyTimes = scala.collection.mutable.Map.empty[String, Seq[Double]]
     val steady = Queries.all.filter(q => hot.contains(q.name)).map { q =>
-      val times = (1 to 3).map { _ =>
+      val samples = (1 to 3).map { _ =>
+        drain()
+        val (g0, s0) = (gcMs.get(), spillBytes.get())
         val t0 = System.nanoTime()
         // loud AND in the artifact, like the single-shot loop: a failed
         // iteration must not masquerade as a fast steady sample
@@ -120,17 +153,86 @@ object Bench {
           if (!steadyFailed.contains(q.name)) steadyFailed += q.name
           System.err.println(s"[bench] steady-state ${q.name} FAILED: $e")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        drain()
+        (dt, gcMs.get() - g0, (spillBytes.get() - s0) / 1048576.0)
       }
       spark.catalog.clearCache()
-      "\"" + q.name + "\":[" + times.map(r3).mkString(",") + "]"
+      steadyTimes(q.name) = samples.map(_._1)
+      "\"" + q.name + "\":{\"t\":[" + samples.map(s => r3(s._1)).mkString(",") +
+        "],\"gc_ms\":[" + samples.map(_._2.toString).mkString(",") +
+        "],\"spill_mb\":[" + samples.map(s => "%.1f".formatLocal(
+          java.util.Locale.ROOT, s._3)).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val steadyFailedJson =
       steadyFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"mean_per_query":${r3(mean)},"queries":$qs,"sf":"$sfDir"}"""
+    // steady-median headline next to the single shot (r07 verdict: the
+    // r07 single-shot total read as a 2x regression that was ~350 s of
+    // VM contention) — per query, the median of its steady samples when
+    // it was re-run, its single shot otherwise
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val totalSteady = completed.map { case (k, v) =>
+      steadyTimes.get(k).filterNot(_ => steadyFailed.contains(k))
+        .map(median).getOrElse(v)
+    }.sum
+    // sf1 scale probe (r07 verdict item 8): the first measured evidence
+    // above the driver's sf0.1 — the heaviest iterative chain (bucketed
+    // PageRank, the q179 path) at 10x the edge volume. Edges are 10
+    // key-shifted copies of the customer->supplier graph on the CUSTOMER
+    // side over the same suppliers: suppliers are the bounded dim, so
+    // this preserves (and deepens) the supplier-hub skew the ranker's
+    // dst-aggregation must survive, instead of cloning 10 disjoint
+    // graphs whose rounds never interact. The one-time bucketed layout
+    // is timed separately (setup_sec) from the 3 steady ranker
+    // iterations — the q112/q179 setup-vs-steady discipline. Skippable
+    // for local iteration via SPARK_GRAFT_SF1=0.
+    val sf1Json =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("0")) "{}"
+      else try {
+        import org.apache.spark.sql.functions._
+        val copies = 10
+        val t0 = System.nanoTime()
+        val edges = Tables.table(spark, sfDir, "orders")
+          .join(Tables.table(spark, sfDir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_suppkey")).distinct()
+          .select(explode(sequence(lit(0), lit(copies - 1))).as("copy"),
+            col("o_custkey"), col("l_suppkey"))
+          .select(concat(lit("c"), col("copy"), lit("_"), col("o_custkey"))
+            .as("src"), concat(lit("s"), col("l_suppkey")).as("dst"))
+        graft.sources.Sinks.writeBucketed(edges, "bench_sf1_edges", 32, "src")
+        val edgeRows = spark.table("bench_sf1_edges").count()
+        val setupSec = (System.nanoTime() - t0) / 1e9
+        val samples = (1 to 3).map { _ =>
+          drain()
+          val (g0, s0) = (gcMs.get(), spillBytes.get())
+          val it0 = System.nanoTime()
+          graft.graph.Graph
+            .pageRank(spark.table("bench_sf1_edges"), iterations = 6,
+              edgesPrepared = true)
+            .write.mode("overwrite").format("noop").save()
+          val dt = (System.nanoTime() - it0) / 1e9
+          drain()
+          (dt, gcMs.get() - g0, (spillBytes.get() - s0) / 1048576.0)
+        }
+        spark.catalog.clearCache()
+        "{\"q179_pagerank_bucketed_10x\":{\"t\":[" +
+          samples.map(s => r3(s._1)).mkString(",") +
+          "],\"gc_ms\":[" + samples.map(_._2.toString).mkString(",") +
+          "],\"spill_mb\":[" + samples.map(s => "%.1f".formatLocal(
+            java.util.Locale.ROOT, s._3)).mkString(",") +
+          s"],\"setup_sec\":${r3(setupSec)},\"edge_rows\":$edgeRows," +
+          s"\"copies\":$copies}}"
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 probe FAILED: $e")
+        "{\"failed\":true}"
+      }
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_steady":${r3(totalSteady)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"mean_per_query":${r3(mean)},"queries":$qs,"sf1_10x":$sf1Json,"sf":"$sfDir"}"""
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{\"queries\":{", ",",
-        s"},\"total\":${r3(total)},\"n_failed\":${failed.size},\"failed\":$failedJson,\"steady_state\":$steady,\"steady_failed\":$steadyFailedJson,\"sf\":\"$sfDir\"}")
+        s"},\"total\":${r3(total)},\"total_steady\":${r3(totalSteady)},\"n_failed\":${failed.size},\"failed\":$failedJson,\"steady_state\":$steady,\"steady_failed\":$steadyFailedJson,\"sf1_10x\":$sf1Json,\"sf\":\"$sfDir\"}")
     // subset runs (SPARK_GRAFT_ONLY) are local iteration: writing their
     // handful of queries over BENCH_DETAIL.json would hollow out the
     // next full run's prior baseline (and the committed artifact)

@@ -4776,6 +4776,47 @@ object Queries {
             (coalesce(c.in_sum, 0.0) + d.mass / s.n), 12) AS rank
         FROM $prev s LEFT JOIN c$k c USING (node) CROSS JOIN d$k d)"""
 
+  /** One CONVERGED-PageRank iteration as gated DuckDB CTEs — the
+    * fixed-point emulation that makes a data-dependent stop expressible
+    * in plain SQL: each round's state carries (delta, iters, stopped);
+    * an un-stopped round runs the exact [[pageRankRoundSql]] recurrence,
+    * computes its own L1 delta Σ round(|rank − prev|, 12) with exact
+    * decimal summation (bit-identical to
+    * [[graft.graph.Graph.pageRankConverged]]'s), and freezes
+    * (delta, iters, stopped=true) once delta < tol; a stopped round
+    * passes state through unchanged, so unrolling `maxIter` rounds
+    * yields exactly the state, round count and stop delta the Spark
+    * loop returns. Post-stop rounds see empty c/d aggregates (the NOT
+    * stopped filters) — pass-through is near-free. */
+  private def pageRankConvergedRoundSql(k: Int, tol: Double): String = {
+    val p = s"cs${k - 1}"
+    s"""
+      cc$k AS (
+        SELECT e.dst AS node,
+          CAST(sum(CAST(round(s.rank / s.outdeg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS in_sum
+        FROM $p s JOIN e ON s.node = e.src
+        WHERE NOT s.stopped GROUP BY 1),
+      cd$k AS (
+        SELECT coalesce(CAST(sum(CAST(round(rank, 12) AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS mass
+        FROM $p WHERE outdeg IS NULL AND NOT stopped),
+      ct$k AS MATERIALIZED (
+        SELECT s.node, s.outdeg, s.n, s.stopped, s.iters, s.delta AS pdelta,
+          s.rank AS prev,
+          CASE WHEN s.stopped THEN s.rank
+               ELSE round(CAST(0.15 AS DOUBLE) / s.n + CAST(0.85 AS DOUBLE) *
+                 (coalesce(c.in_sum, 0.0) + d.mass / s.n), 12) END AS rank
+        FROM $p s LEFT JOIN cc$k c USING (node) CROSS JOIN cd$k d),
+      cg$k AS (
+        SELECT CAST(sum(CAST(round(abs(rank - prev), 12) AS DECIMAL(28,12))) AS DOUBLE) AS nd
+        FROM ct$k WHERE NOT stopped),
+      cs$k AS MATERIALIZED (
+        SELECT node, outdeg, n, rank,
+          CASE WHEN stopped THEN pdelta ELSE g.nd END AS delta,
+          CASE WHEN stopped THEN iters ELSE $k END AS iters,
+          stopped OR g.nd < CAST($tol AS DOUBLE) AS stopped
+        FROM ct$k CROSS JOIN cg$k g)"""
+  }
+
   /** PageRank over the customer->supplier referral graph (distinct
     * (o_custkey, l_suppkey) pairs) — the web-graph importance ranker a
     * crawl-curation pipeline runs over its domain/link graph (Page et
@@ -7484,16 +7525,32 @@ object Queries {
     * layout that replaces q123's per-round ~20 MB edge re-shuffle when
     * the edge set is 100 TB-class: the bucketing IS the exchange, paid
     * once at write time. */
+  /** q179's bucketed edge table, staged ONCE per (process, sfDir): the
+    * one-time layout write is setup, not the per-round ranker under
+    * test — re-writing it on every bench iteration billed the layout to
+    * steady state (12.5-16.4 s for a plan the spec proves CHEAPER per
+    * round than q123's 7.3 s; r07 verdict item 2, the q112 pathology in
+    * sink form). computeIfAbsent serializes concurrent stagers per
+    * sfDir, and the table name is keyed by the sfDir tag so concurrent
+    * catalog runs in one JVM never race on a shared name (r07 advice). */
+  private val q179EdgesByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val q179PagerankBucketed = Q(
     "q179_pagerank_bucketed",
     (s, d) => {
-      val e = orders(s, d)
-        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
-      graft.sources.Sinks.writeBucketed(e, "q179_edges", 8, "src")
-      graft.graph.Graph.pageRank(s.table("q179_edges"), iterations = 6,
+      val tag = d.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9_]", "_")
+      val table = q179EdgesByDir.computeIfAbsent(d, _ => {
+        val name = s"q179_edges_$tag"
+        val e = orders(s, d)
+          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        graft.sources.Sinks.writeBucketed(e, name, 8, "src")
+        name
+      })
+      graft.graph.Graph.pageRank(s.table(table), iterations = 6,
           edgesPrepared = true)
         .where(col("node").startsWith("s"))
         .orderBy(col("rank").desc, col("node"))
@@ -7565,14 +7622,99 @@ object Queries {
       FROM t"""
     })
 
+  /** ANN retrieval QUALITY under the driver gate (r06/r07 carry): every
+    * approximate index in the catalog scored as recall@5 against q26's
+    * brute-force cosine ground truth over the same 10 probes — LSH
+    * (q29), multi-probe LSH (q109), IVF (q81) and random-projection
+    * rerank (q147) — plus an ADC ordering-agreement score for IVF-PQ
+    * (q120, whose contract is distance-ranked retrieval for one query:
+    * the overlap of its top-5 by quantized distance vs top-5 by exact
+    * distance within the returned 10). Exact hit counting over exact
+    * rational fractions, so the quality numbers hash-match in DuckDB —
+    * the gate now pins retrieval QUALITY, not just determinism; until
+    * this query, an LSH regression that tanked recall but stayed
+    * deterministic would have sailed through. The oracle composes the
+    * constituent queries' own oracle SQL as derived tables, so both
+    * engines replay the identical pipelines end-to-end. */
+  val q181AnnRecall = Q(
+    "q181_ann_recall",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Guards
+      val truth = q26Knn.run(s, d).select(col("probe_id"), col("neighbor_id"))
+      val probeList = truth.select("probe_id").distinct()
+      def recall(method: String, res: DataFrame): DataFrame = {
+        val hits = res.select(col("probe_id"), col("neighbor_id"))
+          .join(truth, Seq("probe_id", "neighbor_id"))
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
+        probeList.join(hits, Seq("probe_id"), "left")
+          .agg(count(lit(1)).as("n_probes"),
+            round(sum(coalesce(col("hits"), lit(0L))) /
+              (count(lit(1)) * lit(5.0)), 6).as("recall_at_5"))
+          .select(lit(method).as("method"), col("n_probes"),
+            col("recall_at_5"))
+      }
+      val pqAgreement = {
+        val w = (c: Column) => Window
+          .partitionBy(Guards.constKey(col("vec_id"))).orderBy(c, col("vec_id"))
+        q120IvfPq.run(s, d)
+          .withColumn("ra", row_number().over(w(col("approx_d"))))
+          .withColumn("re", row_number().over(w(col("exact_d"))))
+          .where(col("ra") <= 5 && col("re") <= 5)
+          .agg(round(count(lit(1)) / lit(5.0), 6).as("recall_at_5"))
+          .select(lit("q120_ivf_pq_adc").as("method"),
+            lit(1L).as("n_probes"), col("recall_at_5"))
+      }
+      recall("q29_ann_lsh", q29AnnLsh.run(s, d))
+        .unionByName(recall("q109_ann_multiprobe", q109AnnMultiprobe.run(s, d)))
+        .unionByName(recall("q81_ivf", q81IvfAnn.run(s, d)))
+        .unionByName(recall("q147_rp", q147RpAnn.run(s, d)))
+        .unionByName(pqAgreement)
+        .orderBy(col("method"))
+    },
+    Some {
+      def recallSql(method: String, inner: String): String = s"""
+        SELECT '$method' AS method,
+          CAST(count(*) AS BIGINT) AS n_probes,
+          round(sum(coalesce(h.hits, 0)) / (count(*) * 5.0), 6) AS recall_at_5
+        FROM probes p LEFT JOIN (
+          SELECT r.probe_id, count(*) AS hits
+          FROM ($inner) r JOIN truth t
+            ON r.probe_id = t.probe_id AND r.neighbor_id = t.neighbor_id
+          GROUP BY 1) h USING (probe_id)"""
+      s"""WITH truth AS MATERIALIZED (
+        SELECT probe_id, neighbor_id FROM (${q26Knn.oracle.get})),
+      probes AS (SELECT DISTINCT probe_id FROM truth)
+      SELECT * FROM (
+      ${recallSql("q29_ann_lsh", q29AnnLsh.oracle.get)}
+      UNION ALL
+      ${recallSql("q109_ann_multiprobe", q109AnnMultiprobe.oracle.get)}
+      UNION ALL
+      ${recallSql("q81_ivf", q81IvfAnn.oracle.get)}
+      UNION ALL
+      ${recallSql("q147_rp", q147RpAnn.oracle.get)}
+      UNION ALL
+      SELECT 'q120_ivf_pq_adc' AS method, CAST(1 AS BIGINT) AS n_probes,
+        round(count(*) / 5.0, 6) AS recall_at_5
+      FROM (
+        SELECT vec_id,
+          row_number() OVER (ORDER BY approx_d, vec_id) AS ra,
+          row_number() OVER (ORDER BY exact_d, vec_id) AS re
+        FROM (${q120IvfPq.oracle.get}))
+      WHERE ra <= 5 AND re <= 5)
+      ORDER BY method"""
+    })
+
   /** The production PageRank contract (Graph.pageRankConverged): iterate
-    * to an L1 fixed point (tol = 1e-9) instead of a pinned round count —
-    * what a real crawl ranker runs, since the needed round count depends
-    * on the damping factor, not the analyst. A data-dependent stop cannot
-    * be unrolled into a SQL oracle, so this rides the driver's rows-only
-    * check; determinism and fixed-point correctness are pinned in
-    * GraphClusterPlanSpec (converged state ≡ the fixed-round recurrence
-    * at the same k, one extra round moves L1 by < tol). */
+    * to an L1 fixed point instead of a pinned round count — what a real
+    * crawl ranker runs, since the needed round count depends on the
+    * damping factor, not the analyst. The data-dependent stop IS
+    * oracle-expressible (r07 verdict item 1): the oracle unrolls all
+    * `maxIter` rounds as GATED CTEs ([[pageRankConvergedRoundSql]]) where
+    * a converged state passes through unchanged and (iters, delta)
+    * freeze — so rank, round count AND stop delta hash-match the Spark
+    * loop. GraphClusterPlanSpec additionally pins converged ≡ fixed-round
+    * at the same k and the fixed-point property. */
   val q182PagerankTol = Q(
     "q182_pagerank_tol",
     (s, d) => {
@@ -7581,9 +7723,9 @@ object Queries {
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
       // tol picked for the demo's cost envelope: the L1 delta contracts
-      // ~×damping per round (measured 2.1e-4 after 40 rounds at
-      // sf0.001), so 0.02 stops near round 12 — the stop demonstrably
-      // TRIGGERS (iters < maxIter) instead of riding the cap
+      // ~×damping per round, so 0.02 stops at round 20 (measured at both
+      // sf0.001 and sf0.01) — the stop demonstrably TRIGGERS
+      // (iters < maxIter) instead of riding the cap
       graft.graph.Graph.pageRankConverged(e, tol = 0.02, maxIter = 30)
         .where(col("node").startsWith("s"))
         .orderBy(col("rank").desc, col("node"))
@@ -7591,7 +7733,195 @@ object Queries {
         .select(col("node"), round(col("rank"), 12).as("rank"),
           col("iters"), col("l1_delta"))
     },
-    None)
+    Some(s"""WITH e AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+      m AS (SELECT count(*) AS n FROM nodes),
+      cs0 AS MATERIALIZED (
+        SELECT nd.node, dg.outdeg, m.n,
+          round(CAST(1.0 AS DOUBLE) / m.n, 12) AS rank,
+          CAST(NULL AS DOUBLE) AS delta, 0 AS iters, false AS stopped
+        FROM nodes nd LEFT JOIN deg dg USING (node) CROSS JOIN m),
+      ${(1 to 30).map(pageRankConvergedRoundSql(_, 0.02)).mkString(",\n")}
+      SELECT node, rank, CAST(iters AS INT) AS iters,
+        round(delta, 12) AS l1_delta
+      FROM cs30
+      WHERE node LIKE 's%'
+      ORDER BY rank DESC, node LIMIT 30"""))
+
+  /** One converged-HITS iteration as gated CTEs — [[hitsRoundSql]]'s two
+    * half-steps under the [[pageRankConvergedRoundSql]] fixed-point
+    * gating; the round delta is the sum of BOTH score vectors' L1 moves,
+    * each an exact-decimal sum of 12-dp addends, added as two doubles
+    * exactly like [[graft.graph.Graph.hitsConverged]]'s
+    * deltaExpr(hub)+deltaExpr(auth). */
+  private def hitsConvergedRoundSql(k: Int, tol: Double): String = {
+    val p = s"hs${k - 1}"
+    s"""
+      har$k AS (
+        SELECT e.dst AS node,
+          CAST(sum(CAST(round(s.hub, 12) AS DECIMAL(28,12))) AS DOUBLE) AS raw
+        FROM $p s JOIN e ON s.node = e.src
+        WHERE NOT s.stopped GROUP BY 1),
+      hat$k AS (
+        SELECT CAST(sum(CAST(round(raw, 12) AS DECIMAL(28,12))) AS DOUBLE) AS tot
+        FROM har$k),
+      hsa$k AS MATERIALIZED (
+        SELECT s.node, s.hub, s.auth AS pauth, s.stopped, s.iters,
+          s.delta AS pdelta,
+          CASE WHEN s.stopped THEN s.auth
+               ELSE round(coalesce(a.raw, 0.0) / t.tot, 12) END AS auth
+        FROM $p s LEFT JOIN har$k a USING (node) CROSS JOIN hat$k t),
+      hhr$k AS (
+        SELECT e.src AS node,
+          CAST(sum(CAST(round(s.auth, 12) AS DECIMAL(28,12))) AS DOUBLE) AS raw
+        FROM hsa$k s JOIN e ON s.node = e.dst
+        WHERE NOT s.stopped GROUP BY 1),
+      hht$k AS (
+        SELECT CAST(sum(CAST(round(raw, 12) AS DECIMAL(28,12))) AS DOUBLE) AS tot
+        FROM hhr$k),
+      hsb$k AS MATERIALIZED (
+        SELECT s.node, s.stopped, s.iters, s.pdelta, s.auth, s.pauth,
+          s.hub AS phub,
+          CASE WHEN s.stopped THEN s.hub
+               ELSE round(coalesce(h.raw, 0.0) / t.tot, 12) END AS hub
+        FROM hsa$k s LEFT JOIN hhr$k h USING (node) CROSS JOIN hht$k t),
+      hg$k AS (
+        SELECT CAST(sum(CAST(round(abs(hub - phub), 12) AS DECIMAL(28,12))) AS DOUBLE)
+             + CAST(sum(CAST(round(abs(auth - pauth), 12) AS DECIMAL(28,12))) AS DOUBLE) AS nd
+        FROM hsb$k WHERE NOT stopped),
+      hs$k AS MATERIALIZED (
+        SELECT node, hub, auth,
+          CASE WHEN stopped THEN pdelta ELSE g.nd END AS delta,
+          CASE WHEN stopped THEN iters ELSE $k END AS iters,
+          stopped OR g.nd < CAST($tol AS DOUBLE) AS stopped
+        FROM hsb$k CROSS JOIN hg$k g)"""
+  }
+
+  /** Converged HITS (Graph.hitsConverged): the q134 ranker run to its L1
+    * fixed point instead of 4 pinned rounds — hub+auth L1 move < tol
+    * stops the loop, and the oracle's gated unroll replays rank, round
+    * count and stop delta exactly ([[hitsConvergedRoundSql]]). Top 20
+    * suppliers by authority with the stop metadata. */
+  val q183HitsTol = Q(
+    "q183_hits_tol",
+    (s, d) => {
+      val e = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.graph.Graph.hitsConverged(e, tol = 1e-6, maxIter = 20)
+        .orderBy(col("auth").desc, col("node"))
+        .limit(20)
+        .select(col("node"), round(col("hub"), 12).as("hub"),
+          round(col("auth"), 12).as("auth"), col("iters"), col("l1_delta"))
+    },
+    Some(s"""WITH e AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      m AS (SELECT count(*) AS n FROM nodes),
+      hs0 AS MATERIALIZED (
+        SELECT node, round(CAST(1.0 AS DOUBLE) / m.n, 12) AS hub,
+          round(CAST(1.0 AS DOUBLE) / m.n, 12) AS auth,
+          CAST(NULL AS DOUBLE) AS delta, 0 AS iters, false AS stopped
+        FROM nodes CROSS JOIN m),
+      ${(1 to 20).map(hitsConvergedRoundSql(_, 1e-6)).mkString(",\n")}
+      SELECT node, round(hub, 12) AS hub, round(auth, 12) AS auth,
+        CAST(iters AS INT) AS iters, round(delta, 12) AS l1_delta
+      FROM hs20
+      ORDER BY auth DESC, node LIMIT 20"""))
+
+  /** One converged-PPR iteration as gated CTEs — [[pprRoundSql]] under
+    * the fixed-point gating, teleport/dangling mass routed to the
+    * personalization vector. */
+  private def pprConvergedRoundSql(k: Int, tol: Double): String = {
+    val p = s"qs${k - 1}"
+    s"""
+      qc$k AS (
+        SELECT e.dst AS node,
+          CAST(sum(CAST(round(s.rank / s.outdeg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS in_sum
+        FROM $p s JOIN e ON s.node = e.src
+        WHERE NOT s.stopped GROUP BY 1),
+      qd$k AS (
+        SELECT coalesce(CAST(sum(CAST(round(rank, 12) AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS mass
+        FROM $p WHERE outdeg IS NULL AND NOT stopped),
+      qt$k AS MATERIALIZED (
+        SELECT s.node, s.outdeg, s.p, s.stopped, s.iters, s.delta AS pdelta,
+          s.rank AS prev,
+          CASE WHEN s.stopped THEN s.rank
+               ELSE round(CAST(0.15 AS DOUBLE) * s.p + CAST(0.85 AS DOUBLE) *
+                 (coalesce(c.in_sum, 0.0) + d.mass * s.p), 12) END AS rank
+        FROM $p s LEFT JOIN qc$k c USING (node) CROSS JOIN qd$k d),
+      qg$k AS (
+        SELECT CAST(sum(CAST(round(abs(rank - prev), 12) AS DECIMAL(28,12))) AS DOUBLE) AS nd
+        FROM qt$k WHERE NOT stopped),
+      qs$k AS MATERIALIZED (
+        SELECT node, outdeg, p, rank,
+          CASE WHEN stopped THEN pdelta ELSE g.nd END AS delta,
+          CASE WHEN stopped THEN iters ELSE $k END AS iters,
+          stopped OR g.nd < CAST($tol AS DOUBLE) AS stopped
+        FROM qt$k CROSS JOIN qg$k g)"""
+  }
+
+  /** Converged personalized PageRank
+    * (Graph.personalizedPageRankConverged): q165's seed-proximity ranker
+    * run to its L1 fixed point — the production contract for "which
+    * suppliers serve these customers", since seed sets change per query
+    * and the needed round count with them. Same gated-unroll oracle
+    * treatment as q182/q183. */
+  val q184PprTol = Q(
+    "q184_ppr_tol",
+    (s, d) => {
+      val e = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val isSeed = (node: Column) =>
+        node.startsWith("c") &&
+          expr("CAST(substring(node, 2) AS BIGINT)") % 97 === 0
+      // tol/maxIter sized so the stop TRIGGERS: the seed-concentrated
+      // init puts the first-round L1 move at 1.7, contracting ×0.85 per
+      // round, so tol=0.01 lands near round 33 — well inside the cap
+      graft.graph.Graph.personalizedPageRankConverged(e, isSeed,
+          tol = 0.01, maxIter = 40)
+        .where(col("node").startsWith("s"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(30)
+        .select(col("node"), round(col("rank"), 12).as("rank"),
+          col("iters"), col("l1_delta"))
+    },
+    Some(s"""WITH e AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+      m AS (
+        SELECT count(*) AS ns FROM nodes
+        WHERE node LIKE 'c%' AND CAST(substring(node, 2) AS BIGINT) % 97 = 0),
+      qs0 AS MATERIALIZED (
+        SELECT nd.node, dg.outdeg,
+          round(CASE WHEN nd.node LIKE 'c%'
+                      AND CAST(substring(nd.node, 2) AS BIGINT) % 97 = 0
+                THEN CAST(1.0 AS DOUBLE) / m.ns ELSE CAST(0.0 AS DOUBLE) END,
+            12) AS p,
+          round(CASE WHEN nd.node LIKE 'c%'
+                      AND CAST(substring(nd.node, 2) AS BIGINT) % 97 = 0
+                THEN CAST(1.0 AS DOUBLE) / m.ns ELSE CAST(0.0 AS DOUBLE) END,
+            12) AS rank,
+          CAST(NULL AS DOUBLE) AS delta, 0 AS iters, false AS stopped
+        FROM nodes nd LEFT JOIN deg dg USING (node) CROSS JOIN m),
+      ${(1 to 40).map(pprConvergedRoundSql(_, 0.01)).mkString(",\n")}
+      SELECT node, rank, CAST(iters AS INT) AS iters,
+        round(delta, 12) AS l1_delta
+      FROM qs40
+      WHERE node LIKE 's%'
+      ORDER BY rank DESC, node LIMIT 30"""))
 
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
@@ -7641,5 +7971,5 @@ object Queries {
     q171Trending, q172TableDiff, q173TrailingUniques,
     q174PmiCollocations, q175QuantileDrift, q176RendezvousShard,
     q177BenfordAudit, q178SourceOverlap, q179PagerankBucketed,
-    q180Zorder3, q182PagerankTol)
+    q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol)
 }

@@ -30,12 +30,74 @@ object Graph {
   private def cut(df: DataFrame, durable: Boolean): DataFrame =
     if (durable) df.checkpoint() else df.localCheckpoint()
 
-  /** Route a caller-supplied checkpoint dir to the context; returns
-    * whether the durable path is active. Set once per operator call, not
-    * per round (setCheckpointDir creates a fresh UUID subdir each time). */
-  private def durableDir(df: DataFrame, dir: Option[String]): Boolean = {
-    dir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
-    dir.isDefined
+  /** [[cut]] for ROUND STATE, with durable-path retention: each tracked
+    * checkpoint supersedes the one from two rounds back, which is
+    * deleted — without this a 40-round durable job accumulates 40 full
+    * state copies in the checkpoint dir (r07 advice/verdict item 5). Two
+    * are kept because the converged loops hand back the PREVIOUS state
+    * when the probe trips. Long-lived checkpoints (the deduped edge set,
+    * re-read by every round) use the untracked [[cut]] and are never
+    * pruned. */
+  private def cut(df: DataFrame, durable: Boolean, ret: Retention)
+      : DataFrame = {
+    val out = cut(df, durable)
+    if (durable) ret.track(out.sparkSession.sparkContext)
+    out
+  }
+
+  /** Per-operator-invocation tracker of superseded durable state
+    * checkpoints. `track()` records the newest `rdd-<id>` dir under the
+    * context's current checkpoint dir (the one the checkpoint that just
+    * materialized wrote — ids are session-monotonic, and the operator's
+    * dir is private to this invocation: `setCheckpointDir` mints a fresh
+    * UUID subdir per call) and deletes everything it tracked beyond the
+    * newest two. Only paths this instance tracked are ever deleted, so
+    * edge/init checkpoints and other operators' state are untouchable. */
+  private final class Retention {
+    private var kept: List[org.apache.hadoop.fs.Path] = Nil // newest first
+    def track(sc: org.apache.spark.SparkContext): Unit =
+      sc.getCheckpointDir.foreach { d =>
+        val dir = new org.apache.hadoop.fs.Path(d)
+        val fs = dir.getFileSystem(sc.hadoopConfiguration)
+        if (fs.exists(dir)) {
+          val newest = fs.listStatus(dir).toSeq
+            .filter(_.getPath.getName.startsWith("rdd-"))
+            .sortBy(_.getPath.getName.stripPrefix("rdd-").toLong)
+            .lastOption.map(_.getPath)
+          newest.filterNot(kept.contains).foreach { p =>
+            kept = p :: kept
+            kept.drop(2).foreach(old => fs.delete(old, true))
+            kept = kept.take(2)
+          }
+        }
+      }
+  }
+
+  /** Run `body` with `checkpointDir` routed to the context (when given),
+    * restoring the PREVIOUS checkpoint-dir setting afterwards — without
+    * this the per-operator override leaks into every later `checkpoint()`
+    * user of the session (r07 advice). Restoration writes the raw
+    * internal value back (reflection on the bytecode-public
+    * `checkpointDir_$eq` setter): re-calling `setCheckpointDir` would
+    * mint a fresh UUID subdir instead of the original one. The eager
+    * per-round checkpoints have all materialized before `body` returns,
+    * so restoring immediately is safe for the returned lazy frame. */
+  private def withDurable[T](df: DataFrame, dir: Option[String])
+      (body: Boolean => T): T = {
+    val sc = df.sparkSession.sparkContext
+    if (dir.isEmpty) body(false)
+    else {
+      val saved = sc.getCheckpointDir
+      sc.setCheckpointDir(dir.get)
+      try body(true)
+      finally {
+        val setter = sc.getClass.getMethods
+          .find(_.getName == "checkpointDir_$eq")
+          .getOrElse(throw new NoSuchMethodException(
+            "SparkContext.checkpointDir_$eq"))
+        setter.invoke(sc, saved): Unit
+      }
+    }
   }
 
   /** Dense APSP with predecessor matrix. Infinity = Double.MaxValue/4. */
@@ -105,7 +167,7 @@ object Graph {
                checkpointDir: Option[String] = None,
                edgesPrepared: Boolean = false): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
-    val durable = durableDir(edges, checkpointDir)
+    withDurable(edges, checkpointDir) { durable =>
     // The contributions join hits `e` on src every round. Two ways to pay
     // for that, A/B-measured at sf0.1 local[32] (r06, per-round times):
     //  - materialized-RDD checkpoint (this code): each round re-shuffles
@@ -133,13 +195,15 @@ object Graph {
     val e =
       if (edgesPrepared) edges.select(col("src"), col("dst"))
       else cut(edges.select(col("src"), col("dst")).distinct(), durable)
-    var state = cut(prInit(e), durable)
+    val ret = new Retention
+    var state = cut(prInit(e), durable, ret)
     var it = 0
     while (it < iterations) {
-      state = cut(prRound(state, e, damping, teleport), durable)
+      state = cut(prRound(state, e, damping, teleport), durable, ret)
       it += 1
     }
     state.select(col("node"), col("rank"))
+    }
   }
 
   /** PageRank state init: (node, outdeg, n, rank=1/n). Package-private so
@@ -164,31 +228,56 @@ object Graph {
   /** One PageRank round over (node, outdeg, n, rank) state — the plan a
     * cluster pays `iterations` times: one state⋈edges join on src (edge
     * side exchange-free when e is bucketed by src), one dst aggregation,
-    * two one-row constKey broadcasts. */
-  private[graft] def prRound(state: DataFrame, e: DataFrame,
-                             damping: Double, teleport: Double): DataFrame = {
+    * two one-row constKey broadcasts.
+    *
+    * `trackDelta` serves [[pageRankConverged]]: the input carries a
+    * `__prev` column (last round's rank, null on round one) and the
+    * dangling one-row aggregate ALSO computes the L1 delta
+    * Σ round(|rank − __prev|, 12) of the transition the input state
+    * represents — so the delta rides the broadcast that every round
+    * already pays, attached to every output row as `__delta`, and the
+    * driver's stop check becomes a limit-1 probe of the checkpointed
+    * state instead of a full aggregation job per round (r07 verdict
+    * item 7: halves per-round driver actions). The output re-carries
+    * `__prev := input rank` for the next round's delta. */
+  private[graft] def prRound(state0: DataFrame, e: DataFrame,
+                             damping: Double, teleport: Double,
+                             trackDelta: Boolean = false): DataFrame = {
     import graft.operators.Guards
+    // the input may still carry last round's broadcast __delta — stale
+    // and colliding with this round's
+    val state = state0.drop("__delta")
     val exactSum12 = (c: Column) =>
       sum(round(c, 12).cast("decimal(28,12)")).cast("double")
     val contribs = state.where(col("outdeg").isNotNull)
       .join(e, state("node") === e("src"))
       .groupBy(col("dst").as("node"))
       .agg(exactSum12(col("rank") / col("outdeg")).as("in_sum"))
-    val dangling = state
-      .agg(coalesce(exactSum12(when(col("outdeg").isNull, col("rank"))),
-        lit(0.0)).as("mass"))
-      .withColumn("__k", Guards.constKey(col("mass")))
-    // carry pageRankConverged's __prev column through, if present
-    val carry = state.columns.filter(_ == "__prev").toSeq.map(col)
-    state.drop("rank")
+    val massCol = coalesce(
+      exactSum12(when(col("outdeg").isNull, col("rank"))), lit(0.0)).as("mass")
+    val dangling =
+      (if (trackDelta)
+        state.agg(massCol, deltaExpr(col("rank"), col("__prev")).as("__delta"))
+      else state.agg(massCol))
+        .withColumn("__k", Guards.constKey(col("mass")))
+    val newRank = round(lit(teleport) / col("n") +
+      lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
+        col("mass") / col("n")), 12).as("rank")
+    val joined = state.withColumnRenamed("rank", "__rold")
       .join(contribs, Seq("node"), "left")
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(dangling), "__k")
-      .select(Seq(col("node"), col("outdeg"), col("n")) ++ carry :+
-        round(lit(teleport) / col("n") +
-          lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
-            col("mass") / col("n")), 12).as("rank"): _*)
+    if (trackDelta)
+      joined.select(col("node"), col("outdeg"), col("n"), newRank,
+        col("__rold").as("__prev"), col("__delta"))
+    else joined.select(col("node"), col("outdeg"), col("n"), newRank)
   }
+
+  /** L1 delta of a state transition with 12-dp-rounded addends and exact
+    * decimal summation — the same cross-engine determinism regime as the
+    * rank sums, so an SQL oracle replays the identical stop decision. */
+  private def deltaExpr(rank: Column, prev: Column): Column =
+    sum(round(abs(rank - prev), 12).cast("decimal(28,12)")).cast("double")
 
   /** [[pageRank]] with a convergence stop instead of a fixed round count:
     * iterate until the L1 delta Σ|rank_k − rank_{k−1}| falls below `tol`
@@ -196,39 +285,74 @@ object Graph {
     * callers can see what the stop actually was. This is the production
     * contract (PageRank's power iteration contracts at rate ~damping per
     * round, so tol=1e-9 lands in ~tens of rounds regardless of graph
-    * size); the fixed-round [[pageRank]] stays the bit-exact oracle twin
-    * (an unrolled SQL oracle cannot express a data-dependent stop —
-    * q182 rides the driver's rows-only check instead). The delta is one
-    * extra one-row aggregate per round — a driver-side action, same cost
-    * class as the eager checkpoint that already runs each round. */
+    * size). After `iters` rounds the state is bit-identical to
+    * `pageRank(e, iters)` ([[GraphClusterPlanSpec]] pins it), and the
+    * data-dependent stop IS oracle-expressible: the driver's q182 oracle
+    * unrolls `maxIter` gated rounds where a converged state passes
+    * through unchanged and `iters`/`delta` freeze — a fixed-point
+    * emulation in plain CTEs.
+    *
+    * Per round the delta rides the dangling-mass broadcast
+    * ([[prRound]] `trackDelta`), so the stop check is a limit-1 probe of
+    * the just-checkpointed state — round k+1's probe reads Δ_k. The loop
+    * therefore runs one speculative round past the fixed point and hands
+    * back the PREVIOUS state when the probe trips; output is identical
+    * to checking Δ_k before round k+1, but k probes replace k full
+    * aggregation jobs. */
   def pageRankConverged(edges: DataFrame, tol: Double, maxIter: Int = 50,
                         damping: Double = 0.85, teleport: Double = 0.15,
                         checkpointDir: Option[String] = None,
                         edgesPrepared: Boolean = false): DataFrame = {
     require(tol > 0 && maxIter >= 1, "need tol > 0 and maxIter >= 1")
-    val durable = durableDir(edges, checkpointDir)
+    withDurable(edges, checkpointDir) { durable =>
     val e =
       if (edgesPrepared) edges.select(col("src"), col("dst"))
       else cut(edges.select(col("src"), col("dst")).distinct(), durable)
-    var state = cut(prInit(e), durable)
-    var it = 0
-    var delta = Double.MaxValue
-    while (it < maxIter && delta >= tol) {
-      // same round plan as prRound, plus the old rank carried through as
-      // __prev — delta tracking costs ONE one-row aggregate over the
-      // already-checkpointed state per round, not an extra shuffle join
-      val next = cut(
-        prRound(state.withColumn("__prev", col("rank")), e, damping, teleport),
-        durable)
-      delta = next
-        .agg(sum(abs(col("rank") - col("__prev")).cast("decimal(28,12)"))
-          .cast("double"))
-        .head().getDouble(0)
-      state = next
-      it += 1
-    }
+    val init = prInit(e).withColumn("__prev", lit(null).cast("double"))
+    val (state, iters, delta) = probeLoop(init, durable, tol, maxIter,
+      s => prRound(s, e, damping, teleport, trackDelta = true))
     state.select(col("node"), col("rank"),
-      lit(it).as("iters"), round(lit(delta), 12).as("l1_delta"))
+      lit(iters).as("iters"), round(lit(delta), 12).as("l1_delta"))
+    }
+  }
+
+  /** The shared converged-iteration driver: run `round` (which must emit
+    * a broadcast `__delta` column — null on the first round) until the
+    * probed delta drops below `tol` or `maxIter` rounds, returning
+    * (final state, rounds run, final delta). When round k+1's probe
+    * shows Δ_k < tol the PREVIOUS state (round k) is returned — the
+    * same state the eager-check loop would return. If `maxIter` caps
+    * the loop instead, the final delta needs the one direct aggregate
+    * the probe never ran. */
+  private def probeLoop(init: DataFrame, durable: Boolean, tol: Double,
+                        maxIter: Int, round: DataFrame => DataFrame,
+                        capDelta: DataFrame => Double = st =>
+                          st.agg(deltaExpr(col("rank"), col("__prev")))
+                            .head().getDouble(0))
+      : (DataFrame, Int, Double) = {
+    val ret = new Retention
+    var state = cut(init, durable, ret)
+    var it = 0
+    var result: DataFrame = null
+    var delta = Double.NaN
+    while (result == null && it < maxIter) {
+      val next = cut(round(state), durable, ret)
+      val probed = next.select(col("__delta")).head().get(0)
+      if (probed != null && probed.asInstanceOf[Double] < tol) {
+        delta = probed.asInstanceOf[Double]
+        result = state
+      } else {
+        state = next
+        it += 1
+      }
+    }
+    if (result == null) {
+      // maxIter cap: the final round's delta was never probed (it would
+      // ride the round after) — one direct aggregate over the final state
+      delta = capDelta(state)
+      result = state
+    }
+    (result, it, delta)
   }
 
   /** HITS hubs and authorities (Kleinberg, JACM 1999) — the
@@ -253,9 +377,8 @@ object Graph {
            checkpointDir: Option[String] = None,
            edgesPrepared: Boolean = false,
            edgesByDst: Option[DataFrame] = None): DataFrame = {
-    import graft.operators.Guards
     require(iterations >= 1, "hits needs at least one iteration")
-    val durable = durableDir(edges, checkpointDir)
+    withDurable(edges, checkpointDir) { durable =>
     // HITS joins edges on src (auth half-step) AND on dst (hub
     // half-step), so the cluster layout that zeroes per-round edge
     // movement is TWO one-time bucketed copies of the same deduped edge
@@ -264,30 +387,101 @@ object Graph {
     // the per-round edge traffic. GraphClusterPlanSpec locks both
     // half-step plans edge-exchange-free and the hash parity vs the
     // default path.
-    val e =
-      if (edgesPrepared) edges.select(col("src"), col("dst"))
-      else cut(edges.select(col("src"), col("dst")).distinct(), durable)
-    val eDst = edgesByDst.map(_.select(col("src"), col("dst"))).getOrElse(e)
+    val (e, eDst) = hitsEdges(edges, edgesByDst, edgesPrepared, durable)
+    val ret = new Retention
+    var state = cut(hitsInit(e), durable, ret)
+    var it = 0
+    while (it < iterations) {
+      val afterAuth = cut(hitsAuthStep(state, e), durable, ret)
+      state = cut(hitsHubStep(afterAuth, eDst), durable, ret)
+      it += 1
+    }
+    state
+    }
+  }
+
+  /** Shared HITS edge preparation: on the default path BOTH edge copies
+    * get the same distinct()+cut — an un-deduped dst-side copy would
+    * silently double-count duplicate edges in the hub half-step while
+    * the src side was deduped (r07 advice). Prepared callers own dedup
+    * for both copies (a distinct here would destroy the bucketed scan's
+    * output partitioning). */
+  private def hitsEdges(edges: DataFrame, edgesByDst: Option[DataFrame],
+                        edgesPrepared: Boolean, durable: Boolean)
+      : (DataFrame, DataFrame) = {
+    val prep = (d: DataFrame) =>
+      if (edgesPrepared) d.select(col("src"), col("dst"))
+      else cut(d.select(col("src"), col("dst")).distinct(), durable)
+    val e = prep(edges)
+    (e, edgesByDst.map(prep).getOrElse(e))
+  }
+
+  /** HITS state init: every node at hub = auth = 1/n. */
+  private def hitsInit(e: DataFrame): DataFrame = {
+    import graft.operators.Guards
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val meta = nodes.agg(count(lit(1)).as("n"))
       .withColumn("__k", Guards.constKey(col("n")))
-    var state = cut(nodes
+    nodes
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(meta), "__k")
       .select(col("node"), round(lit(1.0) / col("n"), 12).as("hub"),
-        round(lit(1.0) / col("n"), 12).as("auth")), durable)
-    var it = 0
-    while (it < iterations) {
-      val afterAuth = cut(hitsAuthStep(state, e), durable)
-      state = cut(hitsHubStep(afterAuth, eDst), durable)
-      it += 1
+        round(lit(1.0) / col("n"), 12).as("auth"))
+  }
+
+  /** [[hits]] with the [[pageRankConverged]] L1 stop: iterate until
+    * Σ round(|hub−hub'|,12) + Σ round(|auth−auth'|,12) < `tol` (or
+    * `maxIter`), returning (node, hub, auth, iters, l1_delta). The delta
+    * rides the hub half-step's existing one-row total broadcast
+    * ([[hitsHubStep]] `trackDelta`) against the previous full iteration's
+    * scores carried as `__phub`/`__pauth`, so the stop check is the same
+    * limit-1 probe as PageRank's — no extra aggregation job per round.
+    * After `iters` rounds the scores are bit-identical to
+    * `hits(e, iters)`; the q183 oracle unrolls gated rounds (fixed-point
+    * pass-through) exactly like q182's. */
+  def hitsConverged(edges: DataFrame, tol: Double, maxIter: Int = 30,
+                    checkpointDir: Option[String] = None,
+                    edgesPrepared: Boolean = false,
+                    edgesByDst: Option[DataFrame] = None): DataFrame = {
+    require(tol > 0 && maxIter >= 1, "need tol > 0 and maxIter >= 1")
+    withDurable(edges, checkpointDir) { durable =>
+    val (e, eDst) = hitsEdges(edges, edgesByDst, edgesPrepared, durable)
+    import graft.operators.Guards
+    val init = hitsInit(e)
+      .withColumn("__phub", lit(null).cast("double"))
+      .withColumn("__pauth", lit(null).cast("double"))
+    val hitsDelta = (st: DataFrame) =>
+      st.agg((deltaExpr(col("hub"), col("__phub")) +
+        deltaExpr(col("auth"), col("__pauth"))).as("__delta"))
+    val (state, iters, delta) = probeLoop(init, durable, tol, maxIter, s => {
+      // the iteration's delta (vs the carried previous scores) is ONE
+      // one-row aggregate broadcast onto the new state — inside the
+      // round's job, not a separate driver action
+      val dAgg = hitsDelta(s).withColumn("__k", Guards.constKey(col("__delta")))
+      // s may still carry last round's broadcast __delta; rebuild the
+      // carry from scratch so this round's broadcast is the only one
+      val carried = s.select(col("node"), col("hub"), col("auth"),
+        col("hub").as("__phub"), col("auth").as("__pauth"))
+      hitsHubStep(hitsAuthStep(carried, e), eDst)
+        .withColumn("__k", Guards.constKey(col("node")))
+        .join(broadcast(dAgg), "__k")
+        .drop("__k")
+    }, capDelta = st => hitsDelta(st).head().getDouble(0))
+    state.select(col("node"), col("hub"), col("auth"),
+      lit(iters).as("iters"), round(lit(delta), 12).as("l1_delta"))
     }
-    state
   }
 
   private def exactSum12Col(c: Column): Column =
     sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+
+  /** Columns a half-step must thread through untouched — the converged
+    * loop's previous-score carry (__phub/__pauth) rides the state. */
+  private def hitsExtras(state: DataFrame): Seq[Column] =
+    state.columns.toSeq
+      .filter(c => c != "node" && c != "hub" && c != "auth" && c != "__k")
+      .map(col)
 
   /** HITS authority half-step: join state to edges on src, aggregate hub
     * mass by dst, L1-normalize. Edge side is exchange-free when e is
@@ -303,8 +497,9 @@ object Graph {
       .join(aRaw, Seq("node"), "left")
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(aTot), "__k")
-      .select(col("node"), col("hub"),
-        round(coalesce(col("raw"), lit(0.0)) / col("tot"), 12).as("auth"))
+      .select(Seq(col("node"), col("hub"),
+        round(coalesce(col("raw"), lit(0.0)) / col("tot"), 12).as("auth")) ++
+        hitsExtras(state): _*)
   }
 
   /** HITS hub half-step (mirror of [[hitsAuthStep]] on dst): edge side is
@@ -320,9 +515,9 @@ object Graph {
       .join(hRaw, Seq("node"), "left")
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(hTot), "__k")
-      .select(col("node"),
+      .select(Seq(col("node"),
         round(coalesce(col("raw"), lit(0.0)) / col("tot"), 12).as("hub"),
-        col("auth"))
+        col("auth")) ++ hitsExtras(state): _*)
   }
 
   /** All-pairs minimum hop counts, capped at `maxHops`, by min-plus
@@ -342,9 +537,10 @@ object Graph {
   def bfsHops(edges: DataFrame, maxHops: Int,
               checkpointDir: Option[String] = None): DataFrame = {
     // edges: (src, dst)
-    val durable = durableDir(edges, checkpointDir)
+    withDurable(edges, checkpointDir) { durable =>
+    val ret = new Retention
     var known = cut(edges.select(col("src"), col("dst"), lit(1L).as("hops"))
-      .groupBy("src", "dst").agg(min("hops").as("hops")), durable)
+      .groupBy("src", "dst").agg(min("hops").as("hops")), durable, ret)
     var reach = 1L
     while (reach < maxHops) {
       val doubled = known.alias("a")
@@ -353,10 +549,11 @@ object Graph {
           (col("a.hops") + col("b.hops")).as("hops"))
       known = cut(known.unionByName(doubled)
         .groupBy("src", "dst").agg(min("hops").as("hops"))
-        .where(col("hops") <= maxHops), durable)
+        .where(col("hops") <= maxHops), durable, ret)
       reach *= 2
     }
     known
+    }
   }
 
   /** Personalized PageRank (Page et al. 1999 §6; the topic-sensitive /
@@ -380,12 +577,29 @@ object Graph {
                            teleport: Double = 0.15,
                            checkpointDir: Option[String] = None,
                            edgesPrepared: Boolean = false): DataFrame = {
-    import graft.operators.Guards
     require(iterations >= 1, "personalizedPageRank needs at least one iteration")
-    val durable = durableDir(edges, checkpointDir)
+    withDurable(edges, checkpointDir) { durable =>
     val e =
       if (edgesPrepared) edges.select(col("src"), col("dst"))
       else cut(edges.select(col("src"), col("dst")).distinct(), durable)
+    val ret = new Retention
+    var state = cut(pprInit(e, isSource), durable, ret)
+    require(state.where(col("p") > 0).limit(1).count() == 1L,
+      "personalizedPageRank: the source predicate matched no node")
+    var it = 0
+    while (it < iterations) {
+      state = cut(pprRound(state, e, damping, teleport), durable, ret)
+      it += 1
+    }
+    state.select(col("node"), col("rank"))
+    }
+  }
+
+  /** PPR state init: (node, outdeg, p, rank=p) with p the seed-uniform
+    * personalization vector. */
+  private[graft] def pprInit(e: DataFrame, isSource: Column => Column)
+      : DataFrame = {
+    import graft.operators.Guards
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src").as("node"))
@@ -393,38 +607,74 @@ object Graph {
     val meta = nodes.where(isSource(col("node")))
       .agg(count(lit(1)).as("ns"))
       .withColumn("__k", Guards.constKey(col("ns")))
-    val exactSum12 = (c: Column) =>
-      sum(round(c, 12).cast("decimal(28,12)")).cast("double")
-    var state = nodes.join(outdeg, Seq("node"), "left")
+    nodes.join(outdeg, Seq("node"), "left")
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(meta), "__k")
       .select(col("node"), col("outdeg"),
         round(when(isSource(col("node")),
           lit(1.0) / col("ns")).otherwise(lit(0.0)), 12).as("p"))
       .withColumn("rank", col("p"))
-    state = cut(state, durable)
-    require(state.where(col("p") > 0).limit(1).count() == 1L,
-      "personalizedPageRank: the source predicate matched no node")
-    var it = 0
-    while (it < iterations) {
-      val contribs = state.where(col("outdeg").isNotNull)
-        .join(e, state("node") === e("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(exactSum12(col("rank") / col("outdeg")).as("in_sum"))
-      val dangling = state
-        .agg(coalesce(exactSum12(when(col("outdeg").isNull, col("rank"))),
-          lit(0.0)).as("mass"))
+  }
+
+  /** One PPR round — [[prRound]] with the teleport/dangling mass routed
+    * to the personalization vector `p` instead of 1/n; `trackDelta` works
+    * identically (delta rides the dangling broadcast, output re-carries
+    * `__prev`). */
+  private[graft] def pprRound(state0: DataFrame, e: DataFrame,
+                              damping: Double, teleport: Double,
+                              trackDelta: Boolean = false): DataFrame = {
+    import graft.operators.Guards
+    val state = state0.drop("__delta")
+    val exactSum12 = (c: Column) =>
+      sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+    val contribs = state.where(col("outdeg").isNotNull)
+      .join(e, state("node") === e("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(exactSum12(col("rank") / col("outdeg")).as("in_sum"))
+    val massCol = coalesce(
+      exactSum12(when(col("outdeg").isNull, col("rank"))), lit(0.0)).as("mass")
+    val dangling =
+      (if (trackDelta)
+        state.agg(massCol, deltaExpr(col("rank"), col("__prev")).as("__delta"))
+      else state.agg(massCol))
         .withColumn("__k", Guards.constKey(col("mass")))
-      state = cut(state.drop("rank")
-        .join(contribs, Seq("node"), "left")
-        .withColumn("__k", Guards.constKey(col("node")))
-        .join(broadcast(dangling), "__k")
-        .select(col("node"), col("outdeg"), col("p"),
-          round(lit(teleport) * col("p") +
-            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
-              col("mass") * col("p")), 12).as("rank")), durable)
-      it += 1
+    val newRank = round(lit(teleport) * col("p") +
+      lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
+        col("mass") * col("p")), 12).as("rank")
+    val joined = state.withColumnRenamed("rank", "__rold")
+      .join(contribs, Seq("node"), "left")
+      .withColumn("__k", Guards.constKey(col("node")))
+      .join(broadcast(dangling), "__k")
+    if (trackDelta)
+      joined.select(col("node"), col("outdeg"), col("p"), newRank,
+        col("__rold").as("__prev"), col("__delta"))
+    else joined.select(col("node"), col("outdeg"), col("p"), newRank)
+  }
+
+  /** [[personalizedPageRank]] with the [[pageRankConverged]] L1 stop —
+    * same probe-not-aggregate delta transport, same gated-unroll oracle
+    * treatment (q184). Returns (node, rank, iters, l1_delta). */
+  def personalizedPageRankConverged(edges: DataFrame,
+                                    isSource: Column => Column,
+                                    tol: Double, maxIter: Int = 50,
+                                    damping: Double = 0.85,
+                                    teleport: Double = 0.15,
+                                    checkpointDir: Option[String] = None,
+                                    edgesPrepared: Boolean = false)
+      : DataFrame = {
+    require(tol > 0 && maxIter >= 1, "need tol > 0 and maxIter >= 1")
+    withDurable(edges, checkpointDir) { durable =>
+    val e =
+      if (edgesPrepared) edges.select(col("src"), col("dst"))
+      else cut(edges.select(col("src"), col("dst")).distinct(), durable)
+    val init = pprInit(e, isSource)
+      .withColumn("__prev", lit(null).cast("double"))
+    require(init.where(col("p") > 0).limit(1).count() == 1L,
+      "personalizedPageRankConverged: the source predicate matched no node")
+    val (state, iters, delta) = probeLoop(init, durable, tol, maxIter,
+      s => pprRound(s, e, damping, teleport, trackDelta = true))
+    state.select(col("node"), col("rank"),
+      lit(iters).as("iters"), round(lit(delta), 12).as("l1_delta"))
     }
-    state.select(col("node"), col("rank"))
   }
 }

@@ -43,7 +43,7 @@ object Layout {
     * 2·bits output bits; callers clamp/bucket inputs into [0, 2^bits).
     */
   def zorderKey(x: Column, y: Column, bits: Int): Column = {
-    require(bits <= 31, "bits must be in [1, 31]")
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     zorderKeyN(Seq(x, y), bits)
   }
 

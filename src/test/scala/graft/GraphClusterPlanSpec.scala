@@ -176,4 +176,61 @@ class GraphClusterPlanSpec extends SparkSpec {
     val l1 = fixed.map { case (n, r) => math.abs(oneMore(n) - r) }.sum
     assert(l1 < 1e-6, s"one extra round moved L1 by $l1 — not a fixed point")
   }
+
+  test("durable retention keeps O(1) round states and restores the checkpoint dir") {
+    val sc = spark.sparkContext
+    val before = sc.getCheckpointDir
+    val dir = Scratch.dir("gcp_retention")
+    val local = ranksOf(Graph.pageRank(rawEdges, iterations = 8))
+    val durable = ranksOf(Graph.pageRank(rawEdges, iterations = 8,
+      checkpointDir = Some(dir)))
+    assert(durable == local, "retention-pruned durable run changed results")
+    // the per-operator override must not leak into the session
+    assert(sc.getCheckpointDir == before,
+      s"checkpoint dir leaked: ${sc.getCheckpointDir} (was $before)")
+    // 8 rounds + init wrote 9 state checkpoints + 1 edge checkpoint;
+    // retention must have pruned superseded state down to O(1):
+    // <= 2 kept states + the never-pruned edge set
+    val uuidDirs = new java.io.File(dir).listFiles()
+    assert(uuidDirs != null && uuidDirs.length == 1,
+      s"expected one UUID subdir under $dir")
+    val rdds = uuidDirs.head.listFiles().filter(_.getName.startsWith("rdd-"))
+    assert(rdds.length <= 3,
+      s"retention failed: ${rdds.length} rdd-* checkpoints remain " +
+        rdds.map(_.getName).mkString("[", ",", "]"))
+  }
+
+  test("hitsConverged stops at the tolerance and matches the fixed-round twin") {
+    val e = rawEdges
+    val conv = Graph.hitsConverged(e, tol = 1e-6, maxIter = 40)
+    val rows = conv.select(col("node"), col("hub"), col("auth"),
+        col("iters"), col("l1_delta"))
+      .as[(String, Double, Double, Int, Double)].collect()
+    val iters = rows.head._4
+    val delta = rows.head._5
+    assert(rows.forall(r => r._4 == iters && r._5 == delta))
+    assert(delta < 1e-6, s"stopped with l1_delta=$delta >= tol")
+    assert(iters < 40, "hit maxIter instead of converging")
+    val fixed = Graph.hits(e, iterations = iters)
+      .select(col("node"), col("hub"), col("auth"))
+      .as[(String, Double, Double)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(rows.map(r => r._1 -> (r._2, r._3)).toMap == fixed,
+      "converged HITS diverges from the fixed-round recurrence at the same k")
+  }
+
+  test("personalizedPageRankConverged matches the fixed-round twin at its stop") {
+    val e = rawEdges
+    val isSeed = (node: org.apache.spark.sql.Column) =>
+      node.isin("n1", "n7", "n13")
+    val conv = Graph.personalizedPageRankConverged(e, isSeed,
+      tol = 1e-6, maxIter = 60)
+    val rows = conv.select(col("node"), col("rank"), col("iters"), col("l1_delta"))
+      .as[(String, Double, Int, Double)].collect()
+    val iters = rows.head._3
+    assert(rows.head._4 < 1e-6 && iters < 60)
+    val fixed = ranksOf(Graph.personalizedPageRank(e, isSeed, iterations = iters))
+    assert(rows.map(r => r._1 -> r._2).toMap == fixed,
+      "converged PPR diverges from the fixed-round recurrence at the same k")
+  }
 }

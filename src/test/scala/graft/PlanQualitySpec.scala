@@ -45,7 +45,12 @@ class PlanQualitySpec extends SparkSpec {
     // trailing-uniques sketch rollup: day×day range join over the
     // calendar-scale daily-partials frame — ≤7 rows per day by the
     // BETWEEN bound, never data-scale
-    "q173_trailing_uniques")
+    "q173_trailing_uniques",
+    // recall scorer composes q26 (ground truth) and q147 verbatim, so it
+    // inherits exactly their probe-bounded brute scans — the approximate
+    // indexes under test (q29/q81/q109/q120) stay nested-loop-free, and
+    // the scorer itself adds only equi-joins on (probe_id, neighbor_id)
+    "q181_ann_recall")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).
