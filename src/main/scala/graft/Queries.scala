@@ -7547,7 +7547,13 @@ object Queries {
           .select(concat(lit("c"), col("o_custkey")).as("src"),
             concat(lit("s"), col("l_suppkey")).as("dst"))
           .distinct()
-        graft.sources.Sinks.writeBucketed(e, name, 8, "src")
+        // 32 buckets = the session's core count: buckets bound the
+        // zero-exchange path's per-round parallelism (scan+join+agg all
+        // run bucket-wise), and the r08 sf1 probe measured 8 buckets
+        // leaving 3/4 of local[32] idle — 6 rounds over 10x the edges
+        // ran FASTER at 32 buckets than this query did at 8. On a
+        // cluster you'd size buckets to the executor-core fleet.
+        graft.sources.Sinks.writeBucketed(e, name, 32, "src")
         name
       })
       graft.graph.Graph.pageRank(s.table(table), iterations = 6,
@@ -7923,6 +7929,80 @@ object Queries {
       WHERE node LIKE 's%'
       ORDER BY rank DESC, node LIMIT 30"""))
 
+  /** One converged-Lloyd round as gated CTEs — [[kmeansRoundSql]] under
+    * the q182 fixed-point gating. The one-row state (stopped, iters,
+    * shift) rides ks$n; a stopped round's assignment CTE is empty, so
+    * the COALESCE in kg$n passes the centroids through unchanged and
+    * the shift evaluates to 0 — pass-through needs no CASE on the
+    * centroid side. The round shift is Σ_{cid,dim} round(|c−c_prev|,6)
+    * summed as exact DECIMAL then compared on its DOUBLE image — the
+    * identical arithmetic [[graft.operators.Clustering
+    * .kmeansAssignConverged]] runs on the driver. */
+  private def kmeansConvergedRoundSql(n: Int, tol: Double): String = {
+    val p = n - 1
+    s"""
+      ka$n AS (
+        SELECT p.vec_id,
+          min(struct_pack(d := round(list_aggregate(list_transform(range(1, 65),
+              i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])), 'sum'), 6),
+            c := c.cid)) AS best
+        FROM p CROSS JOIN kg$p c CROSS JOIN ks$p s
+        WHERE NOT s.stopped GROUP BY p.vec_id),
+      km$n AS (
+        SELECT a.best.c AS cid, d.i,
+          round(CAST(sum(CAST(p.v[d.i] AS DECIMAL(28,12))) AS DOUBLE)
+            / count(*), 6) AS x
+        FROM ka$n a JOIN p USING (vec_id), (SELECT unnest(range(1, 65)) AS i) d
+        GROUP BY 1, 2),
+      kg$n AS MATERIALIZED (
+        SELECT c.cid, COALESCE(mm.cv, c.cv) AS cv
+        FROM kg$p c LEFT JOIN
+          (SELECT cid, list(x ORDER BY i) AS cv FROM km$n GROUP BY cid) mm
+          ON mm.cid = c.cid),
+      kh$n AS (
+        SELECT CAST(sum(CAST(round(abs(nw.cv[d.i] - od.cv[d.i]), 6)
+            AS DECIMAL(18,6))) AS DOUBLE) AS sh
+        FROM kg$n nw JOIN kg$p od ON nw.cid = od.cid,
+          (SELECT unnest(range(1, 65)) AS i) d),
+      ks$n AS (
+        SELECT s.stopped OR h.sh < CAST($tol AS DOUBLE) AS stopped,
+          CASE WHEN s.stopped THEN s.iters ELSE $n END AS iters,
+          CASE WHEN s.stopped THEN s.shift ELSE h.sh END AS shift
+        FROM ks$p s CROSS JOIN kh$n h)"""
+  }
+
+  /** Converged k-means (Clustering.kmeansAssignConverged): q93's Lloyd
+    * clustering run until the centroids stop moving instead of a pinned
+    * 2 rounds — the production contract for the SemDeDup/IVF pre-pass,
+    * where the needed round count depends on corpus geometry. The stop
+    * is driver arithmetic (centroids already land there every round),
+    * and the oracle's gated unroll replays assignment, round count and
+    * final shift exactly ([[kmeansConvergedRoundSql]]). */
+  val q185KmeansTol = Q(
+    "q185_kmeans_tol",
+    (s, d) =>
+      graft.operators.Clustering.kmeansAssignConverged(
+        embeddings(s, d), "vec_id", "embedding", k = 8,
+        tol = 0.5, maxIter = 12),
+    Some(s"""WITH p AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      k0 AS (SELECT vec_id, v FROM p ORDER BY vec_id LIMIT 8),
+      kg0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM k0),
+      ks0 AS (
+        SELECT false AS stopped, 0 AS iters, CAST(NULL AS DOUBLE) AS shift),
+      ${(1 to 12).map(kmeansConvergedRoundSql(_, 0.5)).mkString(",\n")},
+      kfin AS (
+        SELECT p.vec_id,
+          min(struct_pack(d := round(list_aggregate(list_transform(range(1, 65),
+              i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])), 'sum'), 6),
+            c := c.cid)) AS best
+        FROM p CROSS JOIN kg12 c GROUP BY p.vec_id)
+      SELECT a.vec_id, CAST(a.best.c AS BIGINT) AS cluster,
+        CAST(s.iters AS INT) AS iters, round(s.shift, 6) AS shift
+      FROM kfin a CROSS JOIN ks12 s"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -7971,5 +8051,6 @@ object Queries {
     q171Trending, q172TableDiff, q173TrailingUniques,
     q174PmiCollocations, q175QuantileDrift, q176RendezvousShard,
     q177BenfordAudit, q178SourceOverlap, q179PagerankBucketed,
-    q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol)
+    q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol,
+    q185KmeansTol)
 }

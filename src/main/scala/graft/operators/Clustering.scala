@@ -52,29 +52,99 @@ object Clustering {
   def kmeansAssign(points: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k >= 2, "k-means needs k >= 2")
-    val pts = points.select(col(idCol).as("__id"),
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
-    // deterministic init: k smallest ids — a bounded k-row collect
-    var cents: IndexedSeq[Seq[Double]] = pts.orderBy(col("__id")).limit(k)
-      .select(col("__v")).collect()
-      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-    for (_ <- 1 to iters) {
-      // exact decimal sums -> partition-order-independent means
-      val rows = pts.withColumn("cluster", assignColumn(col("__v"), cents))
-        .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos")
-        .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double")
-          / count(lit(1)), 6).as("m"))
-        .collect()
-      val byCluster = rows.groupBy(_.getInt(0))
-      cents = (0 until k).map { cid =>
-        byCluster.get(cid)
-          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-          .getOrElse(cents(cid))
-      }
-    }
+    val pts = prep(points, idCol, vecCol)
+    var cents = initCentroids(pts, k)
+    for (_ <- 1 to iters) cents = lloydRound(pts, cents, k)
     pts.withColumn("cluster", assignColumn(col("__v"), cents))
       .select(col("__id").as(idCol), col("cluster").cast("long").as("cluster"))
+  }
+
+  private def prep(points: DataFrame, idCol: String, vecCol: String) =
+    points.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+
+  /** Deterministic init: the embeddings of the k smallest ids — a
+    * bounded k-row collect. */
+  private def initCentroids(pts: DataFrame, k: Int): IndexedSeq[Seq[Double]] =
+    pts.orderBy(col("__id")).limit(k)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+
+  /** One Lloyd round: assignment under the literal previous centroids,
+    * then exact-decimal means (partition-order-independent) rounded to
+    * 6 dp; an empty cluster keeps its previous centroid. */
+  private def lloydRound(pts: DataFrame, cents: IndexedSeq[Seq[Double]],
+      k: Int): IndexedSeq[Seq[Double]] = {
+    val rows = pts.withColumn("cluster", assignColumn(col("__v"), cents))
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double")
+        / count(lit(1)), 6).as("m"))
+      .collect()
+    val byCluster = rows.groupBy(_.getInt(0))
+    (0 until k).map { cid =>
+      byCluster.get(cid)
+        .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        .getOrElse(cents(cid))
+    }
+  }
+
+  /** [[kmeansAssign]] with a convergence stop — the production Lloyd
+    * contract (the round count a corpus needs depends on its geometry,
+    * not the analyst): iterate until the total centroid movement
+    * Σ_{cid,dim} round(|c − c_prev|, 6) falls below `tol` (or `maxIter`
+    * rounds), then assign under the final centroids. Returns
+    * (id, cluster, iters, shift) so callers can see what the stop was.
+    *
+    * The stop is FREE here: centroids already land on the driver every
+    * round (config-scale k×dims doubles), so the shift is driver
+    * arithmetic — no extra job, unlike the graph family's probe. The
+    * per-element moves are rounded to 6 dp (both inputs sit on the
+    * round-boundary 6-dp grid, so the rounded double |a−b| IS the exact
+    * decimal difference) and summed exactly as decimals; the comparison
+    * happens on the double image of that exact sum — the identical
+    * arithmetic a SQL oracle replays with DECIMAL sums, so the stop
+    * decision is engine-portable (q185's gated unroll). */
+  def kmeansAssignConverged(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, tol: Double, maxIter: Int): DataFrame = {
+    require(k >= 2, "k-means needs k >= 2")
+    require(tol > 0 && maxIter >= 1, "need tol > 0 and maxIter >= 1")
+    val pts = prep(points, idCol, vecCol)
+    var cents = initCentroids(pts, k)
+    var it = 0
+    var shift = Double.NaN
+    var done = false
+    while (!done && it < maxIter) {
+      val next = lloydRound(pts, cents, k)
+      val exact = cents.flatten.zip(next.flatten).map { case (a, b) =>
+        java.math.BigDecimal.valueOf(math.abs(a - b))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+      }.foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+      shift = exact.doubleValue()
+      cents = next
+      it += 1
+      done = shift < tol
+    }
+    pts.withColumn("cluster", assignColumn(col("__v"), cents))
+      .select(col("__id").as(idCol), col("cluster").cast("long").as("cluster"),
+        lit(it).as("iters"), round(lit(shift), 6).as("shift"))
+  }
+
+  /** Calibration probe (not a catalog operator): the per-round centroid
+    * shifts for `maxIter` Lloyd rounds — how q185's tolerance was sized. */
+  private[graft] def kmeansShiftTrace(points: DataFrame, idCol: String,
+      vecCol: String, k: Int, maxIter: Int): Seq[Double] = {
+    val pts = prep(points, idCol, vecCol)
+    var cents = initCentroids(pts, k)
+    (1 to maxIter).map { _ =>
+      val next = lloydRound(pts, cents, k)
+      val exact = cents.flatten.zip(next.flatten).map { case (a, b) =>
+        java.math.BigDecimal.valueOf(math.abs(a - b))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+      }.foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+      cents = next
+      exact.doubleValue()
+    }
   }
 
   /** Per-cell mean vectors from an existing label/cluster column — the

@@ -130,4 +130,32 @@ class ClusteringSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == want)
   }
+
+  test("converged stop matches the fixed-round twin at its own k and the shift trace") {
+    val bases = Seq(Seq(0.0, 0.0, 0.0), Seq(5.0, 5.0, 0.0), Seq(0.0, 9.0, 9.0))
+    val pts = (0L until 120L).map(i => i -> jitter(bases((i % 3).toInt)))
+    val df = pts.toDF("vec_id", "embedding")
+    val tol = 0.01
+    val conv = Clustering.kmeansAssignConverged(
+        df, "vec_id", "embedding", k = 3, tol = tol, maxIter = 15)
+      .as[(Long, Long, Int, Double)].collect()
+    val iters = conv.head._3
+    val shift = conv.head._4
+    assert(conv.forall(r => r._3 == iters && r._4 == shift),
+      "iters/shift must be constant across rows")
+    assert(shift < tol, s"stopped with shift=$shift >= tol")
+    assert(iters < 15, "hit maxIter instead of converging")
+    // the stop fired exactly where the shift trace first drops below tol
+    val trace = Clustering.kmeansShiftTrace(
+      df, "vec_id", "embedding", k = 3, maxIter = 15)
+    assert(trace.indexWhere(_ < tol) + 1 == iters,
+      s"stop at $iters but trace=${trace.mkString(",")}")
+    assert(trace(iters - 1) == shift, "reported shift must be the stop round's")
+    // and the assignment equals the fixed-round recurrence at the same k
+    val fixed = Clustering.kmeansAssign(
+        df, "vec_id", "embedding", k = 3, iters = iters)
+      .as[(Long, Long)].collect().toMap
+    assert(conv.map(r => r._1 -> r._2).toMap == fixed,
+      "converged assignment diverges from the fixed-round twin at the same k")
+  }
 }
