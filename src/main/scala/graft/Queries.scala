@@ -8003,6 +8003,39 @@ object Queries {
         CAST(s.iters AS INT) AS iters, round(s.shift, 6) AS shift
       FROM kfin a CROSS JOIN ks12 s"""))
 
+  /** q186's cell-partitioned IVF index, staged ONCE per (process, sfDir)
+    * at a Scratch path — the one-time layout is setup, not the probe
+    * path under test (the q112/q179 staging discipline). */
+  private val q186IndexByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** IVF ANN over a PERSISTED cell-partitioned index
+    * (Similarity.writeIvfIndex / ivfPartitionedTopK): q81's search with
+    * the corpus assignment paid once at build time and the probe-time
+    * scan pruned to the probed cells — the broadcast probe join on the
+    * partition column becomes a dynamic partition-pruning filter on the
+    * index scan (IvfLayoutSpec asserts it), so search I/O tracks cell
+    * population, not corpus size. Same candidates, same ranks as q81 —
+    * the oracle is shared, which is itself the proof that the layout
+    * changed the I/O shape and nothing else. */
+  val q186IvfPartitioned = Q(
+    "q186_ivf_partitioned",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val cent = Clustering.labelCentroids(e, "label", "embedding")
+      val tag = d.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9_]", "_")
+      val path = q186IndexByDir.computeIfAbsent(d, _ => {
+        val p = graft.sources.Scratch.dir(s"ivfidx_$tag")
+        graft.operators.Similarity.writeIvfIndex(
+          e, "vec_id", "embedding", cent, p)
+        p
+      })
+      graft.operators.Similarity.ivfPartitionedTopK(
+        e.where(col("vec_id") < 10), "vec_id", "embedding", cent, path,
+        k = 5, nprobe = 2)
+    },
+    q81IvfAnn.oracle)
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -8052,5 +8085,5 @@ object Queries {
     q174PmiCollocations, q175QuantileDrift, q176RendezvousShard,
     q177BenfordAudit, q178SourceOverlap, q179PagerankBucketed,
     q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol,
-    q185KmeansTol)
+    q185KmeansTol, q186IvfPartitioned)
 }

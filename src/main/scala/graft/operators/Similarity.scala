@@ -127,32 +127,46 @@ object Similarity {
     * cell population, not the corpus. Recall/latency trades via `nprobe`
     * exactly as in a FAISS-style IVF index.
     */
+  /** Nearest-`n` centroid cells for each row of `df` (squared L2, ties
+    * to the lowest cell id) — the IVF coarse-quantizer assignment shared
+    * by [[ivfTopK]] and the partitioned-index pair
+    * [[writeIvfIndex]]/[[ivfPartitionedTopK]]. */
+  private def assignCells(df: DataFrame, outId: String, n: Int,
+      centroids: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("__v"), col("centroid"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy(col(outId)).orderBy(col("__cd"), col("cell"))
+    df.crossJoin(broadcast(centroids))
+      .withColumn("__cd", d2)
+      .withColumn("__cr", row_number().over(w))
+      .where(col("__cr") <= n)
+      .drop("centroid", "__cd", "__cr")
+  }
+
   def ivfTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       probeIdCol: String, centroids: DataFrame, k: Int,
       nprobe: Int = 1): DataFrame = {
     val ss = corpus.sparkSession
-    def assigned(df: DataFrame, outId: String, n: Int): DataFrame = {
-      val d2 = aggregate(
-        zip_with(col("__v"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, v) => acc + v)
-      val w = Window.partitionBy(col(outId)).orderBy(col("__cd"), col("cell"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("__cd", d2)
-        .withColumn("__cr", row_number().over(w))
-        .where(col("__cr") <= n)
-        .drop("centroid", "__cd", "__cr")
-    }
-    val c = assigned(
+    val c = assignCells(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"),
-        norm(ss, col(vecCol)).as("__cn")), "neighbor_id", 1)
+        norm(ss, col(vecCol)).as("__cn")), "neighbor_id", 1, centroids)
       .withColumnRenamed("__v", "__cv")
-    val p = assigned(
+    val p = assignCells(
       probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__v"),
-        norm(ss, col(vecCol)).as("__pn")), "probe_id", nprobe)
+        norm(ss, col(vecCol)).as("__pn")), "probe_id", nprobe, centroids)
       .withColumnRenamed("__v", "__pv")
-    val scored = c.join(broadcast(p), Seq("cell"))
+    ivfScore(ss, c, p, k)
+  }
+
+  /** The IVF search tail shared by the inline and partitioned paths:
+    * cell equi-join against the broadcast probe table, exact cosine,
+    * per-probe top-k. */
+  private def ivfScore(ss: org.apache.spark.sql.SparkSession,
+      cells: DataFrame, p: DataFrame, k: Int): DataFrame = {
+    val scored = cells.join(broadcast(p), Seq("cell"))
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos",
         when(col("__cn") * col("__pn") > 0,
@@ -163,6 +177,47 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** Persist an IVF index as a CELL-PARTITIONED parquet table: every
+    * vector in its nearest centroid's directory, with the norm
+    * precomputed at write time. The layout IS the index — a probe-time
+    * read of `nprobe` cells touches only those directories' files
+    * (partition pruning), so search I/O tracks cell population, not
+    * corpus size. This is [[ivfTopK]]'s assignment paid ONCE at build
+    * time instead of per query — the q179 bucketed-graph discipline
+    * applied to ANN, and the on-disk shape a 100 TB vector corpus
+    * actually serves queries from (FAISS's inverted lists, as a
+    * partitioned table). */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, path: String): Unit = {
+    val ss = corpus.sparkSession
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"),
+        norm(ss, col(vecCol)).as("__cn")), "neighbor_id", 1, centroids)
+      .withColumnRenamed("__v", "__cv")
+    graft.sources.Sinks.writePartitioned(assigned, path, Seq("cell"))
+  }
+
+  /** Search a [[writeIvfIndex]] layout: assign probes to their `nprobe`
+    * cells, then join the partitioned index on `cell` with the probe
+    * table BROADCAST — Spark's dynamic partition pruning turns the
+    * broadcast build side into a runtime partition filter on the index
+    * scan, so only the probed cells' files are read (IvfLayoutSpec
+    * asserts the dynamicpruning expression in the plan and result
+    * parity with [[ivfTopK]]). Scoring/top-k identical to [[ivfTopK]] —
+    * same candidates, same ranks. */
+  def ivfPartitionedTopK(
+      probes: DataFrame, probeIdCol: String, vecCol: String,
+      centroids: DataFrame, indexPath: String, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val ss = probes.sparkSession
+    val idx = ss.read.parquet(indexPath)
+    val p = assignCells(
+      probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("__v"),
+        norm(ss, col(vecCol)).as("__pn")), "probe_id", nprobe, centroids)
+      .withColumnRenamed("__v", "__pv")
+    ivfScore(ss, idx, p, k)
   }
 
   def lshTopK(

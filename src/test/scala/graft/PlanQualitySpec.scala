@@ -29,6 +29,10 @@ class PlanQualitySpec extends SparkSpec {
     // NOTE q120_ivf_pq needs no entry: its coarse argmin is a literal
     // projection (collected centroids), so its plan is join-free
     "q81_ivf_ann",
+    // partitioned-index IVF: only the PROBES (10 rows) cross the
+    // broadcast centroid table at query time — the corpus-side
+    // assignment happened once at index-build time, off this plan
+    "q186_ivf_partitioned",
     // temperature-mix normalization: per-stratum counts x the ONE global
     // totals row — a single-row broadcast build side is the optimal plan
     // (no hash table needed); bounded by construction
