@@ -8036,6 +8036,85 @@ object Queries {
     },
     q81IvfAnn.oracle)
 
+  /** q187's partitioned base table (orders partitioned by order year),
+    * staged ONCE per (process, sfDir). The MERGE itself runs inside the
+    * query body every invocation — it is idempotent for the fixed
+    * changeset (the final state is a pure function of (base, changes)),
+    * so repetition is safe and each bench iteration measures a real
+    * bounded-footprint merge, not a staging artifact. */
+  private val q187BaseByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Keyed MERGE into a partitioned fact table
+    * (Sinks.mergeIntoPartitioned) — the incremental-ingest pattern: a
+    * changeset confined to order-year 1997 (price restatements on
+    * key%7, cancellations on key%11, 400-day reschedules on key%13 —
+    * the last MOVING rows into the next partition) applies as
+    * upsert/delete/move while rewriting only the touched year
+    * partitions; every other year's files are untouched (MergeSpec pins
+    * the no-rewrite guarantee, emptied-partition cleanup and
+    * idempotency). The oracle replays the merge relationally from
+    * (orders, changes) — the readback census matching proves the
+    * partial rewrite reconstructed exactly the state a full rebuild
+    * would have. */
+  val q187MergeUpsert = Q(
+    "q187_merge_upsert",
+    (s, d) => {
+      val tag = d.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9_]", "_")
+      val path = q187BaseByDir.computeIfAbsent(d, _ => {
+        val p = graft.sources.Scratch.dir(s"merge_$tag")
+        graft.sources.Sinks.writePartitioned(
+          orders(s, d).withColumn("o_year", year(col("o_orderdate"))),
+          p, Seq("o_year"))
+        p
+      })
+      val k = col("o_orderkey")
+      val changes = orders(s, d)
+        .where(year(col("o_orderdate")) === 1997 &&
+          (k % 7 === 0 || k % 11 === 0 || k % 13 === 0))
+        .withColumn("o_orderdate",
+          when(k % 13 === 0, col("o_orderdate") + expr("INTERVAL 400 DAYS"))
+            .otherwise(col("o_orderdate")))
+        .withColumn("o_totalprice",
+          when(k % 7 === 0, round(col("o_totalprice") * 1.1, 2))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("del", k % 11 === 0)
+      graft.sources.Sinks.mergeIntoPartitioned(
+        path, changes, Seq("o_orderkey"), Seq("o_year"),
+        deleteCol = Some("del"))
+      s.read.parquet(path)
+        .groupBy(col("o_year").cast("int").as("o_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice"), 2).cast("decimal(28,2)"))
+            .cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_year"))
+    },
+    Some("""WITH ch AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 13 = 0
+               THEN o_orderdate + INTERVAL 400 DAY
+               ELSE o_orderdate END AS od,
+          CASE WHEN o_orderkey % 7 = 0
+               THEN round(o_totalprice * CAST(1.1 AS DOUBLE), 2)
+               ELSE o_totalprice END AS p,
+          o_orderkey % 11 = 0 AS del
+        FROM orders
+        WHERE year(o_orderdate) = 1997 AND
+          (o_orderkey % 7 = 0 OR o_orderkey % 11 = 0 OR o_orderkey % 13 = 0)),
+      fin AS (
+        SELECT year(o_orderdate) AS y, o_totalprice AS p, o_orderkey AS k
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+        UNION ALL
+        SELECT year(od), p, o_orderkey FROM ch WHERE NOT del)
+      SELECT CAST(y AS INT) AS o_year, count(*) AS n,
+        CAST(sum(CAST(round(p, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total,
+        min(k) AS min_key, max(k) AS max_key
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -8085,5 +8164,5 @@ object Queries {
     q174PmiCollocations, q175QuantileDrift, q176RendezvousShard,
     q177BenfordAudit, q178SourceOverlap, q179PagerankBucketed,
     q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol,
-    q185KmeansTol, q186IvfPartitioned)
+    q185KmeansTol, q186IvfPartitioned, q187MergeUpsert)
 }
