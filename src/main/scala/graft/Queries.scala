@@ -8115,6 +8115,94 @@ object Queries {
         min(k) AS min_key, max(k) AS max_key
       FROM fin GROUP BY 1 ORDER BY 1"""))
 
+  /** One synchronous-LPA iteration as gated CTEs — votes (neighbor
+    * labels + the self-vote), integer count argmax with ties to the
+    * smallest label, change census, all under the q182 fixed-point
+    * gating. A stopped round's empty winner CTE makes label pass-through
+    * automatic via COALESCE (the self-vote guarantees every node a
+    * winner row in live rounds). */
+  private def lpaRoundSql(k: Int): String = {
+    val p = k - 1
+    s"""
+      lv$k AS (
+        SELECT e.b AS node, s.lab
+        FROM ls$p s JOIN und e ON s.node = e.a
+          CROSS JOIN lt$p t WHERE NOT t.stopped
+        UNION ALL
+        SELECT s.node, s.lab FROM ls$p s
+          CROSS JOIN lt$p t WHERE NOT t.stopped),
+      lc$k AS (SELECT node, lab, count(*) AS cnt FROM lv$k GROUP BY 1, 2),
+      lw$k AS (
+        SELECT node, lab AS newlab FROM (
+          SELECT node, lab, row_number() OVER (
+            PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+          FROM lc$k) WHERE rn = 1),
+      lh$k AS MATERIALIZED (
+        SELECT CAST(count(*) AS DOUBLE) AS ch
+        FROM ls$p s JOIN lw$k w USING (node) WHERE w.newlab <> s.lab),
+      ls$k AS MATERIALIZED (
+        SELECT s.node, COALESCE(w.newlab, s.lab) AS lab
+        FROM ls$p s LEFT JOIN lw$k w USING (node)),
+      lt$k AS MATERIALIZED (
+        SELECT t.stopped OR h.ch = 0 AS stopped,
+          CASE WHEN t.stopped THEN t.iters ELSE $k END AS iters,
+          CASE WHEN t.stopped THEN t.changed ELSE h.ch END AS changed
+        FROM lt$p t CROSS JOIN lh$k h)"""
+  }
+
+  /** Community detection on the co-supply graph
+    * (Graph.labelPropagationConverged): suppliers are linked when they
+    * co-supplied more orders than the average co-supplying pair (the
+    * threshold is a one-row broadcast, so the graph build is two
+    * integer aggregations), then synchronous self-vote LPA runs to the
+    * zero-change fixed point. The pair fan-out is bounded by order size
+    * squared (the q146 market-basket shape), never supplier². Oracle:
+    * the same thresholded graph, then [[lpaRoundSql]]'s gated unroll —
+    * labels, round count and the stop's change census all hash-match. */
+  val q188LpaTol = Q(
+    "q188_lpa_tol",
+    (s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"),
+          concat(lit("s"), col("l_suppkey")).as("sup"))
+        .distinct()
+      val pairs = li
+        .join(li.withColumnRenamed("sup", "sup2"), "ok")
+        .where(col("sup") < col("sup2"))
+        .groupBy(col("sup").as("src"), col("sup2").as("dst"))
+        .agg(count(lit(1)).as("co"))
+      val thr = pairs.agg(avg(col("co")).as("m"))
+        .withColumn("__k", graft.operators.Guards.constKey(col("m")))
+      val edges = pairs
+        .withColumn("__k", graft.operators.Guards.constKey(col("src")))
+        .join(broadcast(thr), "__k")
+        .where(col("co") > col("m"))
+        .select(col("src"), col("dst"))
+      graft.graph.Graph.labelPropagationConverged(edges, maxIter = 10)
+        .orderBy(col("node"))
+    },
+    Some(s"""WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok,
+          's' || CAST(l_suppkey AS VARCHAR) AS sup
+        FROM lineitem),
+      pr AS (
+        SELECT x.sup AS s1, y.sup AS s2, count(*) AS co
+        FROM li x JOIN li y ON x.ok = y.ok AND x.sup < y.sup
+        GROUP BY 1, 2),
+      thr AS (SELECT avg(co) AS m FROM pr),
+      ed AS (SELECT s1, s2 FROM pr, thr WHERE co > m),
+      und AS MATERIALIZED (
+        SELECT s1 AS a, s2 AS b FROM ed UNION SELECT s2, s1 FROM ed),
+      ls0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node, a AS lab FROM und),
+      lt0 AS (
+        SELECT false AS stopped, 0 AS iters, CAST(NULL AS DOUBLE) AS changed),
+      ${(1 to 10).map(lpaRoundSql).mkString(",\n")}
+      SELECT s.node, s.lab AS label, CAST(t.iters AS INT) AS iters,
+        CAST(t.changed AS BIGINT) AS changed
+      FROM ls10 s CROSS JOIN lt10 t
+      ORDER BY s.node"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -8164,5 +8252,5 @@ object Queries {
     q174PmiCollocations, q175QuantileDrift, q176RendezvousShard,
     q177BenfordAudit, q178SourceOverlap, q179PagerankBucketed,
     q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol,
-    q185KmeansTol, q186IvfPartitioned, q187MergeUpsert)
+    q185KmeansTol, q186IvfPartitioned, q187MergeUpsert, q188LpaTol)
 }

@@ -677,4 +677,81 @@ object Graph {
       lit(iters).as("iters"), round(lit(delta), 12).as("l1_delta"))
     }
   }
+
+  /** One synchronous label-propagation round (Raghavan et al. 2007, the
+    * self-vote stabilized variant): every node adopts the most frequent
+    * label among its neighbors PLUS its own current label (one vote —
+    * the retention term that damps the bipartite oscillation plain
+    * synchronous LPA is prone to), ties to the smallest label. All
+    * counting is integer-exact, so the argmax is engine-portable with
+    * no decimal regime needed. `trackDelta` mirrors [[prRound]]: the
+    * input carries `__prev` (last round's label, null on round one) and
+    * the number of nodes whose label CHANGED in the transition the
+    * input represents rides a one-row broadcast as `__delta`, making
+    * the [[probeLoop]] stop (changed = 0 ⟺ delta < 0.5) a limit-1
+    * probe. Edges must be an UNDIRECTED neighbor list (both directions
+    * present), as [[labelPropagationConverged]] prepares. */
+  private[graft] def lpaRound(state0: DataFrame, und: DataFrame,
+                              trackDelta: Boolean = false): DataFrame = {
+    import graft.operators.Guards
+    val state = state0.drop("__delta")
+    val votes = und
+      .join(state, und("a") === state("node"))
+      .select(col("b").as("node"), col("lab"))
+      .unionByName(state.select(col("node"), col("lab")))
+    val winner = votes.groupBy(col("node"), col("lab"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("node"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("l")))
+        .getField("l").as("newlab"))
+    val joined = state.withColumnRenamed("lab", "__lold")
+      .join(winner, Seq("node"))
+    if (trackDelta) {
+      val changed =
+        state.agg(sum((col("lab") =!= col("__prev")).cast("long"))
+          .cast("double").as("__delta"))
+        .withColumn("__k", Guards.constKey(col("__delta")))
+      joined
+        .withColumn("__k", Guards.constKey(col("node")))
+        .join(broadcast(changed), "__k")
+        .select(col("node"), col("newlab").as("lab"),
+          col("__lold").as("__prev"), col("__delta"))
+    } else joined.select(col("node"), col("newlab").as("lab"))
+  }
+
+  /** Community detection by synchronous label propagation run to its
+    * fixed point: iterate [[lpaRound]] until NO node changes label (or
+    * `maxIter` rounds — synchronous LPA can oscillate on pathological
+    * structures; the self-vote damps the common cases and the cap
+    * bounds the rest, deterministically either way). Returns
+    * (node, label, iters, changed) where `label` is the community id
+    * (the minimal member id in the usual converged case) and `changed`
+    * is the stop transition's change count (0 at a true fixed point).
+    * Same probe transport and gated-unroll oracle treatment as
+    * [[pageRankConverged]] (q188). Per round: one state⋈edges shuffle
+    * join + two integer aggregations — edge side exchange-free under
+    * the same src-bucketed layout as PageRank's. */
+  def labelPropagationConverged(edges: DataFrame, maxIter: Int = 20,
+                                checkpointDir: Option[String] = None)
+      : DataFrame = {
+    require(maxIter >= 1, "labelPropagationConverged needs maxIter >= 1")
+    withDurable(edges, checkpointDir) { durable =>
+    val e = edges.select(col("src"), col("dst"))
+    val und = cut(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+        .where(col("a") =!= col("b")).distinct(), durable)
+    val init = und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"),
+        lit(null).cast("string").as("__prev"))
+    // changed = 0 stops; tol 0.5 on the integer-valued change count
+    val (state, iters, changed) = probeLoop(init, durable, 0.5, maxIter,
+      s => lpaRound(s, und, trackDelta = true),
+      capDelta = st => st.agg(
+        sum((col("lab") =!= col("__prev")).cast("long")).cast("double"))
+        .head().getDouble(0))
+    state.select(col("node"), col("lab").as("label"),
+      lit(iters).as("iters"), lit(changed).cast("long").as("changed"))
+    }
+  }
 }

@@ -233,4 +233,27 @@ class GraphClusterPlanSpec extends SparkSpec {
     assert(rows.map(r => r._1 -> r._2).toMap == fixed,
       "converged PPR diverges from the fixed-round recurrence at the same k")
   }
+
+  test("label propagation finds disjoint communities and stops at zero change") {
+    // two disjoint triangles + an isolated pair: three communities, each
+    // labeled by its minimal member (self-vote LPA's converged labeling)
+    val e = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+        ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+        ("c1", "c2"))
+      .toDF("src", "dst")
+    val rows = Graph.labelPropagationConverged(e, maxIter = 10)
+      .as[(String, String, Int, Long)].collect()
+    val byNode = rows.map(r => r._1 -> r._2).toMap
+    assert(byNode == Map(
+      "a1" -> "a1", "a2" -> "a1", "a3" -> "a1",
+      "b1" -> "b1", "b2" -> "b1", "b3" -> "b1",
+      "c1" -> "c1", "c2" -> "c1"))
+    assert(rows.forall(_._4 == 0L), "stop must report zero changes")
+    assert(rows.head._3 < 10, "hit maxIter instead of converging")
+    // direction must not matter: reversed edges, same communities
+    val rev = Graph.labelPropagationConverged(
+        e.select(col("dst").as("src"), col("src").as("dst")), maxIter = 10)
+      .as[(String, String, Int, Long)].collect()
+    assert(rev.map(r => r._1 -> r._2).toMap == byNode)
+  }
 }
