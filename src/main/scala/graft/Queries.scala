@@ -8203,6 +8203,68 @@ object Queries {
       FROM ls10 s CROSS JOIN lt10 t
       ORDER BY s.node"""))
 
+  /** q189's deliberately fragmented table (orders partitioned by year,
+    * 8 hash-salted files per partition — the state a streaming append
+    * or per-executor writer leaves behind), staged ONCE per (process,
+    * sfDir) with its pre-compaction file census remembered so the
+    * fragmentation evidence survives the compaction the query then
+    * performs. */
+  private val q189TableByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
+  /** Small-file compaction (Sinks.compactPartitions) as a catalog
+    * operator: compact the fragmented table, then emit the per-year
+    * content census PLUS two driver-verified layout booleans —
+    * fragmented_before (the staged table really had multi-file
+    * partitions) and compacted_after (every partition now at one file).
+    * The booleans ride the hash gate (the q53 driver-checkable-bounds
+    * pattern: the oracle expects literal true), and the census matching
+    * the raw orders table proves content invariance — compaction
+    * changed the LAYOUT and nothing else. Re-invocations no-op (a
+    * compacted partition is at its target), so bench steady state
+    * measures the census read, which is the honest cost of an
+    * already-maintained table. */
+  val q189Compaction = Q(
+    "q189_compaction",
+    (s, d) => {
+      val tag = d.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9_]", "_")
+      val staged = q189TableByDir.computeIfAbsent(d, _ => {
+        val p = graft.sources.Scratch.dir(s"compact_$tag")
+        orders(s, d)
+          .withColumn("o_year", year(col("o_orderdate")))
+          .withColumn("__frag", pmod(xxhash64(col("o_orderkey")), lit(8)))
+          // explicit partition count: a bare repartition(cols) is AQE-
+          // coalesced on this data size and the "fragmented" fixture
+          // lands at one file per partition, staging nothing to compact
+          .repartition(64, col("o_year"), col("__frag"))
+          .drop("__frag")
+          .write.mode("overwrite").partitionBy("o_year").parquet(p)
+        val bm = graft.sources.Sinks.partitionFileStats(p, Seq("o_year"))
+          .map(_._2).max
+        (p, bm)
+      })
+      val (path, beforeMax) = staged
+      graft.sources.Sinks.compactPartitions(s, path, Seq("o_year"))
+      val afterMax = graft.sources.Sinks.partitionFileStats(path, Seq("o_year"))
+        .map(_._2).max
+      s.read.parquet(path)
+        .groupBy(col("o_year").cast("int").as("o_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice"), 2).cast("decimal(28,2)"))
+            .cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("fragmented_before", lit(beforeMax > 1))
+        .withColumn("compacted_after", lit(afterMax == 1))
+        .orderBy(col("o_year"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total,
+        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        true AS fragmented_before, true AS compacted_after
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -8252,5 +8314,6 @@ object Queries {
     q174PmiCollocations, q175QuantileDrift, q176RendezvousShard,
     q177BenfordAudit, q178SourceOverlap, q179PagerankBucketed,
     q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol,
-    q185KmeansTol, q186IvfPartitioned, q187MergeUpsert, q188LpaTol)
+    q185KmeansTol, q186IvfPartitioned, q187MergeUpsert, q188LpaTol,
+    q189Compaction)
 }
