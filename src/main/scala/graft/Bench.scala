@@ -218,13 +218,57 @@ object Bench {
           (dt, gcMs.get() - g0, (spillBytes.get() - s0) / 1048576.0)
         }
         spark.catalog.clearCache()
-        "{\"q179_pagerank_bucketed_10x\":{\"t\":[" +
-          samples.map(s => r3(s._1)).mkString(",") +
-          "],\"gc_ms\":[" + samples.map(_._2.toString).mkString(",") +
-          "],\"spill_mb\":[" + samples.map(s => "%.1f".formatLocal(
-            java.util.Locale.ROOT, s._3)).mkString(",") +
-          s"],\"setup_sec\":${r3(setupSec)},\"edge_rows\":$edgeRows," +
-          s"\"copies\":$copies}}"
+        // merge probe: the footprint-boundedness claim made measurable —
+        // a month-bounded changeset merged into the 10x base table must
+        // cost the touched partition's share, not the table's. 10
+        // key-shifted copies of orders partitioned by (year*100+month):
+        // 84 month partitions, changeset = every copy's 1997-03 key%7
+        // price restatement (pure upsert, one partition), re-applied
+        // idempotently per iteration.
+        val mergeBase = graft.sources.Scratch.dir("bench_sf1_merge")
+        val m0 = System.nanoTime()
+        val orders10 = Tables.table(spark, sfDir, "orders")
+          .select(explode(sequence(lit(0), lit(copies - 1))).as("copy"),
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+          .select((col("o_orderkey") * copies + col("copy")).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+          .withColumn("o_ym",
+            year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        graft.sources.Sinks.writePartitioned(orders10, mergeBase, Seq("o_ym"))
+        val nParts = graft.sources.Sinks
+          .partitionFileStats(mergeBase, Seq("o_ym")).size
+        val mergeSetup = (System.nanoTime() - m0) / 1e9
+        // materialized once: a lazy plan would re-derive the changeset
+        // from the post-merge table and compound the 1.1x per iteration
+        val changes = spark.read.parquet(mergeBase)
+          .where(col("o_ym") === 199703 && col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+          .withColumn("del", lit(false))
+          .localCheckpoint()
+        val mSamples = (1 to 3).map { _ =>
+          drain()
+          val (g0, s0) = (gcMs.get(), spillBytes.get())
+          val it0 = System.nanoTime()
+          graft.sources.Sinks.mergeIntoPartitioned(mergeBase, changes,
+            Seq("o_orderkey"), Seq("o_ym"), deleteCol = Some("del"))
+          val dt = (System.nanoTime() - it0) / 1e9
+          drain()
+          (dt, gcMs.get() - g0, (spillBytes.get() - s0) / 1048576.0)
+        }
+        spark.catalog.clearCache()
+        def entryJson(name: String, ss: Seq[(Double, Long, Double)],
+            extra: String): String =
+          "\"" + name + "\":{\"t\":[" + ss.map(s => r3(s._1)).mkString(",") +
+            "],\"gc_ms\":[" + ss.map(_._2.toString).mkString(",") +
+            "],\"spill_mb\":[" + ss.map(s => "%.1f".formatLocal(
+              java.util.Locale.ROOT, s._3)).mkString(",") + "]," + extra + "}"
+        "{" + entryJson("q179_pagerank_bucketed_10x", samples,
+            s"""\"setup_sec\":${r3(setupSec)},\"edge_rows\":$edgeRows,\"copies\":$copies""") +
+          "," + entryJson("q187_merge_upsert_10x", mSamples,
+            s"""\"setup_sec\":${r3(mergeSetup)},\"n_partitions\":$nParts,\"touched_partitions\":1""") +
+          "}"
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe FAILED: $e")
         "{\"failed\":true}"
