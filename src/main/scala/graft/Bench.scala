@@ -258,6 +258,49 @@ object Bench {
           (dt, gcMs.get() - g0, (spillBytes.get() - s0) / 1048576.0)
         }
         spark.catalog.clearCache()
+        // dedup probe: the training-pipeline headline chain (MinHash-LSH
+        // pairs -> connected components -> anti-join sweep, the q86
+        // composition) over a corpus where 90% of documents are exact
+        // copies — the crawl-shaped duplication near-dedup exists for.
+        // 10 id-remapped copies of documents, written to parquet so the
+        // steady iterations scan real files; identical copies land every
+        // clique in the same LSH buckets in every band, so candidate
+        // generation carries ~100x the 1x pair volume through the
+        // banded equi-join (bucket membership x10 => pairs x100) and the
+        // component rounds collapse 10-deep cliques — the stress is the
+        // candidate generator and the iterative contraction, exactly the
+        // two stages that decide whether the sweep survives a real
+        // corpus. Setup (the 10x write) is timed apart, q112-style.
+        val dedupBase = graft.sources.Scratch.dir("bench_sf1_docs")
+        val d0 = System.nanoTime()
+        val docs10 = Tables.table(spark, sfDir, "documents")
+          .select(explode(sequence(lit(0), lit(copies - 1))).as("copy"),
+            col("doc_id"), col("text"), col("source"), col("n_chars"))
+          .select((col("doc_id") * copies + col("copy")).as("doc_id"),
+            col("text"), col("source"), col("n_chars"))
+        docs10.write.mode("overwrite").parquet(dedupBase)
+        val docRows = spark.read.parquet(dedupBase).count()
+        val dedupSetup = (System.nanoTime() - d0) / 1e9
+        val dSamples = (1 to 3).map { _ =>
+          drain()
+          val (g0, s0) = (gcMs.get(), spillBytes.get())
+          val it0 = System.nanoTime()
+          val corpus = spark.read.parquet(dedupBase)
+          val pairs = graft.operators.Dedup.minHashLshPairs(corpus,
+            "doc_id", "text", n = 3, numHashes = 32, numBands = 8,
+            threshold = 0.5)
+          val drop = graft.operators.Dedup.connectedComponents(pairs)
+            .where(col("id") =!= col("component"))
+            .select(col("id").as("doc_id"))
+          corpus.join(drop, Seq("doc_id"), "left_anti")
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+            .write.mode("overwrite").format("noop").save()
+          val dt = (System.nanoTime() - it0) / 1e9
+          drain()
+          (dt, gcMs.get() - g0, (spillBytes.get() - s0) / 1048576.0)
+        }
+        spark.catalog.clearCache()
         def entryJson(name: String, ss: Seq[(Double, Long, Double)],
             extra: String): String =
           "\"" + name + "\":{\"t\":[" + ss.map(s => r3(s._1)).mkString(",") +
@@ -268,6 +311,8 @@ object Bench {
             s"""\"setup_sec\":${r3(setupSec)},\"edge_rows\":$edgeRows,\"copies\":$copies""") +
           "," + entryJson("q187_merge_upsert_10x", mSamples,
             s"""\"setup_sec\":${r3(mergeSetup)},\"n_partitions\":$nParts,\"touched_partitions\":1""") +
+          "," + entryJson("q86_dedup_sweep_10x", dSamples,
+            s"""\"setup_sec\":${r3(dedupSetup)},\"doc_rows\":$docRows,\"copies\":$copies""") +
           "}"
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe FAILED: $e")
