@@ -8270,6 +8270,123 @@ object Queries {
         true AS fragmented_before, true AS compacted_after
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** The parts co-purchase graph both graph-topology queries below run
+    * on: parts are linked when some order contains both (the q146 basket
+    * fan-out, bounded by order size squared), distinct, a < b. Dense
+    * enough to have real topology (avg degree ~120 at sf0.1) while the
+    * per-order pair explosion stays O(|order|²). */
+  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
+    val l1 = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("a"))
+    val l2 = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("b"))
+    l1.join(l2, Seq("ok")).where(col("a") < col("b"))
+      .select(col("a").as("src"), col("b").as("dst")).distinct()
+  }
+
+  private val coOrderEdgesSql = """
+      e AS MATERIALIZED (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey),
+      und AS MATERIALIZED (
+        SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e)"""
+
+  /** Exact triangle census of the co-purchase graph — the local-density
+    * topology audit (a node's triangle count separates genuinely
+    * clustered co-occurrence from hub-and-spoke noise; triangles also
+    * feed clustering coefficients and community seeds). Scale shape is
+    * the whole point — see [[graft.graph.Graph.triangleCount]]: degree-
+    * ordered orientation caps wedge volume at Σ outdeg² ≤ m^1.5 (41M
+    * wedges → 1.9M triangles at sf0.1) where the unoriented join's
+    * Σ deg² dies on the first celebrity node. Top 30 parts by triangle
+    * membership, count-desc. The oracle replays the identical
+    * orientation and wedge-closure joins. */
+  val q190TriangleCount = Q(
+    "q190_triangle_count",
+    (s, d) =>
+      graft.graph.Graph.triangleCount(coOrderEdges(s, d))
+        .orderBy(col("triangles").desc, col("node"))
+        .limit(30),
+    Some(s"""WITH $coOrderEdgesSql,
+      deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY 1),
+      o AS MATERIALIZED (
+        SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+               CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+               CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+        FROM (SELECT e.a, e.b, d1.d AS da, d2.d AS db
+              FROM e JOIN deg d1 ON e.a = d1.node
+                     JOIN deg d2 ON e.b = d2.node)),
+      w AS (
+        SELECT e1.u, e1.v AS x, e2.v AS y
+        FROM o e1 JOIN o e2 ON e1.u = e2.u
+          AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))),
+      tri AS (SELECT w.u, w.x, w.y FROM w JOIN o ON w.x = o.u AND w.y = o.v),
+      credit AS (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri)
+      SELECT node, count(*) AS triangles FROM credit GROUP BY 1
+      ORDER BY triangles DESC, node LIMIT 30"""))
+
+  /** k-core membership of the co-purchase graph — graph-topology quality
+    * gating ([[graft.graph.Graph.kCore]]): coreness keeps the densely-
+    * embedded subgraph and peels connected-but-peripheral nodes that raw
+    * degree cut-offs misjudge. k is sized FROM the graph as
+    * ceil(0.65 · avg degree) in exact integer arithmetic
+    * ((13·S + 20·N − 1) div (20·N), S = Σdeg, N = nodes — float-free, so
+    * both engines compute the identical k at every scale; measured peel
+    * depth 1/3/5 rounds at sf0.001/0.01/0.1, cores all non-empty).
+    * Synchronous peeling is monotone, so the oracle unrolls maxIter
+    * rounds UNGATED — a converged round recomputes the same live set —
+    * and `iters` (the probe-transport round count, peel depth + 1)
+    * falls out as 1 + the number of strictly-shrinking rounds. */
+  val q191Kcore = Q(
+    "q191_kcore",
+    (s, d) => {
+      val e = coOrderEdges(s, d)
+      val und = e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+      // one bounded driver action to size k (two integers), like the
+      // config-scale centroid collects
+      val row = und.agg(count(lit(1)).as("s"),
+        countDistinct(col("a")).as("n")).head()
+      val (sDeg, n) = (row.getLong(0), row.getLong(1))
+      val k = ((13L * sDeg + 20L * n - 1L) / (20L * n)).toInt
+      graft.graph.Graph.kCore(e, k, maxIter = 12)
+        .orderBy(col("node"))
+    },
+    Some {
+      val maxIter = 12
+      val rounds = (1 to maxIter).map { r =>
+        s"""a$r AS MATERIALIZED (
+          SELECT d.node FROM (
+            SELECT u.a AS node, count(*) AS deg FROM und u
+            JOIN a${r - 1} x ON u.a = x.node
+            JOIN a${r - 1} y ON u.b = y.node
+            GROUP BY 1) d, kk
+          WHERE d.deg >= kk.k)"""
+      }.mkString(",\n      ")
+      val shrink = (1 to maxIter).map { r =>
+        s"(CAST((SELECT count(*) FROM a${r - 1}) > (SELECT count(*) FROM a$r) AS INT))"
+      }.mkString(" + ")
+      s"""WITH $coOrderEdgesSql,
+      kk AS MATERIALIZED (
+        SELECT (13 * count(*) + 20 * count(DISTINCT a) - 1)
+                 // (20 * count(DISTINCT a)) AS k
+        FROM und),
+      a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM und),
+      $rounds,
+      it AS (SELECT CAST(1 + $shrink AS INT) AS iters)
+      SELECT d.node, d.core_deg, it.iters
+      FROM (SELECT u.a AS node, count(*) AS core_deg FROM und u
+            JOIN a$maxIter x ON u.a = x.node
+            JOIN a$maxIter y ON u.b = y.node
+            GROUP BY 1) d, it
+      ORDER BY node"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -8320,5 +8437,5 @@ object Queries {
     q177BenfordAudit, q178SourceOverlap, q179PagerankBucketed,
     q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol,
     q185KmeansTol, q186IvfPartitioned, q187MergeUpsert, q188LpaTol,
-    q189Compaction)
+    q189Compaction, q190TriangleCount, q191Kcore)
 }

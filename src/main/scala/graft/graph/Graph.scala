@@ -754,4 +754,133 @@ object Graph {
       lit(iters).as("iters"), lit(changed).cast("long").as("changed"))
     }
   }
+
+  /** Exact per-node triangle counts by degree-ordered edge orientation
+    * (Suri & Vassilvitskii, WWW'11 — the MapReduce triangle-counting
+    * discipline; also Schank & Wagner's forward algorithm). The naive
+    * wedge generator joins the adjacency list with itself on the center
+    * node, so its volume is Σ deg(v)² — a single celebrity node with
+    * degree 10⁶ contributes 10¹² wedges. Orienting every edge from its
+    * lower-(degree, id) endpoint to its higher one makes each triangle
+    * countable exactly once from its minimum vertex, and caps every
+    * node's OUT-degree at O(√m) (a node with out-degree d has d
+    * neighbors of degree ≥ its own, so d² ≤ 2m) — wedge volume falls
+    * from Σ deg² to Σ outdeg² ≤ m^1.5, the bound that survives skew at
+    * 100 TB. Ties break on node id, so the orientation is a total order
+    * and both engines replay it exactly.
+    *
+    * Three shuffle joins, no iteration: degrees (one groupBy over both
+    * endpoint projections), wedges (oriented ⋈ oriented on the center),
+    * closure (wedges ⋈ oriented on the far pair). Each closed triangle
+    * (u,v,w) credits all three vertices via a 3-row explode; the final
+    * count is an integer groupBy. Returns (node, triangles), nodes with
+    * ≥1 triangle only. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient a→b when (deg_a, a) < (deg_b, b), else b→a; spelled as an
+    // explicit lexicographic test so the oracle's SQL is word-for-word
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("da")).otherwise(col("db")).as("du"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    // wedges from the center u: unordered neighbor pairs, ordered by the
+    // SAME (deg, id) total order so the closing edge is looked up in its
+    // oriented direction
+    val e1 = oriented.as("e1"); val e2 = oriented.as("e2")
+    val wedges = e1.join(e2, col("e1.u") === col("e2.u") &&
+        (col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
+    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+    val triangles = wedges.join(closing, Seq("x", "y"))
+    triangles
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** k-core: the maximal subgraph where every member has ≥ k neighbors
+    * INSIDE the subgraph (Seidman 1983; Batagelj-Zaveršnik peeling) —
+    * the graph-topology quality gate (a crawl/citation node's coreness
+    * separates connected-but-peripheral from densely-embedded far more
+    * robustly than raw degree, which a single spam hub inflates).
+    * Synchronous distributed peeling: every round recomputes each live
+    * node's degree among live nodes and kills all nodes under k AT ONCE;
+    * monotone (the live set only shrinks), so it reaches the unique
+    * fixed point in at most peel-depth rounds — each round is one
+    * state⋈edges shuffle join + one integer aggregation, the PageRank
+    * round shape, and at 100 TB the same src-bucketed edge layout makes
+    * the edge side exchange-free.
+    *
+    * The kill census rides the round's one-row broadcast ([[probeLoop]]
+    * transport): zero kills stops the loop as a limit-1 probe. Because
+    * peeling is monotone, the capped run equals the gated run wherever
+    * maxIter ≥ peel depth, and the oracle can unroll rounds UNGATED —
+    * a converged round recomputes the identical live set, so the unroll
+    * is naturally idempotent past the fixed point (no MATERIALIZED
+    * state gating needed; contrast q188's oscillation-capable LPA).
+    * Returns core members only: (node, core_deg, iters) with
+    * core_deg ≥ k by construction. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30,
+            checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && maxIter >= 1, "kCore needs k >= 1 and maxIter >= 1")
+    withDurable(edges, checkpointDir) { durable =>
+    val e = edges.select(col("src"), col("dst"))
+    val und = cut(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+        .where(col("a") =!= col("b")).distinct(), durable)
+    val init = und.select(col("a").as("node")).distinct()
+      .select(col("node"), lit(true).as("alive"),
+        lit(null).cast("boolean").as("__prev"))
+    val (state, iters, _) = probeLoop(init, durable, 0.5, maxIter,
+      s => kcoreRound(s, und, k),
+      capDelta = st => st.agg(
+        sum((col("alive") =!= col("__prev")).cast("long")).cast("double"))
+        .head().getDouble(0))
+    val core = state.where(col("alive")).select(col("node"))
+    val coreDeg = und
+      .join(core.withColumnRenamed("node", "a"), "a")
+      .join(core.withColumnRenamed("node", "b"), "b")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+    core.join(coreDeg, Seq("node"))
+      .select(col("node"), col("core_deg"), lit(iters).as("iters"))
+    }
+  }
+
+  /** One synchronous peel round: degree among live nodes, then
+    * alive ∧ deg ≥ k. The kill census (previous transition's flips)
+    * rides the broadcast like [[lpaRound]]'s change census. */
+  private[graft] def kcoreRound(state0: DataFrame, und: DataFrame,
+                                k: Int): DataFrame = {
+    import graft.operators.Guards
+    val state = state0.drop("__delta")
+    val live = state.where(col("alive")).select(col("node"))
+    val liveDeg = und
+      .join(live.withColumnRenamed("node", "a"), "a")
+      .join(live.withColumnRenamed("node", "b"), "b")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val flips = state.agg(
+        sum((col("alive") =!= col("__prev")).cast("long"))
+          .cast("double").as("__delta"))
+      .withColumn("__k", Guards.constKey(col("__delta")))
+    state.select(col("node"), col("alive").as("__aold"))
+      .join(liveDeg, Seq("node"), "left")
+      .withColumn("__k", Guards.constKey(col("node")))
+      .join(broadcast(flips), "__k")
+      .select(col("node"),
+        (col("__aold") && coalesce(col("deg"), lit(0L)) >= k).as("alive"),
+        col("__aold").as("__prev"), col("__delta"))
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import graft.graph.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting and k-core: parity against brute-force/sequential
+  * references on graphs small enough to enumerate, plus the input-shape
+  * contracts (direction, duplicates, self-loops) the operators promise
+  * to absorb. */
+class GraphTopologySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (String, String)*): DataFrame =
+    pairs.toDF("src", "dst")
+
+  /** Brute-force triangle census: all 3-subsets of nodes, each checked
+    * against the undirected edge set. */
+  private def bruteTriangles(pairs: Seq[(String, String)])
+      : Map[String, Long] = {
+    val und = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = und.map(_._1).toSeq.distinct.sorted
+    val tris = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      if und((nodes(i), nodes(j))) && und((nodes(j), nodes(k))) &&
+        und((nodes(i), nodes(k)))
+    } yield Seq(nodes(i), nodes(j), nodes(k))
+    tris.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  private def seqKCore(pairs: Seq[(String, String)], k: Int)
+      : Set[String] = {
+    val und = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (a, b) => a != b }.distinct
+    var alive = und.map(_._1).toSet
+    var changed = true
+    while (changed) {
+      val deg = und.filter { case (a, b) => alive(a) && alive(b) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val next = alive.filter(n => deg.getOrElse(n, 0) >= k)
+      changed = next != alive
+      alive = next
+    }
+    alive
+  }
+
+  // K4 (complete on a-d) + a pendant + a disjoint triangle with a tail
+  private val fixture = Seq(
+    "a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d",
+    "d" -> "e",
+    "x" -> "y", "y" -> "z", "x" -> "z", "z" -> "w")
+
+  test("triangleCount matches the brute-force census per node") {
+    val got = Graph.triangleCount(edges(fixture: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === bruteTriangles(fixture))
+    // K4 has C(3,2)=3 triangles per vertex; the x-y-z triangle 1 each
+    assert(got("a") === 3L && got("x") === 1L)
+    assert(!got.contains("e") && !got.contains("w"))
+  }
+
+  test("triangleCount absorbs direction, duplicates, and self-loops") {
+    val messy = fixture ++ Seq("b" -> "a", "c" -> "a", "a" -> "b",
+      "e" -> "e")
+    val clean = Graph.triangleCount(edges(fixture: _*)).collect().toSet
+    val got = Graph.triangleCount(edges(messy: _*)).collect().toSet
+    assert(got === clean)
+  }
+
+  test("kCore matches sequential peeling, with in-core degrees") {
+    for (k <- 1 to 4) {
+      val got = Graph.kCore(edges(fixture: _*), k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got.keySet === seqKCore(fixture, k), s"k=$k")
+      // every member's reported degree is its degree among members, >= k
+      got.foreach { case (n, d) =>
+        val inCore = fixture.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .count { case (a, b) => a == n && got.contains(b) }
+        assert(d === inCore.toLong && d >= k, s"k=$k node=$n")
+      }
+    }
+    // k above the max degree empties the graph
+    assert(Graph.kCore(edges(fixture: _*), 10).count() === 0L)
+  }
+
+  test("kCore iters is peel depth + 1 (the probe transport round)") {
+    // chain a-b-c-d-e, k=2: synchronous peel removes both endpoints per
+    // round -> rounds 1 (a,e) and 2 (b,d) kill, round 3 empties (c has
+    // no live neighbors), depth 3 -> iters 4
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val st = Graph.kCore(edges(chain: _*), 2)
+    assert(st.count() === 0L)
+    // K4: k=3 stable immediately (depth 0 -> iters 1)
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d")
+    val it = Graph.kCore(edges(k4: _*), 3).select("iters").head().getInt(0)
+    assert(it === 1)
+  }
+}
