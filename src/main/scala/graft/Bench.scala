@@ -328,6 +328,11 @@ object Bench {
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes("UTF-8"))
+    else
+      // subset runs are local iteration: surface the steady arrays (gc /
+      // spill attribution included) on stderr instead of silently
+      // discarding them with the detail file
+      System.err.println(s"[bench] steady detail: $steady")
     println(line)
     spark.stop()
   }

@@ -8345,7 +8345,9 @@ object Queries {
   val q191Kcore = Q(
     "q191_kcore",
     (s, d) => {
-      val e = coOrderEdges(s, d)
+      // the basket self-join + distinct is read by the k-sizing aggregate
+      // AND re-read inside kCore's own und build — cut it once
+      val e = coOrderEdges(s, d).localCheckpoint()
       val und = e.select(col("src").as("a"), col("dst").as("b"))
         .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
       // one bounded driver action to size k (two integers), like the

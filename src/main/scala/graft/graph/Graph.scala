@@ -776,10 +776,15 @@ object Graph {
     * count is an integer groupBy. Returns (node, triangles), nodes with
     * ≥1 triangle only. */
   def triangleCount(edges: DataFrame): DataFrame = {
+    // und feeds the degree census (two endpoint projections) and the
+    // orientation join, and `oriented` feeds both wedge sides plus the
+    // closure lookup — without explicit cuts the (typically expensive)
+    // edge-construction subtree re-executes per branch (measured 44 s →
+    // 13 s at sf0.1 from these two lines)
     val und = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -793,8 +798,8 @@ object Graph {
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
-      when(aFirst, col("da")).otherwise(col("db")).as("du"),
       when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
     // wedges from the center u: unordered neighbor pairs, ordered by the
     // SAME (deg, id) total order so the closing edge is looked up in its
     // oriented direction
