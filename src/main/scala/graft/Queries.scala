@@ -8389,6 +8389,85 @@ object Queries {
       ORDER BY node"""
     })
 
+  /** Weighted single-source shortest paths over the co-purchase graph
+    * ([[graft.graph.Graph.sssp]]) — "how far is every part from the
+    * anchor assortment": seeds are every 50th part, edge cost rewards
+    * frequent co-purchase (w = 1/4/13 for ≥3 / 2 / 1 shared orders —
+    * the spread makes chains through strongly-associated pairs
+    * genuinely beat one rare-pair hop, so the relaxation runs
+    * multi-hop instead of degenerating to a 1-hop census), and the
+    * output is the reachability census per distance (node count + id
+    * envelope per dist bucket — bounded rows, but every node's exact
+    * distance feeds the hash through min/max/count). All arithmetic is
+    * BIGINT, the relaxation is monotone, and the stop is probed — the
+    * oracle unrolls maxIter rounds UNGATED (a converged round
+    * recomputes the same state, the q191 treatment) with
+    * iters = 1 + state-changing transitions. Measured fixpoint depth
+    * (iters) 5/6/5 at sf0.001/0.01/0.1, inside the 12-round cap. */
+  val q192Sssp = Q(
+    "q192_sssp",
+    (s, d) => {
+      val l1 = lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("a"))
+      val l2 = lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("b"))
+      val pair = l1.join(l2, Seq("ok")).where(col("a") < col("b"))
+        .select("ok", "a", "b").distinct()
+        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      val w = when(col("shared") >= 3, lit(1L))
+        .when(col("shared") === 2, lit(4L)).otherwise(lit(13L))
+      val edges = pair
+        .select(col("a").as("src"), col("b").as("dst"), w.as("w"))
+        .unionByName(
+          pair.select(col("b").as("src"), col("a").as("dst"), w.as("w")))
+      graft.graph.Graph.sssp(edges, n => n % 50 === 0, maxIter = 12)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"),
+          max("node").as("max_node"), max("iters").as("iters"))
+        .orderBy("dist")
+    },
+    Some {
+      val maxIter = 12
+      val rounds = (1 to maxIter).map { r =>
+        s"""s$r AS MATERIALIZED (
+          SELECT node, min(dist) AS dist, min(prev) AS prev FROM (
+            SELECT node, dist, dist AS prev FROM s${r - 1}
+            UNION ALL
+            SELECT ed.dst AS node, s.dist + ed.w AS dist,
+                   CAST(NULL AS BIGINT) AS prev
+            FROM s${r - 1} s JOIN we ed ON s.node = ed.src) GROUP BY node)"""
+      }.mkString(",\n      ")
+      val changed = (1 to maxIter).map { r =>
+        s"(CAST(EXISTS(SELECT 1 FROM s$r WHERE prev IS NULL OR dist < prev) AS INT))"
+      }.mkString(" + ")
+      s"""WITH pair AS MATERIALIZED (
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+               count(DISTINCT l1.l_orderkey) AS shared
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2),
+      we AS MATERIALIZED (
+        SELECT a AS src, b AS dst,
+          CASE WHEN shared >= 3 THEN 1 WHEN shared = 2 THEN 4
+               ELSE 13 END AS w FROM pair
+        UNION ALL
+        SELECT b, a,
+          CASE WHEN shared >= 3 THEN 1 WHEN shared = 2 THEN 4
+               ELSE 13 END FROM pair),
+      s0 AS MATERIALIZED (
+        SELECT node, CAST(0 AS BIGINT) AS dist, CAST(NULL AS BIGINT) AS prev
+        FROM (SELECT DISTINCT src AS node FROM we)
+        WHERE node % 50 = 0),
+      $rounds,
+      it AS (SELECT CAST(1 + $changed AS INT) AS iters)
+      SELECT dist, count(*) AS n_nodes, min(node) AS min_node,
+             max(node) AS max_node, it.iters
+      FROM s$maxIter, it
+      GROUP BY dist, it.iters
+      ORDER BY dist"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -8439,5 +8518,5 @@ object Queries {
     q177BenfordAudit, q178SourceOverlap, q179PagerankBucketed,
     q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol,
     q185KmeansTol, q186IvfPartitioned, q187MergeUpsert, q188LpaTol,
-    q189Compaction, q190TriangleCount, q191Kcore)
+    q189Compaction, q190TriangleCount, q191Kcore, q192Sssp)
 }

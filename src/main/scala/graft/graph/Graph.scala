@@ -888,4 +888,77 @@ object Graph {
         (col("__aold") && coalesce(col("deg"), lit(0L)) >= k).as("alive"),
         col("__aold").as("__prev"), col("__delta"))
   }
+
+  /** Multi-source WEIGHTED shortest paths: synchronous Bellman–Ford
+    * relaxation over an edge DataFrame (src, dst, w) with non-negative
+    * integer weights — the weighted companion to [[bfsHops]], and the
+    * distributed regime of the problem [[floydWarshall]] solves densely
+    * on the driver (the reference's scipy APSP, HwyNetwork.py:227-294,
+    * is the broadcastable small-graph case; this is the plan when the
+    * GRAPH is the big data). The state holds only REACHED nodes
+    * (frontier-compact: unreached nodes cost nothing), and each round is
+    * one state⋈edges equi-join + one min-aggregation — relaxing ALL
+    * edges out of the reached set at once, so the round count is bounded
+    * by the weighted-path hop depth, not by node count.
+    *
+    * All arithmetic is integer (`dist` is BIGINT), so determinism is
+    * free — no decimal regime needed. Distances are monotone
+    * non-increasing and the reached set monotone non-decreasing, so a
+    * converged round recomputes the same state and an oracle can unroll
+    * rounds UNGATED (the [[kCore]] treatment). The stop is probed: the
+    * change census (newly-reached + strictly-improved rows) rides each
+    * round's one-row broadcast and the loop stops when a transition
+    * changed nothing, via the shared [[probeLoop]] transport —
+    * `iters` = 1 + the number of state-changing transitions.
+    *
+    * `isSource` must be an engine-portable predicate over the node id.
+    * Returns (node, dist, iters) for reached nodes only. Cluster note:
+    * like [[pageRank]], bucketing edges by `src` makes every round's
+    * join exchange-free on the edge side. */
+  def sssp(edges: DataFrame, isSource: Column => Column, maxIter: Int = 30,
+           checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIter >= 1, "sssp needs maxIter >= 1")
+    withDurable(edges, checkpointDir) { durable =>
+    val e = cut(edges.select(col("src"), col("dst"),
+      col("w").cast("long").as("w")), durable)
+    val init = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .where(isSource(col("node")))
+      .select(col("node"), lit(0L).as("dist"),
+        lit(null).cast("long").as("__prev"))
+    val (state, iters, _) = probeLoop(init, durable, 0.5, maxIter,
+      s => ssspRound(s, e),
+      capDelta = st => st.agg(
+        sum((col("__prev").isNull || col("dist") < col("__prev"))
+          .cast("long")).cast("double")).head().getDouble(0))
+    state.select(col("node"), col("dist"), lit(iters).as("iters"))
+    }
+  }
+
+  /** One relaxation round. Census first (over the INPUT state — the
+    * probe-transport contract: round k's output carries transition
+    * k−1's census as `__delta`): a row changed if it is newly reached
+    * (`__prev` null) or strictly improved. Then relax every edge out of
+    * the reached set and fold old state + candidates in ONE
+    * min-aggregation — the old distance rides the union as `__prevc`
+    * (candidates carry null), so `min(__prevc)` reconstructs "previous
+    * distance, null if newly reached" without a second join. */
+  private[graft] def ssspRound(state0: DataFrame, e: DataFrame): DataFrame = {
+    import graft.operators.Guards
+    val state = state0.drop("__delta")
+    val census = state.agg(
+        sum((col("__prev").isNull || col("dist") < col("__prev"))
+          .cast("long")).cast("double").as("__delta"))
+      .withColumn("__k", Guards.constKey(col("__delta")))
+    val relax = state.join(e, col("node") === col("src"))
+      .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"),
+        lit(null).cast("long").as("__prevc"))
+    state.select(col("node"), col("dist"), col("dist").as("__prevc"))
+      .unionByName(relax)
+      .groupBy("node")
+      .agg(min("dist").as("dist"), min("__prevc").as("__prev"))
+      .withColumn("__k", Guards.constKey(col("node")))
+      .join(broadcast(census), "__k")
+      .select(col("node"), col("dist"), col("__prev"), col("__delta"))
+  }
 }

@@ -98,4 +98,52 @@ class GraphTopologySpec extends SparkSpec {
     val it = Graph.kCore(edges(k4: _*), 3).select("iters").head().getInt(0)
     assert(it === 1)
   }
+
+  // ---- weighted shortest paths ----
+
+  private def wedges(rows: (String, String, Long)*): DataFrame =
+    rows.toDF("src", "dst", "w")
+
+  // directed weighted fixture: cheapest s->c is s-a-b-c (1+2+1=4), NOT
+  // the 2-hop s-a-c (1+5=6); d only via c; e->f is a disjoint component
+  private val wfix = Seq(
+    ("s", "a", 1L), ("s", "b", 4L), ("a", "b", 2L), ("b", "c", 1L),
+    ("a", "c", 5L), ("c", "d", 1L), ("e", "f", 2L))
+
+  test("sssp matches hand-solved Dijkstra; unreached nodes are absent") {
+    val got = Graph.sssp(wedges(wfix: _*), n => n === "s")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("s" -> 0L, "a" -> 1L, "b" -> 3L, "c" -> 4L,
+      "d" -> 5L))
+    // e and f are unreachable from s: frontier-compact state never
+    // materializes them
+    assert(!got.contains("e") && !got.contains("f"))
+  }
+
+  test("sssp multi-source takes the min over seeds per node") {
+    val got = Graph.sssp(wedges(wfix: _*), n => n === "s" || n === "e")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("s" -> 0L, "a" -> 1L, "b" -> 3L, "c" -> 4L,
+      "d" -> 5L, "e" -> 0L, "f" -> 2L))
+  }
+
+  test("sssp iters is fixpoint depth + 1 and duplicates are absorbed") {
+    // transitions: 1 reaches a,b,f; 2 improves b, reaches c; 3 improves
+    // c, reaches d; 4 improves d; 5 changes nothing -> iters 5
+    val st = Graph.sssp(wedges(wfix: _*), n => n === "s" || n === "e")
+    assert(st.select("iters").head().getInt(0) === 5)
+    // parallel edges (one worse, one equal) change nothing: the
+    // min-fold absorbs them without a dedup pass
+    val dup = wfix ++ Seq(("s", "a", 7L), ("s", "a", 1L))
+    val got = Graph.sssp(wedges(dup: _*), n => n === "s" || n === "e")
+      .select("node", "dist").collect().toSet
+    assert(got === st.select("node", "dist").collect().toSet)
+  }
+
+  test("sssp respects edge direction") {
+    // only b is a seed: upstream s/a are unreachable along directed edges
+    val got = Graph.sssp(wedges(wfix: _*), n => n === "b")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("b" -> 0L, "c" -> 1L, "d" -> 2L))
+  }
 }
