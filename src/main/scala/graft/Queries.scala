@@ -8468,6 +8468,47 @@ object Queries {
       ORDER BY dist"""
     })
 
+  /** Incremental component maintenance — the daily-crawl shape end to
+    * end ([[graft.operators.Dedup.incrementalComponents]]): yesterday's
+    * corpus (doc_id % 7 ≠ 0) is clustered once; today's docs arrive and
+    * ONLY the changeset-bounded subgraph is touched — endpoint label
+    * lookup, contracted-graph CC at changeset scale, broadcast
+    * relabel — never the old pair set. LSH candidate pairs are per-pair
+    * independent, so splitting the full corpus's pairs by endpoint
+    * epoch IS the realistic flow: old×old pairs are exactly what
+    * yesterday's run produced, the rest is what
+    * [[graft.operators.Dedup.incrementalNearDup]] generates today.
+    * The oracle is q78's FULL-recompute recursive CTE over the union
+    * graph, shipped verbatim — the strongest possible statement that
+    * the incremental fold changes the work bound, not the answer. */
+  val q193IncrementalComponents = Q(
+    "q193_incremental_components",
+    (s, d) => {
+      // read twice (old/new split) — cut so minhash+banding runs once
+      val pairs = Dedup.minHashLshPairs(documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 32, numBands = 8, threshold = 0.5)
+        .localCheckpoint()
+      val old = (c: Column) => c % 7 =!= 0
+      val oldPairs = pairs.where(old(col("id1")) && old(col("id2")))
+      val newPairs = pairs.where(!(old(col("id1")) && old(col("id2"))))
+      val labels = Dedup.connectedComponents(oldPairs)
+      Dedup.incrementalComponents(labels, newPairs)
+        .select(col("id").as("doc_id"), col("component").as("canonical_id"))
+    },
+    Some(minhashPairsSql +
+      """,
+      p AS (
+        SELECT id1, id2 FROM cand
+        WHERE len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 >= 0.5),
+      e AS (SELECT id1 AS u, id2 AS v FROM p
+            UNION SELECT id2, id1 FROM p),
+      reach(u, v) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+      SELECT u AS doc_id, min(v) AS canonical_id
+      FROM reach GROUP BY u"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -8518,5 +8559,6 @@ object Queries {
     q177BenfordAudit, q178SourceOverlap, q179PagerankBucketed,
     q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol,
     q185KmeansTol, q186IvfPartitioned, q187MergeUpsert, q188LpaTol,
-    q189Compaction, q190TriangleCount, q191Kcore, q192Sssp)
+    q189Compaction, q190TriangleCount, q191Kcore, q192Sssp,
+    q193IncrementalComponents)
 }

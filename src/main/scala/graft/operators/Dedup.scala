@@ -582,6 +582,73 @@ object Dedup {
     out
   }
 
+  /** Incremental connected components — fold a batch of NEW edges into
+    * an existing canonical labeling WITHOUT re-clustering the corpus
+    * (the daily-crawl companion to [[incrementalNearDup]]: that bounds
+    * candidate GENERATION to new×corpus; this bounds the component
+    * UPDATE to the touched subgraph).
+    *
+    * `labels` must be a canonical min-id labeling, i.e. exactly what
+    * [[connectedComponents]] / [[connectedComponentsStar]] emit:
+    * component = min node id of the component. Every label is then a
+    * member of its own component, so the label table is a valid
+    * CONTRACTION of the old graph — components of
+    * (old graph ∪ newPairs) equal components of
+    * (label stars ∪ newPairs), and only labels touched by a new edge
+    * can change.
+    *
+    * Three changeset-bounded steps, none of which reads the old EDGE
+    * set (at 100 TB the old pairs are long gone — only the label table
+    * persists): (1) look up the component of each new-edge endpoint
+    * (one hash join against labels; unseen nodes label themselves);
+    * (2) contract the new edges into label space and run
+    * [[connectedComponents]] on that graph — its size is bounded by
+    * the CHANGESET, not the corpus; (3) broadcast the resulting
+    * old-label → new-root mapping and relabel the big table map-side
+    * (plus emit rows for the brand-new nodes). Roots stay global min
+    * ids throughout — step 2's minima range over old labels (each the
+    * min id of its old component) and new node ids — so the output is
+    * bit-identical to a full recompute over the union graph
+    * ([[graft.Queries.q193IncrementalComponents]] ships the full
+    * recompute's oracle verbatim; ComponentsSpec pins union-find
+    * parity). */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+                            maxIter: Int = 20): DataFrame = {
+    val l = labels.select(col("id"), col("component"))
+    // endpoint → current component; nodes the labeling has never seen
+    // label themselves (changeset-bounded frame, read three times)
+    val ends = newPairs.select(col("id1").as("id"))
+      .unionByName(newPairs.select(col("id2").as("id"))).distinct()
+    val endLabels = ends.join(l, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint(true)
+    // the changeset in label space; an edge inside one old component
+    // contracts to a self-loop and drops
+    val contracted = newPairs
+      .join(endLabels.select(col("id").as("id1"), col("component").as("ca")),
+        "id1")
+      .join(endLabels.select(col("id").as("id2"), col("component").as("cb")),
+        "id2")
+      .select(col("ca").as("id1"), col("cb").as("id2"))
+      .where(col("id1") =!= col("id2"))
+    // old-label → new-root. The contracted graph is changeset-scale, so
+    // the inner CC is cheap no matter how big the labeled corpus is.
+    val mapping = connectedComponents(contracted, maxIter)
+      .select(col("id").as("component"), col("component").as("root"))
+    // map-side relabel: mapping is changeset-bounded -> broadcast; the
+    // corpus-scale label table is touched exactly once, no shuffle
+    val relabeled = l
+      .join(broadcast(mapping), Seq("component"), "left")
+      .select(col("id"), coalesce(col("root"), col("component")).as("component"))
+    // brand-new nodes: endpoints the old labeling lacked; their
+    // self-label resolves through the same mapping (a new node merged
+    // into anything appears in the contracted graph under its own id)
+    val newNodes = endLabels.join(l, Seq("id"), "left_anti")
+      .join(broadcast(mapping), Seq("component"), "left")
+      .select(col("id"), coalesce(col("root"), col("component")).as("component"))
+    relabeled.unionByName(newNodes)
+  }
+
   /** TF-IDF weighted cosine similarity over candidate pairs (Salton &
     * Buckley 1988 weighting; the rare-token blocking of Bayardo et al.
     * 2007's all-pairs family) — the WEIGHTED counterpart to

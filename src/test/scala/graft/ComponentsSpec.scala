@@ -59,4 +59,52 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(one == Map(7L -> 3L, 3L -> 3L))
   }
+
+  // ---- incremental maintenance ----
+
+  private def incrementalVsFull(oldPairs: Seq[(Long, Long)],
+                                newPairs: Seq[(Long, Long)]): Unit = {
+    val labels = Dedup.connectedComponents(oldPairs.toDF("id1", "id2"))
+    val got = Dedup
+      .incrementalComponents(labels, newPairs.toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == unionFind(oldPairs ++ newPairs))
+  }
+
+  test("incremental fold == full union-find on random old/new splits") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val pairs = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (oldP, newP) = pairs.splitAt(50)
+      incrementalVsFull(oldP, newP)
+    }
+  }
+
+  test("incremental: component merges, new-node chains, no-op edges") {
+    // old graph: {1,2,3} rooted at 1 and {10,11} rooted at 10
+    val oldP = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    // new edges: merge the two components, hang a chain of brand-new
+    // nodes off one, add an edge INSIDE a component (must be a no-op),
+    // and an isolated new pair
+    val newP = Seq((3L, 10L), (11L, 20L), (20L, 21L), (1L, 3L),
+      (30L, 31L))
+    incrementalVsFull(oldP, newP)
+  }
+
+  test("incremental: a brand-new node can become the root") {
+    // new node 0 joins the {5,6} component: min-id root moves to 0,
+    // and every OLD member must relabel through the broadcast mapping
+    incrementalVsFull(Seq((5L, 6L), (8L, 9L)), Seq((0L, 6L)))
+  }
+
+  test("incremental with an empty changeset is the identity") {
+    val oldP = Seq((1L, 2L), (4L, 5L))
+    val labels = Dedup.connectedComponents(oldP.toDF("id1", "id2"))
+    val got = Dedup.incrementalComponents(labels,
+      Seq.empty[(Long, Long)].toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == unionFind(oldP))
+  }
 }
