@@ -8404,23 +8404,44 @@ object Queries {
     * recomputes the same state, the q191 treatment) with
     * iters = 1 + state-changing transitions. Measured fixpoint depth
     * (iters) 5/6/5 at sf0.001/0.01/0.1, inside the 12-round cap. */
+  /** Weighted co-purchase edges shared by q192/q194: cost 1/4/13 for
+    * ≥3 / 2 / 1 shared orders (both directions). */
+  private def coOrderWeighted(s: SparkSession, d: String): DataFrame = {
+    val l1 = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("a"))
+    val l2 = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("b"))
+    val pair = l1.join(l2, Seq("ok")).where(col("a") < col("b"))
+      .select("ok", "a", "b").distinct()
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    val w = when(col("shared") >= 3, lit(1L))
+      .when(col("shared") === 2, lit(4L)).otherwise(lit(13L))
+    pair.select(col("a").as("src"), col("b").as("dst"), w.as("w"))
+      .unionByName(
+        pair.select(col("b").as("src"), col("a").as("dst"), w.as("w")))
+  }
+
+  private val coOrderWeightedSql = """pair AS MATERIALIZED (
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+               count(DISTINCT l1.l_orderkey) AS shared
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2),
+      we AS MATERIALIZED (
+        SELECT a AS src, b AS dst,
+          CASE WHEN shared >= 3 THEN 1 WHEN shared = 2 THEN 4
+               ELSE 13 END AS w FROM pair
+        UNION ALL
+        SELECT b, a,
+          CASE WHEN shared >= 3 THEN 1 WHEN shared = 2 THEN 4
+               ELSE 13 END FROM pair)"""
+
   val q192Sssp = Q(
     "q192_sssp",
     (s, d) => {
-      val l1 = lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey").as("a"))
-      val l2 = lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey").as("b"))
-      val pair = l1.join(l2, Seq("ok")).where(col("a") < col("b"))
-        .select("ok", "a", "b").distinct()
-        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-      val w = when(col("shared") >= 3, lit(1L))
-        .when(col("shared") === 2, lit(4L)).otherwise(lit(13L))
-      val edges = pair
-        .select(col("a").as("src"), col("b").as("dst"), w.as("w"))
-        .unionByName(
-          pair.select(col("b").as("src"), col("a").as("dst"), w.as("w")))
-      graft.graph.Graph.sssp(edges, n => n % 50 === 0, maxIter = 12)
+      graft.graph.Graph.sssp(coOrderWeighted(s, d), n => n % 50 === 0,
+          maxIter = 12)
         .groupBy("dist")
         .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"),
           max("node").as("max_node"), max("iters").as("iters"))
@@ -8440,21 +8461,7 @@ object Queries {
       val changed = (1 to maxIter).map { r =>
         s"(CAST(EXISTS(SELECT 1 FROM s$r WHERE prev IS NULL OR dist < prev) AS INT))"
       }.mkString(" + ")
-      s"""WITH pair AS MATERIALIZED (
-        SELECT l1.l_partkey AS a, l2.l_partkey AS b,
-               count(DISTINCT l1.l_orderkey) AS shared
-        FROM lineitem l1 JOIN lineitem l2
-          ON l1.l_orderkey = l2.l_orderkey
-         AND l1.l_partkey < l2.l_partkey
-        GROUP BY 1, 2),
-      we AS MATERIALIZED (
-        SELECT a AS src, b AS dst,
-          CASE WHEN shared >= 3 THEN 1 WHEN shared = 2 THEN 4
-               ELSE 13 END AS w FROM pair
-        UNION ALL
-        SELECT b, a,
-          CASE WHEN shared >= 3 THEN 1 WHEN shared = 2 THEN 4
-               ELSE 13 END FROM pair),
+      s"""WITH $coOrderWeightedSql,
       s0 AS MATERIALIZED (
         SELECT node, CAST(0 AS BIGINT) AS dist, CAST(NULL AS BIGINT) AS prev
         FROM (SELECT DISTINCT src AS node FROM we)
@@ -8509,6 +8516,63 @@ object Queries {
       SELECT u AS doc_id, min(v) AS canonical_id
       FROM reach GROUP BY u"""))
 
+  /** Sampled closeness centrality (Eppstein & Wang 2004: estimate
+    * centrality from k sampled sources) over the weighted co-purchase
+    * graph — [[graft.graph.Graph.ssspPerSeed]] runs every sampled
+    * seed's Bellman–Ford frontier in the SAME rounds (state keyed
+    * (seed, node), so k seeds cost k× state, not k× rounds), and the
+    * per-seed closeness summary falls out of one groupBy: reach count,
+    * exact total distance (the inverse-closeness numerator), and
+    * eccentricity-within-reach. Seeds every 97th part BELOW 2000 —
+    * Eppstein–Wang is exactly the regime where the sample stays FIXED
+    * as the graph grows (k ~ log n / eps^2 sources), so the seed set is
+    * size-bounded by construction (3/21/21 at the three SFs) and the
+    * per-round relax volume tracks k·|E|, not |V|·|E|. All BIGINT; same
+    * ungated-unroll oracle as q192 with the seed riding the CTE key.
+    * Measured iters 7/10/12, cap 16. */
+  val q194Closeness = Q(
+    "q194_closeness",
+    (s, d) => {
+      graft.graph.Graph.ssspPerSeed(coOrderWeighted(s, d),
+          n => n % 97 === 0 && n < 2000, maxIter = 16)
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"),
+          sum("dist").as("total_dist"),
+          max("dist").as("eccentricity"),
+          max("iters").as("iters"))
+        .orderBy("seed")
+    },
+    Some {
+      val maxIter = 16
+      val rounds = (1 to maxIter).map { r =>
+        s"""c$r AS MATERIALIZED (
+          SELECT seed, node, min(dist) AS dist, min(prev) AS prev FROM (
+            SELECT seed, node, dist, dist AS prev FROM c${r - 1}
+            UNION ALL
+            SELECT s.seed, ed.dst AS node, s.dist + ed.w AS dist,
+                   CAST(NULL AS BIGINT) AS prev
+            FROM c${r - 1} s JOIN we ed ON s.node = ed.src)
+          GROUP BY seed, node)"""
+      }.mkString(",\n      ")
+      val changed = (1 to maxIter).map { r =>
+        s"(CAST(EXISTS(SELECT 1 FROM c$r WHERE prev IS NULL OR dist < prev) AS INT))"
+      }.mkString(" + ")
+      s"""WITH $coOrderWeightedSql,
+      c0 AS MATERIALIZED (
+        SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist,
+               CAST(NULL AS BIGINT) AS prev
+        FROM (SELECT DISTINCT src AS node FROM we)
+        WHERE node % 97 = 0 AND node < 2000),
+      $rounds,
+      it AS (SELECT CAST(1 + $changed AS INT) AS iters)
+      SELECT seed, count(*) AS n_reached,
+             CAST(sum(dist) AS BIGINT) AS total_dist,
+             max(dist) AS eccentricity, it.iters
+      FROM c$maxIter, it
+      GROUP BY seed, it.iters
+      ORDER BY seed"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -8560,5 +8624,5 @@ object Queries {
     q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol,
     q185KmeansTol, q186IvfPartitioned, q187MergeUpsert, q188LpaTol,
     q189Compaction, q190TriangleCount, q191Kcore, q192Sssp,
-    q193IncrementalComponents)
+    q193IncrementalComponents, q194Closeness)
 }

@@ -337,7 +337,14 @@ object Graph {
     var delta = Double.NaN
     while (result == null && it < maxIter) {
       val next = cut(round(state), durable, ret)
-      val probed = next.select(col("__delta")).head().get(0)
+      // limit-1 probe of the just-checkpointed state; a state with NO
+      // ROWS (e.g. SSSP with zero matching seeds) is its own fixed
+      // point — probe it as converged-at-zero instead of head()-ing an
+      // empty frame
+      val probed: Any = next.select(col("__delta")).take(1) match {
+        case Array(row) => row.get(0)
+        case _ => java.lang.Double.valueOf(0.0)
+      }
       if (probed != null && probed.asInstanceOf[Double] < tol) {
         delta = probed.asInstanceOf[Double]
         result = state
@@ -928,12 +935,18 @@ object Graph {
         lit(null).cast("long").as("__prev"))
     val (state, iters, _) = probeLoop(init, durable, 0.5, maxIter,
       s => ssspRound(s, e),
-      capDelta = st => st.agg(
-        sum((col("__prev").isNull || col("dist") < col("__prev"))
-          .cast("long")).cast("double")).head().getDouble(0))
+      capDelta = st => st.agg(ssspCensus(st)).head().getDouble(0))
     state.select(col("node"), col("dist"), lit(iters).as("iters"))
     }
   }
+
+  /** Change census of the transition an SSSP state represents: newly
+    * reached (`__prev` null) + strictly improved rows. Coalesced to 0 so
+    * an EMPTY state (no seed matched the graph) probes as converged on
+    * round one instead of sum()'s null spinning the loop to maxIter. */
+  private def ssspCensus(state: DataFrame): Column =
+    coalesce(sum((col("__prev").isNull || col("dist") < col("__prev"))
+      .cast("long")), lit(0L)).cast("double")
 
   /** One relaxation round. Census first (over the INPUT state — the
     * probe-transport contract: round k's output carries transition
@@ -946,9 +959,7 @@ object Graph {
   private[graft] def ssspRound(state0: DataFrame, e: DataFrame): DataFrame = {
     import graft.operators.Guards
     val state = state0.drop("__delta")
-    val census = state.agg(
-        sum((col("__prev").isNull || col("dist") < col("__prev"))
-          .cast("long")).cast("double").as("__delta"))
+    val census = state.agg(ssspCensus(state).as("__delta"))
       .withColumn("__k", Guards.constKey(col("__delta")))
     val relax = state.join(e, col("node") === col("src"))
       .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"),
@@ -960,5 +971,59 @@ object Graph {
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(census), "__k")
       .select(col("node"), col("dist"), col("__prev"), col("__delta"))
+  }
+
+  /** [[sssp]] with PER-SEED provenance — state keyed (seed, node), so
+    * the output carries every seed's own distance field instead of the
+    * min over seeds. This is the transport for sampled centrality
+    * (Eppstein & Wang 2004: closeness from k sampled sources): k seeds
+    * cost k× the state of one [[sssp]] run in the SAME number of
+    * rounds — one relaxation round advances every seed's frontier at
+    * once, so the round count is the max weighted-hop depth over seeds,
+    * not the sum. Returns (seed, node, dist, iters); all-BIGINT, same
+    * probed stop, same ungated-unroll oracle treatment (monotone in
+    * every (seed, node) cell). */
+  def ssspPerSeed(edges: DataFrame, isSource: Column => Column,
+                  maxIter: Int = 30,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIter >= 1, "ssspPerSeed needs maxIter >= 1")
+    withDurable(edges, checkpointDir) { durable =>
+    val e = cut(edges.select(col("src"), col("dst"),
+      col("w").cast("long").as("w")), durable)
+    val init = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .where(isSource(col("node")))
+      .select(col("node").as("seed"), col("node"), lit(0L).as("dist"),
+        lit(null).cast("long").as("__prev"))
+    val (state, iters, _) = probeLoop(init, durable, 0.5, maxIter,
+      s => ssspPerSeedRound(s, e),
+      capDelta = st => st.agg(ssspCensus(st)).head().getDouble(0))
+    state.select(col("seed"), col("node"), col("dist"),
+      lit(iters).as("iters"))
+    }
+  }
+
+  /** One per-seed relaxation round — [[ssspRound]] with the seed riding
+    * the key: the join stays node==src (seeds fan out map-side), the
+    * min-fold groups by (seed, node). */
+  private[graft] def ssspPerSeedRound(state0: DataFrame, e: DataFrame)
+      : DataFrame = {
+    import graft.operators.Guards
+    val state = state0.drop("__delta")
+    val census = state.agg(ssspCensus(state).as("__delta"))
+      .withColumn("__k", Guards.constKey(col("__delta")))
+    val relax = state.join(e, col("node") === col("src"))
+      .select(col("seed"), col("dst").as("node"),
+        (col("dist") + col("w")).as("dist"),
+        lit(null).cast("long").as("__prevc"))
+    state.select(col("seed"), col("node"), col("dist"),
+        col("dist").as("__prevc"))
+      .unionByName(relax)
+      .groupBy("seed", "node")
+      .agg(min("dist").as("dist"), min("__prevc").as("__prev"))
+      .withColumn("__k", Guards.constKey(col("node")))
+      .join(broadcast(census), "__k")
+      .select(col("seed"), col("node"), col("dist"), col("__prev"),
+        col("__delta"))
   }
 }

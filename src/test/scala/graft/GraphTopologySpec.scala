@@ -146,4 +146,35 @@ class GraphTopologySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("b" -> 0L, "c" -> 1L, "d" -> 2L))
   }
+
+  test("sssp with no matching seed converges empty on round one") {
+    val st = Graph.sssp(wedges(wfix: _*), _ => lit(false))
+    assert(st.count() === 0L)
+  }
+
+  test("ssspPerSeed keeps each seed's own distance field") {
+    val got = Graph.ssspPerSeed(wedges(wfix: _*),
+        n => n === "s" || n === "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // seed s: full single-source answer; seed b: its directed cone —
+    // each (seed, node) cell independent, NOT the min over seeds
+    assert(got === Map(
+      ("s", "s") -> 0L, ("s", "a") -> 1L, ("s", "b") -> 3L,
+      ("s", "c") -> 4L, ("s", "d") -> 5L,
+      ("b", "b") -> 0L, ("b", "c") -> 1L, ("b", "d") -> 2L))
+    // per-seed slices equal the corresponding single-seed sssp runs
+    val single = Graph.sssp(wedges(wfix: _*), n => n === "s")
+      .collect().map(r => ("s", r.getString(0)) -> r.getLong(1)).toMap
+    assert(got.filter(_._1._1 == "s") === single)
+  }
+
+  test("ssspPerSeed rounds advance all frontiers at once") {
+    // the deepest seed (s, fixpoint depth 5) sets the round count; seed
+    // b's cone is shallower and just stops improving
+    val it = Graph.ssspPerSeed(wedges(wfix: _*),
+        n => n === "s" || n === "b")
+      .select("iters").head().getInt(0)
+    assert(it === 5)
+  }
 }
