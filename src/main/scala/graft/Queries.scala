@@ -8573,6 +8573,77 @@ object Queries {
       ORDER BY seed"""
     })
 
+  /** Dominant principal component of the embedding corpus
+    * ([[graft.operators.Pca]]) — the embedding-health readout: PC1's
+    * loadings plus its explained-variance share of trace(C) flag a
+    * collapsed embedding space (templated/duplicated content piles
+    * variance onto one direction). One corpus pass accumulates the
+    * 64×64 covariance (flatten + row-id self-join, map-side partial
+    * agg to 4096 groups — the shuffle carries O(dims²) rows per
+    * partition at any corpus size); 12 power-iteration rounds run on
+    * dims-scale frames under the decimal(38,12)
+    * round-sum-round regime, so the oracle replays covariance AND the
+    * full matvec/normalize recurrence as CTEs and hash-matches every
+    * loading on the 6-dp state grid. Fixed rounds from the exact-6-dp
+    * distinct start (1000+i)/8000 (the q123 fixed-iteration
+    * treatment — the round count IS the spec; see Pca.scala on why a
+    * uniform start is a cross-engine rounding trap). */
+  val q195PcaPower = Q(
+    "q195_pca_power",
+    (s, d) => {
+      val cov = graft.operators.Pca.covariance(embeddings(s, d),
+        "embedding", dims = 64)
+      graft.operators.Pca.powerIteration(cov, dims = 64, rounds = 12)
+        .orderBy("dim")
+    },
+    Some {
+      val rounds = 12
+      def sum12(x: String) =
+        s"round(CAST(sum(CAST(round($x, 12) AS DECIMAL(38,12))) AS DOUBLE), 12)"
+      // corpus-scale twin: exact fixed-point long sum, descaled
+      def sumF(x: String) =
+        s"CAST(sum(CAST(round(($x) * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12"
+      val iter = (1 to rounds).map { r =>
+        s"""w$r AS MATERIALIZED (
+          SELECT f.i, round(${sum12("f.c * v.val")}, 6) AS w
+          FROM cv f JOIN v${r - 1} v ON f.j = v.i GROUP BY f.i),
+        n$r AS MATERIALIZED (
+          SELECT round(sqrt(${sum12("w * w")}), 6) AS nm FROM w$r),
+        v$r AS MATERIALIZED (
+          SELECT i, round(w / nm, 6) AS val FROM w$r, n$r)"""
+      }.mkString(",\n      ")
+      s"""WITH vecs AS (
+        SELECT embedding FROM embeddings WHERE len(embedding) = 64),
+      mu AS MATERIALIZED (
+        SELECT i, round(${sumF("CAST(embedding[i] AS DOUBLE)")}
+                          / count(*), 6) AS mu
+        FROM vecs, generate_series(1, 64) g(i) GROUP BY i),
+      gram AS MATERIALIZED (
+        SELECT i, j,
+          round(${sumF(
+            "CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)")}
+                  / count(*), 6) AS g
+        FROM vecs, generate_series(1, 64) g1(i), generate_series(1, 64) g2(j)
+        GROUP BY i, j),
+      cv AS MATERIALIZED (
+        SELECT gram.i, gram.j,
+               round(g - round(m1.mu * m2.mu, 12), 6) AS c
+        FROM gram JOIN mu m1 ON gram.i = m1.i JOIN mu m2 ON gram.j = m2.i),
+      v0 AS (SELECT i, round((1000 + i) / CAST(8000 AS DOUBLE), 6) AS val
+             FROM generate_series(1, 64) g(i)),
+      $iter,
+      wf AS MATERIALIZED (
+        SELECT f.i, round(${sum12("f.c * v.val")}, 6) AS w
+        FROM cv f JOIN v$rounds v ON f.j = v.i GROUP BY f.i),
+      lam AS (SELECT round(${sum12("v.val * wf.w")}, 12) AS eigenvalue
+              FROM v$rounds v JOIN wf ON v.i = wf.i),
+      trc AS (SELECT round(${sum12("c")}, 12) AS trace FROM cv WHERE i = j)
+      SELECT v.i AS dim, v.val AS loading, lam.eigenvalue,
+             round(lam.eigenvalue / trc.trace, 6) AS explained_ratio
+      FROM v$rounds v, lam, trc
+      ORDER BY dim"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -8624,5 +8695,5 @@ object Queries {
     q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol,
     q185KmeansTol, q186IvfPartitioned, q187MergeUpsert, q188LpaTol,
     q189Compaction, q190TriangleCount, q191Kcore, q192Sssp,
-    q193IncrementalComponents, q194Closeness)
+    q193IncrementalComponents, q194Closeness, q195PcaPower)
 }
