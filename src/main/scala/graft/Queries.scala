@@ -8588,39 +8588,35 @@ object Queries {
     * distinct start (1000+i)/8000 (the q123 fixed-iteration
     * treatment — the round count IS the spec; see Pca.scala on why a
     * uniform start is a cross-engine rounding trap). */
-  val q195PcaPower = Q(
-    "q195_pca_power",
-    (s, d) => {
-      val cov = graft.operators.Pca.covariance(embeddings(s, d),
-        "embedding", dims = 64)
-      graft.operators.Pca.powerIteration(cov, dims = 64, rounds = 12)
-        .orderBy("dim")
-    },
-    Some {
-      val rounds = 12
-      def sum12(x: String) =
-        s"round(CAST(sum(CAST(round($x, 12) AS DECIMAL(38,12))) AS DOUBLE), 12)"
-      // corpus-scale twin: exact fixed-point long sum, descaled
-      def sumF(x: String) =
-        s"CAST(sum(CAST(round(($x) * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12"
-      val iter = (1 to rounds).map { r =>
-        s"""w$r AS MATERIALIZED (
-          SELECT f.i, round(${sum12("f.c * v.val")}, 6) AS w
+  private def oSum12(x: String) =
+    s"round(CAST(sum(CAST(round($x, 12) AS DECIMAL(38,12))) AS DOUBLE), 12)"
+  // corpus-scale twin: exact fixed-point long sum, descaled
+  private def oSumF(x: String) =
+    s"CAST(sum(CAST(round(($x) * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12"
+
+  /** The PCA recurrence as oracle CTEs, through `v$rounds` (the final
+    * unit loadings) — shared by q195 (loadings readout) and q196
+    * (projection rollup). Mirrors [[graft.operators.Pca]] clause for
+    * clause. */
+  private def pcaCtes(rounds: Int): String = {
+    val iter = (1 to rounds).map { r =>
+      s"""w$r AS MATERIALIZED (
+          SELECT f.i, round(${oSum12("f.c * v.val")}, 6) AS w
           FROM cv f JOIN v${r - 1} v ON f.j = v.i GROUP BY f.i),
         n$r AS MATERIALIZED (
-          SELECT round(sqrt(${sum12("w * w")}), 6) AS nm FROM w$r),
+          SELECT round(sqrt(${oSum12("w * w")}), 6) AS nm FROM w$r),
         v$r AS MATERIALIZED (
           SELECT i, round(w / nm, 6) AS val FROM w$r, n$r)"""
-      }.mkString(",\n      ")
-      s"""WITH vecs AS (
+    }.mkString(",\n      ")
+    s"""vecs AS (
         SELECT embedding FROM embeddings WHERE len(embedding) = 64),
       mu AS MATERIALIZED (
-        SELECT i, round(${sumF("CAST(embedding[i] AS DOUBLE)")}
+        SELECT i, round(${oSumF("CAST(embedding[i] AS DOUBLE)")}
                           / count(*), 6) AS mu
         FROM vecs, generate_series(1, 64) g(i) GROUP BY i),
       gram AS MATERIALIZED (
         SELECT i, j,
-          round(${sumF(
+          round(${oSumF(
             "CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)")}
                   / count(*), 6) AS g
         FROM vecs, generate_series(1, 64) g1(i), generate_series(1, 64) g2(j)
@@ -8631,17 +8627,78 @@ object Queries {
         FROM gram JOIN mu m1 ON gram.i = m1.i JOIN mu m2 ON gram.j = m2.i),
       v0 AS (SELECT i, round((1000 + i) / CAST(8000 AS DOUBLE), 6) AS val
              FROM generate_series(1, 64) g(i)),
-      $iter,
+      $iter"""
+  }
+
+  val q195PcaPower = Q(
+    "q195_pca_power",
+    (s, d) => {
+      val cov = graft.operators.Pca.covariance(embeddings(s, d),
+        "embedding", dims = 64)
+      graft.operators.Pca.powerIteration(cov, dims = 64, rounds = 12)
+        .orderBy("dim")
+    },
+    Some {
+      val rounds = 12
+      s"""WITH ${pcaCtes(rounds)},
       wf AS MATERIALIZED (
-        SELECT f.i, round(${sum12("f.c * v.val")}, 6) AS w
+        SELECT f.i, round(${oSum12("f.c * v.val")}, 6) AS w
         FROM cv f JOIN v$rounds v ON f.j = v.i GROUP BY f.i),
-      lam AS (SELECT round(${sum12("v.val * wf.w")}, 12) AS eigenvalue
+      lam AS (SELECT round(${oSum12("v.val * wf.w")}, 12) AS eigenvalue
               FROM v$rounds v JOIN wf ON v.i = wf.i),
-      trc AS (SELECT round(${sum12("c")}, 12) AS trace FROM cv WHERE i = j)
+      trc AS (SELECT round(${oSum12("c")}, 12) AS trace FROM cv WHERE i = j)
       SELECT v.i AS dim, v.val AS loading, lam.eigenvalue,
              round(lam.eigenvalue / trc.trace, 6) AS explained_ratio
       FROM v$rounds v, lam, trc
       ORDER BY dim"""
+    })
+
+  /** PC1 projection rollup by label — PCA in USE: every embedding
+    * scored against the dominant component from q195's recurrence
+    * (the collect is 64 doubles — config-scale, the centroid/codebook
+    * precedent), then a per-label distribution readout (count, mean,
+    * min, max of the 6-dp score). The scoring pass is MAP-ONLY — a
+    * zip_with/aggregate fold against the literal loading vector, no
+    * shuffle until the label rollup's bounded groupBy — so at corpus
+    * scale this is one pass + a dims-bounded aggregate. Mean rides the
+    * fixed-point long sum (scores are 6-dp, so ×1e12 is exact). The
+    * oracle replays the full recurrence (shared CTEs) and the
+    * projection; Spark folds the dot product in array order while the
+    * oracle sums per-dim rows — a ≤1e-16 association difference
+    * attenuated far below the 6-dp output grid. */
+  val q196PcaProject = Q(
+    "q196_pca_project",
+    (s, d) => {
+      val cov = graft.operators.Pca.covariance(embeddings(s, d),
+        "embedding", dims = 64)
+      val pc = graft.operators.Pca.powerIteration(cov, dims = 64,
+          rounds = 12)
+        .orderBy("dim").collect()
+      val loadings = pc.map(_.getDouble(1)).toIndexedSeq
+      graft.operators.Pca.project(embeddings(s, d), "embedding", loadings)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("score") * lit(1e12), 0).cast("long"))
+            .cast("double") / lit(1e12) / count(lit(1)), 6).as("mean_score"),
+          min("score").as("min_score"), max("score").as("max_score"))
+        .orderBy("label")
+    },
+    Some {
+      val rounds = 12
+      s"""WITH ${pcaCtes(rounds)},
+      proj AS MATERIALIZED (
+        SELECT e.vec_id, e.label,
+               round(sum(CAST(e.embedding[g.i] AS DOUBLE) * v.val), 6) AS score
+        FROM embeddings e, generate_series(1, 64) g(i)
+        JOIN v$rounds v ON v.i = g.i
+        WHERE len(e.embedding) = 64
+        GROUP BY e.vec_id, e.label)
+      SELECT label, count(*) AS n,
+             round(${oSumF("score")} / count(*), 6) AS mean_score,
+             min(score) AS min_score, max(score) AS max_score
+      FROM proj
+      GROUP BY label
+      ORDER BY label"""
     })
 
   /** All queries in catalog order. */
@@ -8695,5 +8752,6 @@ object Queries {
     q180Zorder3, q181AnnRecall, q182PagerankTol, q183HitsTol, q184PprTol,
     q185KmeansTol, q186IvfPartitioned, q187MergeUpsert, q188LpaTol,
     q189Compaction, q190TriangleCount, q191Kcore, q192Sssp,
-    q193IncrementalComponents, q194Closeness, q195PcaPower)
+    q193IncrementalComponents, q194Closeness, q195PcaPower,
+    q196PcaProject)
 }

@@ -121,6 +121,24 @@ object Pca {
     * defined function of (cov, rounds).
     * Every frame in the loop is dims-scale; `localCheckpoint` per
     * round keeps the plan flat. */
+  /** Map-only projection of every vector onto a literal component:
+    * adds a 6-dp `score` column (the dot product, folded in array
+    * order — deterministic by construction). The loadings are
+    * config-scale literals (the centroid/codebook convention), so the
+    * scoring pass is one scan with zero shuffles — the shape that
+    * holds at any corpus size. Vectors of the wrong length are
+    * dropped, matching [[covariance]]. */
+  def project(emb: DataFrame, vecCol: String,
+              loadings: Seq[Double]): DataFrame = {
+    require(loadings.nonEmpty, "project needs a non-empty component")
+    val lits = array(loadings.map(lit): _*)
+    emb.where(size(col(vecCol)) === loadings.size)
+      .withColumn("score", round(aggregate(
+        zip_with(col(vecCol), lits,
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, e) => acc + e), 6))
+  }
+
   def powerIteration(cov: DataFrame, dims: Int, rounds: Int): DataFrame = {
     require(dims >= 1 && rounds >= 1,
       "powerIteration needs dims >= 1 and rounds >= 1")

@@ -53,6 +53,17 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(got(0).getDouble(3) - 1.0) < 1e-5)
   }
 
+  test("project scores are the hand-computed 6-dp dot products") {
+    val df = Seq((1L, Array(1f, 2f)), (2L, Array(-0.5f, 0.25f)),
+        (3L, Array(9f)) /* wrong length: dropped */)
+      .toDF("id", "embedding")
+    val got = Pca.project(df, "embedding", Seq(0.3, -0.2))
+      .select("id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 1*0.3 + 2*(-0.2) = -0.1; -0.5*0.3 + 0.25*(-0.2) = -0.2
+    assert(got === Map(1L -> -0.1, 2L -> -0.2))
+  }
+
   test("the full pipeline is run-to-run deterministic") {
     val df = Seq.tabulate(40) { k =>
       Array.tabulate(4)(j => ((k * 7 + j * 3) % 11 - 5).toFloat / 10f)
