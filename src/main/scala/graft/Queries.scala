@@ -8701,6 +8701,115 @@ object Queries {
       ORDER BY label"""
     })
 
+  /** The q197 feature frame, Spark side — text-shape features on the
+    * 6-dp grid plus the curated-source label, mirrored word for word by
+    * [[logregFeaturesSql]]. Guards (coalesce on text / n_chars) are
+    * engine-portable; every division re-grids at 6 dp. */
+  private def logregFeatures(s: SparkSession, d: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val nc = coalesce(col("n_chars"), lit(0L))
+    val tok = size(split(t, " ", -1))
+    val lt = length(t)
+    documents(s, d).select(
+      when(col("source") === "src0", lit(1.0)).otherwise(lit(0.0)).as("y"),
+      lit(1.0).as("x1"),
+      round(log(nc + lit(1L)) / lit(10.0), 6).as("x2"),
+      round(tok / lit(100.0), 6).as("x3"),
+      round(nc / (lit(10.0) * tok), 6).as("x4"),
+      round((lt - length(regexp_replace(t, "e", ""))) /
+        greatest(lt, lit(1)), 6).as("x5"))
+  }
+
+  private val logregFeaturesSql = """f AS MATERIALIZED (
+        SELECT CASE WHEN source = 'src0' THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS y,
+          CAST(1.0 AS DOUBLE) AS x1,
+          round(ln(coalesce(n_chars, 0) + 1) / 10.0, 6) AS x2,
+          round(len(string_split(coalesce(text, ''), ' ')) / 100.0, 6) AS x3,
+          round(coalesce(n_chars, 0)
+            / (10.0 * len(string_split(coalesce(text, ''), ' '))), 6) AS x4,
+          round((length(coalesce(text, ''))
+              - length(replace(coalesce(text, ''), 'e', '')))
+            / greatest(length(coalesce(text, '')), 1), 6) AS x5
+        FROM documents)"""
+
+  /** One full-batch GD round as oracle CTEs — [[graft.operators.LogReg
+    * .train]] clause for clause: score with round r−1's weights (the
+    * identical left-associated dot-product chain), fixed-point-exact
+    * gradient and loss sums, and the gradient mean rounded at FIVE
+    * decimals so the lr = 0.5 step is an exact 6-dp decimal and the
+    * weight update lands ON the grid — never on its half-boundary
+    * (LogReg.train on why 6-dp gradients are a systematic cross-engine
+    * tie). The round count is a hyperparameter, so the unroll is
+    * UNGATED (the q123 fixed-iteration treatment — no fixed-point
+    * pass-through needed). */
+  private def logregRoundSql(r: Int): String = {
+    val p = r - 1
+    val dot = (1 to 5).map(i => s"w.w$i*f.x$i").mkString(" + ")
+    val sc = "greatest(least(s, CAST(0.999999 AS DOUBLE)), " +
+      "CAST(0.000001 AS DOUBLE))"
+    s"""
+      z$r AS (
+        SELECT f.y, ${(1 to 5).map(i => s"f.x$i").mkString(", ")},
+          round(1.0/(1.0 + exp(-round($dot, 6))), 6) AS s
+        FROM f CROSS JOIN w$p w),
+      g$r AS (
+        SELECT ${(1 to 5).map(i =>
+            s"${oSumF(s"(s - y) * x$i")} AS g$i").mkString(",\n          ")},
+          ${oSumF(s"round(-(y*ln($sc) + (1.0-y)*ln(1.0-$sc)), 6)")} AS lsum,
+          count(*) AS n
+        FROM z$r),
+      w$r AS (
+        SELECT ${(1 to 5).map(i =>
+            s"round(w.w$i - 0.5*round(g.g$i/g.n, 5), 6) AS w$i")
+            .mkString(",\n          ")},
+          round(g.lsum/g.n, 6) AS loss
+        FROM w$p w CROSS JOIN g$r g)"""
+  }
+
+  /** Quality-classifier training — distributed logistic regression by
+    * full-batch gradient descent ([[graft.operators.LogReg]]): the
+    * GPT-3-style curated-vs-crawl filter (Brown et al. 2020 §A —
+    * positives from a curated source, a linear model over cheap text
+    * features, score the crawl). Features are map-only text-shape
+    * metrics on the 6-dp grid (log-length, token count, mean token
+    * length, letter-frequency ratio, bias); each of the 8 GD rounds is
+    * ONE corpus pass partial-aggregated map-side to a single row
+    * (5 gradient components + loss + n) with the weights as literals —
+    * the model never joins, never shuffles more than O(dims) values
+    * per partition, and stays in whole-stage codegen at any corpus
+    * size. The oracle unrolls all 8 rounds ungated and replays feature
+    * construction, the σ/gradient arithmetic and the HALF-UP driver
+    * updates exactly — weights, final loss and round count all ride
+    * the hash gate. Returns one row per feature. */
+  val q197LogregQuality = Q(
+    "q197_logreg_quality",
+    (s, d) => {
+      import s.implicits._
+      // feature pass is cheap but feeds 8 aggregation rounds — stage it
+      // once (the LogReg.train contract: caller owns caching)
+      val feats = logregFeatures(s, d).localCheckpoint()
+      val names = Seq("bias", "log_len", "tok_cnt", "tok_len", "e_ratio")
+      val fit = LogReg.train(feats, Seq("x1", "x2", "x3", "x4", "x5"),
+        "y", rounds = 8, lr = 0.5)
+      names.zip(fit.weights).toDF("feature", "weight")
+        .withColumn("final_loss", lit(fit.lossTrace.last))
+        .withColumn("rounds", lit(8))
+    },
+    Some {
+      val names = Seq("bias", "log_len", "tok_cnt", "tok_len", "e_ratio")
+      val tail = names.zipWithIndex.map { case (nm, i) =>
+        s"SELECT '$nm' AS feature, w${i + 1} AS weight, " +
+          s"loss AS final_loss, 8 AS rounds FROM w8"
+      }.mkString("\n      UNION ALL ")
+      s"""WITH $logregFeaturesSql,
+      w0 AS (SELECT ${(1 to 5).map(i =>
+          s"CAST(0 AS DOUBLE) AS w$i").mkString(", ")},
+        CAST(NULL AS DOUBLE) AS loss),
+      ${(1 to 8).map(logregRoundSql).mkString(",\n      ")}
+      $tail"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -8753,5 +8862,5 @@ object Queries {
     q185KmeansTol, q186IvfPartitioned, q187MergeUpsert, q188LpaTol,
     q189Compaction, q190TriangleCount, q191Kcore, q192Sssp,
     q193IncrementalComponents, q194Closeness, q195PcaPower,
-    q196PcaProject)
+    q196PcaProject, q197LogregQuality)
 }
