@@ -8810,6 +8810,85 @@ object Queries {
       $tail"""
     })
 
+  /** Duplicate-cluster canonicalization — the DECISION step that turns
+    * dedup signals into a kept/dropped corpus: MinHash-LSH candidate
+    * pairs (q27's generator) → connected components (q78's min-label
+    * fixed point) → keep the highest-QUALITY member per cluster
+    * (q23's composite score; ties to the smallest doc_id), not the
+    * smallest-id member q78 keeps — the production rule when near-dups
+    * differ in cleanliness (Penedo et al. 2024 keep-best convention).
+    * Docs with no candidate pair are their own singleton cluster via a
+    * left join + coalesce, so the output is a decision for EVERY doc.
+    * Scale shape: candidate generation stays banded-equi-join, quality
+    * is expression-only (map-side, no explode shuffle), the argmax is
+    * one struct-max groupBy re-joined on the cluster key — every
+    * shuffle is keyed, nothing is quadratic. The oracle replays the
+    * identical pair set, closure, quality formula and (quality,
+    * −doc_id) struct order. */
+  val q198DedupCanonical = Q(
+    "q198_dedup_canonical",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 32, numBands = 8, threshold = 0.5)
+      val comp = Dedup.connectedComponents(pairs)
+      val scored = docs.select(col("doc_id"),
+        Text.qualityScore(col("text"), stopwords).as("quality"))
+      val labeled = scored.join(
+          comp.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"),
+          col("quality"))
+      val best = labeled.groupBy("cluster")
+        .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("ni")))
+          .as("best"), count(lit(1)).as("n_members"))
+      labeled.join(best, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("quality"),
+          (col("doc_id") === -col("best").getField("ni")).as("keep"),
+          col("n_members"))
+    },
+    Some(minhashPairsSql +
+      """,
+      p AS (
+        SELECT id1, id2 FROM cand
+        WHERE len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 >= 0.5),
+      e AS (SELECT id1 AS u, id2 AS v FROM p
+            UNION SELECT id2, id1 FROM p),
+      reach(u, v) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+      tq AS (
+        SELECT doc_id, text,
+          CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+          END AS toks
+        FROM documents),
+      q AS (
+        SELECT doc_id,
+          round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+            * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+                ELSE 0.0 END) * 5.0)
+            * least((CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'in'))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END) * 5.0, 1.0), 6) AS quality
+        FROM tq),
+      lab AS (
+        SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS cluster, q.quality
+        FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id),
+      b AS (
+        SELECT cluster,
+          max(struct_pack(q := quality, ni := -doc_id)) AS best,
+          count(*) AS n_members
+        FROM lab GROUP BY cluster)
+      SELECT l.doc_id, l.cluster, l.quality,
+        l.doc_id = -(b.best.ni) AS keep, b.n_members
+      FROM lab l JOIN b USING (cluster)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -8862,5 +8941,5 @@ object Queries {
     q185KmeansTol, q186IvfPartitioned, q187MergeUpsert, q188LpaTol,
     q189Compaction, q190TriangleCount, q191Kcore, q192Sssp,
     q193IncrementalComponents, q194Closeness, q195PcaPower,
-    q196PcaProject, q197LogregQuality)
+    q196PcaProject, q197LogregQuality, q198DedupCanonical)
 }
