@@ -8889,6 +8889,87 @@ object Queries {
         l.doc_id = -(b.best.ni) AS keep, b.n_members
       FROM lab l JOIN b USING (cluster)"""))
 
+  /** One forward Brandes BFS round as oracle CTEs: expand the hop-(r−1)
+    * frontier through the edge set, sum σ over predecessors, anti-join
+    * already-settled (seed, node) pairs. Monotone and idempotent past
+    * the reached depth, so the unroll is UNGATED (the q192 treatment). */
+  private def betwForwardSql(r: Int): String = {
+    val p = r - 1
+    s"""b$r AS MATERIALIZED (
+        SELECT seed, node, hop, sigma FROM b$p
+        UNION ALL
+        SELECT s.seed, e.dst AS node, $r AS hop,
+               CAST(sum(s.sigma) AS BIGINT) AS sigma
+        FROM b$p s JOIN ue e ON s.node = e.src AND s.hop = ${r - 1}
+        LEFT JOIN b$p x ON x.seed = s.seed AND x.node = e.dst
+        WHERE x.node IS NULL
+        GROUP BY s.seed, e.dst)"""
+  }
+
+  /** One backward Brandes level as oracle CTEs: hop-(h+1) dependencies
+    * are final, push (σv/σw)·(1+δw) down one level, re-grid at 6 dp.
+    * Levels above the reached depth are structural no-ops. */
+  private def betwBackwardSql(h: Int): String = {
+    val u = h + 1
+    s"""dd$h AS MATERIALIZED (
+        SELECT s.seed, s.node, s.hop, s.sigma,
+          CASE WHEN s.hop = $h THEN round(COALESCE(c.ds, CAST(0 AS DOUBLE)), 6)
+               ELSE s.delta END AS delta
+        FROM dd$u s LEFT JOIN (
+          SELECT v.seed, v.node,
+            CAST(sum(CAST(round((CAST(v.sigma AS DOUBLE) / w.sigma)
+              * (CAST(1.0 AS DOUBLE) + w.delta), 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS ds
+          FROM dd$u w
+          JOIN ue e ON w.node = e.dst AND w.hop = $u
+          JOIN dd$u v ON v.seed = w.seed AND v.node = e.src AND v.hop = $h
+          GROUP BY v.seed, v.node) c
+        ON c.seed = s.seed AND c.node = s.node)"""
+  }
+
+  /** Sampled hop-limited betweenness centrality
+    * ([[graft.graph.Graph.betweennessSampled]], Brandes 2001 /
+    * Brandes & Pich 2007 pivots) over the UNWEIGHTED co-purchase
+    * graph — the bridge-node readout completing the centrality tier
+    * (degree → q123 rank → q194 closeness → betweenness). Same q194
+    * seed set (every 97th part below 2000, size-bounded by
+    * construction); paths capped at 6 hops, which bounds rounds, σ
+    * magnitude AND the oracle's unroll. Forward: per-seed BFS with
+    * exact BIGINT path counts, all seeds advancing in the same rounds.
+    * Backward: dependency accumulation level by level under the
+    * decimal(38,12) round-sum-round regime. The oracle unrolls 6
+    * forward + 5 backward rounds ungated and hash-matches every 6-dp
+    * dependency. */
+  val q199Betweenness = Q(
+    "q199_betweenness",
+    (s, d) =>
+      graft.graph.Graph.betweennessSampled(
+        coOrderWeighted(s, d).select("src", "dst"),
+        n => n % 97 === 0 && n < 2000, maxHops = 6),
+    Some {
+      val maxHops = 6
+      val fwd = (1 to maxHops).map(betwForwardSql).mkString(",\n      ")
+      val bwd = (maxHops - 1 to 1 by -1).map(betwBackwardSql)
+        .mkString(",\n      ")
+      s"""WITH $coOrderWeightedSql,
+      ue AS MATERIALIZED (SELECT src, dst FROM we),
+      b0 AS MATERIALIZED (
+        SELECT node AS seed, node, 0 AS hop, CAST(1 AS BIGINT) AS sigma
+        FROM (SELECT DISTINCT src AS node FROM ue)
+        WHERE node % 97 = 0 AND node < 2000),
+      $fwd,
+      dd$maxHops AS MATERIALIZED (
+        SELECT seed, node, hop, sigma, CAST(0 AS DOUBLE) AS delta
+        FROM b$maxHops),
+      $bwd
+      SELECT node, betweenness FROM (
+        SELECT node,
+          round(CAST(sum(CAST(round(delta, 12) AS DECIMAL(38,12)))
+            AS DOUBLE), 6) AS betweenness
+        FROM dd1 WHERE hop > 0 GROUP BY node)
+      WHERE betweenness > 0"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -8941,5 +9022,6 @@ object Queries {
     q185KmeansTol, q186IvfPartitioned, q187MergeUpsert, q188LpaTol,
     q189Compaction, q190TriangleCount, q191Kcore, q192Sssp,
     q193IncrementalComponents, q194Closeness, q195PcaPower,
-    q196PcaProject, q197LogregQuality, q198DedupCanonical)
+    q196PcaProject, q197LogregQuality, q198DedupCanonical,
+    q199Betweenness)
 }

@@ -973,6 +973,95 @@ object Graph {
       .select(col("node"), col("dist"), col("__prev"), col("__delta"))
   }
 
+  /** Sampled betweenness centrality (Brandes 2001; sampled-pivot
+    * estimation per Brandes & Pich 2007) over an UNWEIGHTED directed
+    * edge frame — the "bridge node" readout that closeness (q194)
+    * cannot see: a node all shortest paths squeeze through scores high
+    * here even when it is far from everything. Hop-limited: only
+    * shortest paths of ≤ `maxHops` hops contribute (the k-betweenness
+    * variant) — the cap is what bounds BOTH the round count and the
+    * σ path counts, and makes a fixed SQL unroll total.
+    *
+    * Two phases, both rounds of keyed equi-joins (the [[pageRank]]
+    * cost shape; src-bucketed edges make the forward side
+    * exchange-free at scale):
+    *  - FORWARD: per-seed BFS with path counting. State is settled
+    *    (seed, node, hop, σ) — σ the exact BIGINT number of shortest
+    *    paths; each round expands the hop-h frontier through the edge
+    *    set, sums σ over predecessors, and anti-joins already-settled
+    *    pairs. k seeds advance in the SAME rounds ([[ssspPerSeed]]'s
+    *    transport), so rounds = min(reached depth, maxHops), not
+    *    k × depth.
+    *  - BACKWARD: Brandes dependency accumulation by DESCENDING hop
+    *    level: δ(v) = Σ_{w succ, hop(w)=hop(v)+1} (σv/σw)·(1+δ(w)).
+    *    Level h's δ is final when computed (all deeper levels done),
+    *    so each level is one join + one aggregation. Levels above the
+    *    reached depth are structural no-ops, so the loop (and the
+    *    oracle's unroll) runs maxHops−1 … 1 unconditionally.
+    *
+    * Determinism: σ is exact integer; δ addends are one IEEE division
+    * + one multiply of 6-dp-grid values rounded at 12 dp and summed as
+    * exact DECIMAL(38,12); δ re-grids at 6 dp per level — the [[Pca]]
+    * regime, so the oracle replays every level bit-for-bit. Returns
+    * (node, betweenness) for nodes with positive score (hop-0 seed
+    * self-rows excluded — a seed still scores via OTHER seeds' trees).
+    */
+  def betweennessSampled(edges: DataFrame, isSource: Column => Column,
+                         maxHops: Int,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 2, "betweennessSampled needs maxHops >= 2")
+    withDurable(edges, checkpointDir) { durable =>
+    val e = cut(edges.select(col("src"), col("dst")).distinct(), durable)
+    val ret = new Retention
+    var settled = cut(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+        .where(isSource(col("node")))
+        .select(col("node").as("seed"), col("node"),
+          lit(0).as("hop"), lit(1L).as("sigma")), durable, ret)
+    var h = 0
+    var growing = true
+    while (growing && h < maxHops) {
+      val frontier = settled.where(col("hop") === h)
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum("sigma").as("sigma"))
+      val fresh = cand.join(settled, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h + 1).as("hop"), col("sigma"))
+      settled = cut(settled.unionByName(fresh), durable, ret)
+      growing = settled.where(col("hop") === h + 1).limit(1).count() > 0
+      h += 1
+    }
+    val sumDec12 = (c: Column) =>
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+    var delta = cut(settled.withColumn("delta", lit(0.0)), durable, ret)
+    var lv = maxHops - 1
+    while (lv >= 1) {
+      // successors at hop lv+1 are FINAL; push their dependency down one
+      // level through the edge set and re-grid at 6 dp
+      val up = delta.where(col("hop") === lv + 1).alias("w")
+      val contrib = up.join(e, col("w.node") === e("dst"))
+        .select(col("w.seed").as("seed"), col("src").as("node"),
+          col("w.sigma").as("sw"), col("w.delta").as("dw"))
+      val down = delta.where(col("hop") === lv)
+      val dsum = down.join(contrib, Seq("seed", "node"))
+        .groupBy(col("seed"), col("node"))
+        .agg(round(sumDec12(
+          (col("sigma").cast("double") / col("sw")) *
+            (lit(1.0) + col("dw"))), 6).as("dnew"))
+      delta = cut(delta.where(col("hop") =!= lv).unionByName(
+        down.drop("delta").join(dsum, Seq("seed", "node"), "left")
+          .select(col("seed"), col("node"), col("hop"), col("sigma"),
+            coalesce(col("dnew"), lit(0.0)).as("delta"))), durable, ret)
+      lv -= 1
+    }
+    delta.where(col("hop") > 0)
+      .groupBy("node")
+      .agg(round(sumDec12(col("delta")), 6).as("betweenness"))
+      .where(col("betweenness") > 0)
+    }
+  }
+
   /** [[sssp]] with PER-SEED provenance — state keyed (seed, node), so
     * the output carries every seed's own distance field instead of the
     * min over seeds. This is the transport for sampled centrality

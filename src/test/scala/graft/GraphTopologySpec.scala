@@ -177,4 +177,41 @@ class GraphTopologySpec extends SparkSpec {
       .select("iters").head().getInt(0)
     assert(it === 5)
   }
+
+  private def betw(pairs: Seq[(String, String)], maxHops: Int = 6)
+      : Map[String, Double] = {
+    // undirected: feed both directions, all nodes as seeds
+    val und = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    Graph.betweennessSampled(edges(und: _*), _ => lit(true), maxHops)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("betweenness: path graph loads the middle node only") {
+    // 1-2-3: from each endpoint, node 2 carries the one shortest path to
+    // the far side (delta 1); endpoints never intermediate -> absent
+    assert(betw(Seq("1" -> "2", "2" -> "3")) === Map("2" -> 2.0))
+  }
+
+  test("betweenness: diamond splits dependency over equal paths") {
+    // 1-2-4, 1-3-4: two shortest 1→4 paths, sigma(4)=2, so each middle
+    // node gets delta 0.5 from each endpoint seed -> 1.0 total; 1 and 4
+    // never sit INSIDE a shortest path (2-4-3 is longer via 4? no:
+    // 2-1-3 and 2-4-3 are both length 2, sigma=2, each of 1 and 4 gets
+    // 0.5 from seed 2 and 0.5 from seed 3 -> 1.0 as well
+    assert(betw(Seq("1" -> "2", "1" -> "3", "2" -> "4", "3" -> "4")) ===
+      Map("1" -> 1.0, "2" -> 1.0, "3" -> 1.0, "4" -> 1.0))
+  }
+
+  test("betweenness: star centre carries every pair; hop cap truncates") {
+    // star c-{a,b,d}: every leaf pair's only path crosses c ->
+    // delta(c) = 2 per leaf seed (two other leaves), 6 total
+    val star = Seq("c" -> "a", "c" -> "b", "c" -> "d")
+    assert(betw(star) === Map("c" -> 6.0))
+    // maxHops = 2 keeps leaf-leaf paths (2 hops); on the 4-path
+    // a-b-c-d it cuts the 3-hop a↔d pairs — b keeps only a→c (from a)
+    // and c→a (from c), likewise c: 4.0 drops to 2.0 each
+    val path4 = Seq("a" -> "b", "b" -> "c", "c" -> "d")
+    assert(betw(path4) === Map("b" -> 4.0, "c" -> 4.0))
+    assert(betw(path4, maxHops = 2) === Map("b" -> 2.0, "c" -> 2.0))
+  }
 }
