@@ -8970,6 +8970,69 @@ object Queries {
       WHERE betweenness > 0"""
     })
 
+  /** Scalar int8 quantization of the embedding corpus
+    * ([[graft.operators.Quantization.sqTrain]]/`sqEncode` — FAISS
+    * ScalarQuantizer QT_8bit: one affine byte per dimension, 4× over
+    * float32, no codebook training) with the per-dimension error
+    * audit: range, reconstruction MSE, worst absolute error, and the
+    * clip census (codes pinned at 0/255). Train is ONE corpus
+    * aggregate partial-aggregated to 64 groups; ranges ship as
+    * literals so encode + reconstruct is a map-only projection — zero
+    * shuffles until the 64-group rollup, the shape that holds at any
+    * corpus size. Code rounding is floor(v + 0.5), not round(v, 0):
+    * x = hi lands EXACTLY on a code boundary for every dimension
+    * (structural, not rare) and the engines' integer-round tie
+    * conventions differ, while floor is the same IEEE op everywhere. */
+  val q200Sq8 = Q(
+    "q200_sq8",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val params = Quantization.sqTrain(emb, "embedding", 64)
+      val loA = array(params.map(p => lit(p._1)): _*)
+      val hiA = array(params.map(p => lit(p._2)): _*)
+      val ex = emb.where(size(col("embedding")) === 64)
+        .select(posexplode(col("embedding")).as(Seq("p", "xf")))
+        .select((col("p") + 1).as("i"), col("xf").cast("double").as("x"))
+        .withColumn("lo", element_at(loA, col("i")))
+        .withColumn("hi", element_at(hiA, col("i")))
+      val coded = ex
+        .withColumn("code",
+          Quantization.sqCodeExpr(col("x"), col("lo"), col("hi")))
+        .withColumn("err", col("x") -
+          Quantization.sqDecodeExpr(col("code"), col("lo"), col("hi")))
+      coded.groupBy("i").agg(
+        round(min("lo"), 6).as("lo"),
+        round(min("hi"), 6).as("hi"),
+        round(sum(round(col("err") * col("err") * lit(1e12), 0)
+            .cast("long")).cast("double") / lit(1e12) / count(lit(1)), 12)
+          .as("mse"),
+        max(round(abs(col("err")), 9)).as("max_abs_err"),
+        sum(when(col("code") === 0, 1).otherwise(0)).as("n_lo"),
+        sum(when(col("code") === 255, 1).otherwise(0)).as("n_hi"))
+    },
+    Some(s"""WITH ex AS MATERIALIZED (
+        SELECT g.i, CAST(e.embedding[g.i] AS DOUBLE) AS x
+        FROM embeddings e, generate_series(1, 64) g(i)
+        WHERE len(e.embedding) = 64),
+      mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ex GROUP BY i),
+      c AS (
+        SELECT ex.i, x, lo, hi,
+          CASE WHEN hi = lo THEN 0
+               ELSE CAST(greatest(least(
+                 floor((x - lo) * 255.0 / (hi - lo) + 0.5), 255.0), 0.0)
+                 AS INT) END AS code
+        FROM ex JOIN mm USING (i)),
+      r AS (
+        SELECT i, lo, hi, code,
+          x - (lo + CAST(code AS DOUBLE) * (hi - lo) / 255.0) AS err
+        FROM c)
+      SELECT i, round(min(lo), 6) AS lo, round(min(hi), 6) AS hi,
+        round(${oSumF("err * err")} / count(*), 12) AS mse,
+        max(round(abs(err), 9)) AS max_abs_err,
+        CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        CAST(sum(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+      FROM r GROUP BY i"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9023,5 +9086,5 @@ object Queries {
     q189Compaction, q190TriangleCount, q191Kcore, q192Sssp,
     q193IncrementalComponents, q194Closeness, q195PcaPower,
     q196PcaProject, q197LogregQuality, q198DedupCanonical,
-    q199Betweenness)
+    q199Betweenness, q200Sq8)
 }

@@ -161,4 +161,36 @@ class QuantizationSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq.sortBy(_._1)
     assert(fromIndex == direct && direct.size == 3)
   }
+
+  test("SQ8: hand-computed codes, endpoint pinning, degenerate dim") {
+    // dim1 range [0, 2]: x=1 -> 1*255/2 + 0.5 = 128.0 -> code 128;
+    // dim2 range [5, 5]: degenerate -> code 0 everywhere
+    val vecs = Seq(
+      (1L, Seq(0.0f, 5.0f)), (2L, Seq(2.0f, 5.0f)), (3L, Seq(1.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val params = Quantization.sqTrain(vecs, "embedding", 2)
+    assert(params === IndexedSeq((0.0, 2.0), (5.0, 5.0)))
+    val got = vecs.select(col("vec_id"),
+        Quantization.sqEncode(col("embedding"), params).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got === Map(1L -> Seq(0, 0), 2L -> Seq(255, 0), 3L -> Seq(128, 0)))
+  }
+
+  test("SQ8 reconstruction error is bounded by half a code step") {
+    val vecs = Seq(
+      (1L, Seq(-0.31f, 0.7f)), (2L, Seq(0.44f, -1.2f)),
+      (3L, Seq(0.09f, 0.33f)), (4L, Seq(-0.5f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val params = Quantization.sqTrain(vecs, "embedding", 2)
+    val errs = vecs.select(posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select((col("p") + 1).as("i"), col("xf").cast("double").as("x"))
+      .withColumn("lo", element_at(array(params.map(p => lit(p._1)): _*), col("i")))
+      .withColumn("hi", element_at(array(params.map(p => lit(p._2)): _*), col("i")))
+      .withColumn("code", Quantization.sqCodeExpr(col("x"), col("lo"), col("hi")))
+      .select(abs(col("x") -
+          Quantization.sqDecodeExpr(col("code"), col("lo"), col("hi"))).as("e"),
+        ((col("hi") - col("lo")) / 510.0).as("half_step"))
+      .as[(Double, Double)].collect()
+    assert(errs.nonEmpty && errs.forall { case (e, h) => e <= h + 1e-12 })
+  }
 }
