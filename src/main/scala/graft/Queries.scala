@@ -713,17 +713,19 @@ object Queries {
       FROM cand
       WHERE len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 >= 0.5"""))
 
-  /** The MinHash-LSH candidate CTE chain, shared by q27 and the
-    * connected-components query. Ends with `cand(id1, id2, m1, m2)`. */
-  private lazy val minhashPairsSql: String = {
+  /** The MinHash-LSH candidate CTE chain, shared by q27, the
+    * connected-components queries and the q201 composition (which runs
+    * it over a FILTERED relation). Ends with `cand(id1, id2, m1, m2)`;
+    * no leading WITH so callers can splice it into a larger chain. */
+  private def minhashCtesFrom(rel: String): String = {
       val minAggs = Dedup.hashCoeffs(32).zipWithIndex.map { case ((a, b), i) =>
         s"min((h0 * $a + $b) % 2147483647) AS m$i"
       }.mkString(",\n          ")
       val mhArr = (0 until 32).map(i => s"m$i").mkString("[", ", ", "]")
-      s"""WITH RECURSIVE t AS (
+      s"""t AS (
         SELECT doc_id,
           string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-        FROM documents),
+        FROM $rel),
       sh AS (
         SELECT doc_id,
           list_distinct(CASE WHEN len(toks) >= 3
@@ -750,6 +752,9 @@ object Queries {
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
   }
+
+  private lazy val minhashPairsSql: String =
+    "WITH RECURSIVE " + minhashCtesFrom("documents")
 
   /** SimHash near-dup candidates (chunk-banded hamming join). md5-derived
     * token hashes keep the 64 bit-majority sums engine-portable; the
@@ -9033,6 +9038,99 @@ object Queries {
         CAST(sum(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
       FROM r GROUP BY i"""))
 
+  /** Dedup-aware curation, end to end in ONE plan — the complement of
+    * q122's sweep (which has no dedup stage, the expensive one):
+    * quality-gate the corpus (q23's composite ≥ 0.15), then near-dup
+    * dedup the SURVIVORS — LSH pairs generated over the filtered frame
+    * (filter-before-dedup is the scale-right order: the quadratic-ish
+    * stage sees only what passed the cheap map-only gate) — keeping the
+    * best-quality member per component (q198's rule), and report the
+    * per-source attrition ledger: docs in, quality drops, duplicate
+    * drops, kept docs, kept token budget. This is the daily-run shape a
+    * training-corpus pipeline executes; every stage is an
+    * already-oracled operator and the oracle composes their SQL over
+    * the same filtered relation ([[minhashCtesFrom]]). */
+  val q201CurationDedup = Q(
+    "q201_curation_dedup",
+    (s, d) => {
+      val scored = documents(s, d).select(col("doc_id"), col("source"),
+        col("text"), Text.qualityScore(col("text"), stopwords).as("quality"))
+      val surv = scored.where(col("quality") >= 0.15)
+      val pairs = Dedup.minHashLshPairs(surv, "doc_id", "text",
+        n = 3, numHashes = 32, numBands = 8, threshold = 0.5)
+      val comp = Dedup.connectedComponents(pairs)
+      val labeled = surv.join(
+          comp.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      val best = labeled.groupBy("cluster")
+        .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("ni")))
+          .as("best"))
+      val kd = labeled.join(best, Seq("cluster"))
+        .select(col("doc_id"),
+          (col("doc_id") === -col("best").getField("ni")).as("keep"))
+      scored.join(kd, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep").isNull, 1).otherwise(0)).as("n_lowq"),
+          sum(when(col("keep") === false, 1).otherwise(0)).as("n_dup_dropped"),
+          sum(when(col("keep") === true, 1).otherwise(0)).as("n_kept"),
+          sum(when(col("keep") === true,
+            Text.tokenCount(col("text")).cast("long")).otherwise(0L))
+            .as("kept_tokens"))
+    },
+    Some(s"""WITH RECURSIVE tq AS (
+        SELECT doc_id, text,
+          CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+          END AS toks
+        FROM documents),
+      q AS (
+        SELECT doc_id,
+          round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+            * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+                ELSE 0.0 END) * 5.0)
+            * least((CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'in'))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END) * 5.0, 1.0), 6) AS quality
+        FROM tq),
+      fdocs AS MATERIALIZED (
+        SELECT d.doc_id, d.text, q.quality
+        FROM documents d JOIN q USING (doc_id)
+        WHERE q.quality >= 0.15),
+      ${minhashCtesFrom("fdocs")},
+      p AS (
+        SELECT id1, id2 FROM cand
+        WHERE len(list_filter(range(1, 33), i -> m1[i] = m2[i])) / 32.0 >= 0.5),
+      e AS (SELECT id1 AS u, id2 AS v FROM p
+            UNION SELECT id2, id1 FROM p),
+      reach(u, v) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+      lab AS (
+        SELECT f.doc_id, COALESCE(c.component, f.doc_id) AS cluster, f.quality
+        FROM fdocs f LEFT JOIN comp c ON c.doc_id = f.doc_id),
+      b AS (
+        SELECT cluster, max(struct_pack(q := quality, ni := -doc_id)) AS best
+        FROM lab GROUP BY cluster),
+      kd AS (
+        SELECT l.doc_id, l.doc_id = -(b.best.ni) AS keep
+        FROM lab l JOIN b USING (cluster)),
+      tk AS ($duckToksSql)
+      SELECT d.source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN kd.keep IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq,
+        CAST(sum(CASE WHEN kd.keep = false THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+        CAST(sum(CASE WHEN kd.keep = true THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kd.keep = true THEN len(tk.toks) ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM documents d
+      LEFT JOIN kd ON kd.doc_id = d.doc_id
+      JOIN tk ON tk.doc_id = d.doc_id
+      GROUP BY d.source"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9086,5 +9184,5 @@ object Queries {
     q189Compaction, q190TriangleCount, q191Kcore, q192Sssp,
     q193IncrementalComponents, q194Closeness, q195PcaPower,
     q196PcaProject, q197LogregQuality, q198DedupCanonical,
-    q199Betweenness, q200Sq8)
+    q199Betweenness, q200Sq8, q201CurationDedup)
 }
