@@ -1008,10 +1008,16 @@ object Graph {
     */
   def betweennessSampled(edges: DataFrame, isSource: Column => Column,
                          maxHops: Int,
-                         checkpointDir: Option[String] = None): DataFrame = {
+                         checkpointDir: Option[String] = None,
+                         edgesPrepared: Boolean = false,
+                         edgesByDst: Option[DataFrame] = None): DataFrame = {
     require(maxHops >= 2, "betweennessSampled needs maxHops >= 2")
     withDurable(edges, checkpointDir) { durable =>
-    val e = cut(edges.select(col("src"), col("dst")).distinct(), durable)
+    // forward expands through e on src, backward pushes dependency back
+    // through eDst on dst — the HITS dual-copy cluster layout applies
+    // verbatim ([[hitsEdges]]: pass src- and dst-bucketed copies with
+    // edgesPrepared = true and both phases are edge-exchange-free)
+    val (e, eDst) = hitsEdges(edges, edgesByDst, edgesPrepared, durable)
     val ret = new Retention
     var settled = cut(
       e.select(col("src").as("node"))
@@ -1022,44 +1028,60 @@ object Graph {
     var h = 0
     var growing = true
     while (growing && h < maxHops) {
-      val frontier = settled.where(col("hop") === h)
-      val cand = frontier.join(e, frontier("node") === e("src"))
-        .groupBy(col("seed"), col("dst").as("node"))
-        .agg(sum("sigma").as("sigma"))
-      val fresh = cand.join(settled, Seq("seed", "node"), "left_anti")
-        .select(col("seed"), col("node"), lit(h + 1).as("hop"), col("sigma"))
-      settled = cut(settled.unionByName(fresh), durable, ret)
+      settled = cut(settled.unionByName(
+        betwForwardRound(settled, e, h)), durable, ret)
       growing = settled.where(col("hop") === h + 1).limit(1).count() > 0
       h += 1
     }
-    val sumDec12 = (c: Column) =>
-      sum(round(c, 12).cast("decimal(38,12)")).cast("double")
     var delta = cut(settled.withColumn("delta", lit(0.0)), durable, ret)
     var lv = maxHops - 1
     while (lv >= 1) {
-      // successors at hop lv+1 are FINAL; push their dependency down one
-      // level through the edge set and re-grid at 6 dp
-      val up = delta.where(col("hop") === lv + 1).alias("w")
-      val contrib = up.join(e, col("w.node") === e("dst"))
-        .select(col("w.seed").as("seed"), col("src").as("node"),
-          col("w.sigma").as("sw"), col("w.delta").as("dw"))
-      val down = delta.where(col("hop") === lv)
-      val dsum = down.join(contrib, Seq("seed", "node"))
-        .groupBy(col("seed"), col("node"))
-        .agg(round(sumDec12(
-          (col("sigma").cast("double") / col("sw")) *
-            (lit(1.0) + col("dw"))), 6).as("dnew"))
-      delta = cut(delta.where(col("hop") =!= lv).unionByName(
-        down.drop("delta").join(dsum, Seq("seed", "node"), "left")
-          .select(col("seed"), col("node"), col("hop"), col("sigma"),
-            coalesce(col("dnew"), lit(0.0)).as("delta"))), durable, ret)
+      delta = cut(betwBackwardLevel(delta, eDst, lv), durable, ret)
       lv -= 1
     }
     delta.where(col("hop") > 0)
       .groupBy("node")
-      .agg(round(sumDec12(col("delta")), 6).as("betweenness"))
+      .agg(round(betwSumDec12(col("delta")), 6).as("betweenness"))
       .where(col("betweenness") > 0)
     }
+  }
+
+  private def betwSumDec12(c: Column): Column =
+    sum(round(c, 12).cast("decimal(38,12)")).cast("double")
+
+  /** One forward Brandes round: expand the hop-`h` frontier through the
+    * edge set (exchange-free on the edge side when `e` is bucketed by
+    * src — [[GraphClusterPlanSpec]] locks it), sum σ over predecessors,
+    * anti-join already-settled pairs. Returns the NEW hop-(h+1) rows. */
+  private[graft] def betwForwardRound(settled: DataFrame, e: DataFrame,
+                                      h: Int): DataFrame = {
+    val frontier = settled.where(col("hop") === h)
+    val cand = frontier.join(e, frontier("node") === e("src"))
+      .groupBy(col("seed"), col("dst").as("node"))
+      .agg(sum("sigma").as("sigma"))
+    cand.join(settled, Seq("seed", "node"), "left_anti")
+      .select(col("seed"), col("node"), lit(h + 1).as("hop"), col("sigma"))
+  }
+
+  /** One backward Brandes level: hop-(lv+1) dependencies are FINAL —
+    * push (σv/σw)·(1+δw) down one level through `eDst` (exchange-free
+    * on the edge side when bucketed by dst) and re-grid at 6 dp. */
+  private[graft] def betwBackwardLevel(delta: DataFrame, eDst: DataFrame,
+                                       lv: Int): DataFrame = {
+    val up = delta.where(col("hop") === lv + 1).alias("w")
+    val contrib = up.join(eDst, col("w.node") === eDst("dst"))
+      .select(col("w.seed").as("seed"), col("src").as("node"),
+        col("w.sigma").as("sw"), col("w.delta").as("dw"))
+    val down = delta.where(col("hop") === lv)
+    val dsum = down.join(contrib, Seq("seed", "node"))
+      .groupBy(col("seed"), col("node"))
+      .agg(round(betwSumDec12(
+        (col("sigma").cast("double") / col("sw")) *
+          (lit(1.0) + col("dw"))), 6).as("dnew"))
+    delta.where(col("hop") =!= lv).unionByName(
+      down.drop("delta").join(dsum, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("hop"), col("sigma"),
+          coalesce(col("dnew"), lit(0.0)).as("delta")))
   }
 
   /** [[sssp]] with PER-SEED provenance — state keyed (seed, node), so

@@ -129,6 +129,43 @@ class GraphClusterPlanSpec extends SparkSpec {
     }
   }
 
+  test("betweenness phases over src-/dst-bucketed edges: zero edge-side exchanges + parity") {
+    val e = rawEdges.distinct()
+    Sinks.writeBucketed(e, "gcp_edges_bw_src", 4, "src")
+    Sinks.writeBucketed(e, "gcp_edges_bw_dst", 4, "dst")
+    try {
+      val eSrc = spark.table("gcp_edges_bw_src").select(col("src"), col("dst"))
+      val eDst = spark.table("gcp_edges_bw_dst").select(col("src"), col("dst"))
+      withPlanConf {
+        // forward round: frontier⋈edges on src reads the bucketed scan
+        // shuffle-free; backward level: contrib⋈edges on dst likewise
+        val settled = eSrc.select(col("src").as("seed"), col("src").as("node"),
+            lit(0).as("hop"), lit(1L).as("sigma")).distinct().localCheckpoint()
+        val fwd = Graph.betwForwardRound(settled, eSrc, 0)
+        val bwd = Graph.betwBackwardLevel(
+          settled.withColumn("delta", lit(0.0)), eDst, 0)
+        Seq("forward" -> fwd, "backward" -> bwd).foreach { case (nm, df) =>
+          val plan = df.queryExecution.executedPlan
+          val sides = edgeSides(plan)
+          assert(sides.nonEmpty, s"$nm: no shuffle join reads a bucketed scan:\n$plan")
+          sides.foreach(side => assert(shuffles(side).isEmpty,
+            s"$nm: edge side of the round join still shuffles:\n$side"))
+        }
+      }
+      // result parity: prepared dual-bucketed path == default path
+      def bw(df: DataFrame, prepared: Boolean, byDst: Option[DataFrame]) =
+        Graph.betweennessSampled(df, _ => lit(true), maxHops = 4,
+            edgesPrepared = prepared, edgesByDst = byDst)
+          .as[(String, Double)].collect().toMap
+      assert(bw(eSrc, prepared = true, Some(eDst)) ===
+        bw(rawEdges, prepared = false, None),
+        "bucketed betweenness diverged from the default path")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcp_edges_bw_src")
+      spark.sql("DROP TABLE IF EXISTS gcp_edges_bw_dst")
+    }
+  }
+
   test("bucketed/prepared pageRank hashes identically to the default path") {
     val e = rawEdges
     Sinks.writeBucketed(e.distinct(), "gcp_edges_par", 4, "src")
