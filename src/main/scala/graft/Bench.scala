@@ -301,6 +301,25 @@ object Bench {
           (dt, gcMs.get() - g0, (spillBytes.get() - s0) / 1048576.0)
         }
         spark.catalog.clearCache()
+        // gradient-tier probe: full-batch logistic-regression training
+        // (q197's op) over the SAME 10x corpus the dedup probe staged —
+        // 8 GD rounds, each one corpus pass partial-aggregated to a
+        // single row. The claim under test: per-round cost is the scan,
+        // the model never shuffles, so 10x data = ~10x scan time and
+        // nothing else grows.
+        val lSamples = (1 to 3).map { _ =>
+          drain()
+          val (g0, s0) = (gcMs.get(), spillBytes.get())
+          val it0 = System.nanoTime()
+          val feats = Queries.logregFeaturesOf(spark.read.parquet(dedupBase))
+            .localCheckpoint()
+          graft.operators.LogReg.train(feats,
+            Seq("x1", "x2", "x3", "x4", "x5"), "y", rounds = 8, lr = 0.5)
+          val dt = (System.nanoTime() - it0) / 1e9
+          drain()
+          (dt, gcMs.get() - g0, (spillBytes.get() - s0) / 1048576.0)
+        }
+        spark.catalog.clearCache()
         def entryJson(name: String, ss: Seq[(Double, Long, Double)],
             extra: String): String =
           "\"" + name + "\":{\"t\":[" + ss.map(s => r3(s._1)).mkString(",") +
@@ -313,6 +332,8 @@ object Bench {
             s"""\"setup_sec\":${r3(mergeSetup)},\"n_partitions\":$nParts,\"touched_partitions\":1""") +
           "," + entryJson("q86_dedup_sweep_10x", dSamples,
             s"""\"setup_sec\":${r3(dedupSetup)},\"doc_rows\":$docRows,\"copies\":$copies""") +
+          "," + entryJson("q197_logreg_10x", lSamples,
+            s"""\"doc_rows\":$docRows,\"rounds\":8""") +
           "}"
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe FAILED: $e")

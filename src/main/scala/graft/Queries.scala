@@ -8709,13 +8709,15 @@ object Queries {
   /** The q197 feature frame, Spark side — text-shape features on the
     * 6-dp grid plus the curated-source label, mirrored word for word by
     * [[logregFeaturesSql]]. Guards (coalesce on text / n_chars) are
-    * engine-portable; every division re-grids at 6 dp. */
-  private def logregFeatures(s: SparkSession, d: String): DataFrame = {
+    * engine-portable; every division re-grids at 6 dp. Takes any frame
+    * with (text, n_chars, source) — the bench's sf1 probe feeds it the
+    * 10× corpus. */
+  private[graft] def logregFeaturesOf(docs: DataFrame): DataFrame = {
     val t = coalesce(col("text"), lit(""))
     val nc = coalesce(col("n_chars"), lit(0L))
     val tok = size(split(t, " ", -1))
     val lt = length(t)
-    documents(s, d).select(
+    docs.select(
       when(col("source") === "src0", lit(1.0)).otherwise(lit(0.0)).as("y"),
       lit(1.0).as("x1"),
       round(log(nc + lit(1L)) / lit(10.0), 6).as("x2"),
@@ -8793,7 +8795,7 @@ object Queries {
       import s.implicits._
       // feature pass is cheap but feeds 8 aggregation rounds — stage it
       // once (the LogReg.train contract: caller owns caching)
-      val feats = logregFeatures(s, d).localCheckpoint()
+      val feats = logregFeaturesOf(documents(s, d)).localCheckpoint()
       val names = Seq("bias", "log_len", "tok_cnt", "tok_len", "e_ratio")
       val fit = LogReg.train(feats, Seq("x1", "x2", "x3", "x4", "x5"),
         "y", rounds = 8, lr = 0.5)
