@@ -9133,6 +9133,71 @@ object Queries {
       JOIN tk ON tk.doc_id = d.doc_id
       GROUP BY d.source"""))
 
+  /** One ANF round as oracle CTEs: every node's sketch absorbs its
+    * out-neighbors' sketches (UNION = the Spark distinct), the k
+    * smallest survive under one keyed window, and the hop's
+    * neighborhood-function row is the per-node KMV estimate summed as
+    * exact DECIMAL(38,4). */
+  private def anfRoundSql(r: Int, k: Int, scaleC: String): String = {
+    val p = r - 1
+    s"""u$r AS (
+        SELECT node, h FROM (SELECT node, unnest(kmv) AS h FROM a$p)
+        UNION
+        SELECT e.src AS node, w.h
+        FROM ue e JOIN (SELECT node, unnest(kmv) AS h FROM a$p) w
+          ON w.node = e.dst),
+      r$r AS (
+        SELECT node, h,
+          row_number() OVER (PARTITION BY node ORDER BY h) AS rn
+        FROM u$r),
+      a$r AS MATERIALIZED (
+        SELECT node, list(h ORDER BY h) AS kmv
+        FROM r$r WHERE rn <= $k GROUP BY node),
+      n$r AS (
+        SELECT $r AS hop, count(*) AS n_nodes,
+          CAST(sum(CAST(round(
+            CASE WHEN len(kmv) < $k THEN CAST(len(kmv) AS DOUBLE)
+                 ELSE $scaleC / kmv[$k] END, 4) AS DECIMAL(38,4)))
+            AS DOUBLE) AS est_pairs
+        FROM a$r)"""
+  }
+
+  /** Approximate neighborhood function over the co-purchase graph
+    * ([[graft.graph.Graph.neighborhoodFunction]] — ANF, Palmer et al.
+    * KDD'02 / HyperBall, Boldi & Vigna 2013, with the repo's
+    * engine-portable md5-derived KMV in place of HyperLogLog): N(h),
+    * the number of node pairs within h hops, estimated from k = 16
+    * mergeable bottom-k sketches propagated 4 rounds. THE scale-honest
+    * way to read effective diameter — exact N(h) is all-pairs closure
+    * (O(n²) state), the sketch is k longs per node at any graph size,
+    * and bottom-k-of-union = bottom-k-of-unioned-bottom-k's makes
+    * per-round truncation lossless for the estimator. Sub-k sketches
+    * ARE the exact set, so small-reach nodes report exactly; saturated
+    * nodes report (k−1)·2⁶⁰/kth-hash. The oracle replays hashes,
+    * window truncation and estimates round for round; accuracy against
+    * brute-force closure is pinned in GraphTopologySpec. */
+  val q202Anf = Q(
+    "q202_anf",
+    (s, d) =>
+      graft.graph.Graph.neighborhoodFunction(
+        coOrderWeighted(s, d).select("src", "dst"), k = 16, maxHops = 4),
+    Some {
+      val k = 16
+      val scaleC = "17293822569102704640.0" // (k−1)·2^60, exact in double
+      val rounds = (1 to 4).map(anfRoundSql(_, k, scaleC))
+        .mkString(",\n      ")
+      s"""WITH $coOrderWeightedSql,
+      ue AS MATERIALIZED (SELECT src, dst FROM we),
+      a0 AS MATERIALIZED (
+        SELECT node,
+          [('0x' || substr(md5('7:' || CAST(node AS VARCHAR)), 1, 15))::BIGINT]
+            AS kmv
+        FROM (SELECT DISTINCT src AS node FROM ue)),
+      $rounds
+      ${(1 to 4).map(r => s"SELECT hop, n_nodes, est_pairs FROM n$r")
+        .mkString("\n      UNION ALL ")}"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9186,5 +9251,5 @@ object Queries {
     q189Compaction, q190TriangleCount, q191Kcore, q192Sssp,
     q193IncrementalComponents, q194Closeness, q195PcaPower,
     q196PcaProject, q197LogregQuality, q198DedupCanonical,
-    q199Betweenness, q200Sq8, q201CurationDedup)
+    q199Betweenness, q200Sq8, q201CurationDedup, q202Anf)
 }

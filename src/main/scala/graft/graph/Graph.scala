@@ -1049,6 +1049,77 @@ object Graph {
   private def betwSumDec12(c: Column): Column =
     sum(round(c, 12).cast("decimal(38,12)")).cast("double")
 
+  /** Approximate neighborhood function N(h) — the number of (u, v)
+    * pairs within h hops — by per-node mergeable bottom-k (KMV)
+    * sketches propagated along edges (ANF, Palmer et al. KDD'02;
+    * HyperBall, Boldi & Vigna 2013, with KMV in place of HyperLogLog
+    * because the repo's md5-derived KMV is ENGINE-PORTABLE — a binary
+    * HLL register file is not, so this stays DuckDB-oracled). N(h)'s
+    * growth curve is the scale-robust way to read a graph's effective
+    * diameter and connectivity mass: exact answers need all-pairs
+    * closure (O(n²) state — [[bfsHops]] is that regime), while the
+    * sketch state is k longs per node at ANY graph size.
+    *
+    * Per round: each node's sketch absorbs its out-neighbors' sketches
+    * — explode to (node, hash), distinct (map-side combinable), keep
+    * the k smallest per node under one keyed window, re-pack. Bottom-k
+    * of a union IS the bottom-k of unioned bottom-k's, so truncation
+    * per round is lossless for the estimator. Two node-keyed shuffles
+    * per round; the src-bucketed edge layout removes the edge-side
+    * exchange as usual. (A custom TypedImperativeAggregate that
+    * truncates partial states to k would halve the shuffled bytes —
+    * the production refinement; the window formulation keeps every
+    * intermediate bounded and portable.)
+    *
+    * Estimator: with fewer than k distinct hashes the sketch IS the
+    * set (exact count); at k, |R| ≈ (k−1)·2⁶⁰ / kth-smallest (hashes
+    * uniform on [0, 2⁶⁰) — [[graft.functions.Text.md5Hash64]]'s
+    * range). Both branches are single IEEE ops on exact integers, so
+    * the per-node estimate is engine-exact after round-4; per-hop
+    * totals sum as exact DECIMAL(38,4). Returns one row per hop:
+    * (hop, n_nodes, est_pairs). */
+  def neighborhoodFunction(edges: DataFrame, k: Int, maxHops: Int,
+                           seed: Int = 7,
+                           checkpointDir: Option[String] = None)
+      : DataFrame = {
+    require(k >= 2 && maxHops >= 1, "need k >= 2 and maxHops >= 1")
+    import org.apache.spark.sql.expressions.Window
+    withDurable(edges, checkpointDir) { durable =>
+    val e = cut(edges.select(col("src"), col("dst")).distinct(), durable)
+    val ret = new Retention
+    var state = cut(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+        .select(col("node"), array(graft.functions.Text
+          .md5Hash64(col("node").cast("string"), seed)).as("kmv")),
+      durable, ret)
+    // (k−1)·2^60 as ONE exact literal — both engines parse the same
+    // constant instead of re-deriving it in their own literal types
+    val scaleC = (k - 1).toDouble * 1.152921504606846976e18
+    val estCol = when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+      .otherwise(lit(scaleC) / element_at(col("kmv"), k))
+    val out = (1 to maxHops).map { h =>
+      val contrib = e.join(state, e("dst") === state("node"))
+        .select(e("src").as("node"), col("kmv"))
+      val hashes = state.select(col("node"), explode(col("kmv")).as("h"))
+        .unionByName(contrib.select(col("node"), explode(col("kmv")).as("h")))
+        .distinct()
+      val ranked = hashes.withColumn("rn",
+          row_number().over(Window.partitionBy("node").orderBy("h")))
+        .where(col("rn") <= k)
+      state = cut(ranked.groupBy("node")
+        .agg(sort_array(collect_list(col("h"))).as("kmv")), durable, ret)
+      val row = state.agg(count(lit(1)).as("n"),
+        sum(round(estCol, 4).cast("decimal(38,4)")).cast("double").as("p"))
+        .head()
+      (h, row.getLong(0), row.getDouble(1))
+    }
+    val s = edges.sparkSession
+    import s.implicits._
+    out.toDF("hop", "n_nodes", "est_pairs")
+    }
+  }
+
   /** One forward Brandes round: expand the hop-`h` frontier through the
     * edge set (exchange-free on the edge side when `e` is bucketed by
     * src — [[GraphClusterPlanSpec]] locks it), sum σ over predecessors,

@@ -202,6 +202,36 @@ class GraphTopologySpec extends SparkSpec {
       Map("1" -> 1.0, "2" -> 1.0, "3" -> 1.0, "4" -> 1.0))
   }
 
+  test("neighborhood function: sub-k sketches are exact; estimates track closure") {
+    // path 1-2-3 undirected, k big enough that every sketch stays exact:
+    // N(1) = |{1,2}| + |{1,2,3}| + |{2,3}| = 7; N(2) = 9 (all reach all)
+    val path = edges("1" -> "2", "2" -> "1", "2" -> "3", "3" -> "2")
+    val exact = Graph.neighborhoodFunction(path, k = 16, maxHops = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(exact === Map(1 -> (3L, 7.0), 2 -> (3L, 9.0)))
+    // saturated regime: a denser random-ish graph with k = 8 — the KMV
+    // estimate must land within 35% of the brute-force closure size
+    val pairs = (1 to 120).flatMap { i =>
+      Seq(s"v${i % 30}" -> s"v${(i * 7 + 3) % 30}",
+        s"v${(i * 11) % 30}" -> s"v${i % 30}")
+    }.filter(p => p._1 != p._2)
+    val und = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val est = Graph.neighborhoodFunction(edges(und: _*), k = 8, maxHops = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    // brute closure: adjacency power by driver BFS
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def reach(h: Int): Long = adj.keys.toSeq.map { v =>
+      var cur = Set(v)
+      (1 to h).foreach { _ => cur = cur ++ cur.flatMap(adj.getOrElse(_, Set())) }
+      cur.size.toLong
+    }.sum
+    (1 to 3).foreach { h =>
+      val ex = reach(h).toDouble
+      assert(math.abs(est(h) - ex) / ex < 0.35,
+        s"hop $h: est ${est(h)} vs exact $ex drifts past 35%")
+    }
+  }
+
   test("betweenness: star centre carries every pair; hop cap truncates") {
     // star c-{a,b,d}: every leaf pair's only path crosses c ->
     // delta(c) = 2 per leaf seed (two other leaves), 6 total
