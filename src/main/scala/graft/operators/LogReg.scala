@@ -132,4 +132,18 @@ object LogReg {
     }
     Fit(w.map(_.doubleValue()), trace.result(), n)
   }
+
+  /** The 100 TB training path — [[train]] on a deterministic
+    * [[Quantization.hashSample]] of the corpus (the
+    * `trainCodebookSampled` convention: full-batch GD's gradient is a
+    * mean, and a few hundred thousand rows estimate it to far below
+    * the 6-dp step grid, so per-round cost becomes O(sample) while
+    * SCORING still runs over everything). `idCol` must be a stable
+    * row identity; the sample is a pure function of (id, pct, salt),
+    * so retraining reproduces bit-for-bit. */
+  def trainSampled(df: DataFrame, idCol: String, xCols: Seq[String],
+                   yCol: String, rounds: Int, lr: Double,
+                   pct: Int, salt: Int = 0): Fit =
+    train(Quantization.hashSample(df, idCol, pct, salt),
+      xCols, yCol, rounds, lr)
 }

@@ -50,4 +50,24 @@ class LogRegSpec extends SparkSpec {
       LogReg.train(toy, Seq("x1", "x2"), "y", rounds = 1, lr = 0.3)
     }
   }
+
+  test("sampled training still separates and reproduces bit-for-bit") {
+    // 400 rows, y = [x2 > 0.5]; a 50% hash sample of the ids must still
+    // learn the positive separating weight, and resampling with the same
+    // (pct, salt) is bit-identical
+    val big = (1 to 400).map { i =>
+      val x2 = (i % 100) / 100.0
+      (i.toLong, 1.0, x2, if (x2 > 0.5) 1.0 else 0.0)
+    }.toDF("id", "x1", "x2", "y")
+    val a = LogReg.trainSampled(big, "id", Seq("x1", "x2"), "y",
+      rounds = 6, lr = 0.5, pct = 50, salt = 3)
+    val b = LogReg.trainSampled(big, "id", Seq("x1", "x2"), "y",
+      rounds = 6, lr = 0.5, pct = 50, salt = 3)
+    assert(a.weights === b.weights && a.n === b.n)
+    assert(a.n > 100 && a.n < 300, s"50% sample took ${a.n}/400 rows")
+    assert(a.weights(1) > 0 && a.weights(1) > math.abs(a.weights(0)))
+    // and the sampled gradient tracks the full one: same sign structure
+    val full = LogReg.train(big, Seq("x1", "x2"), "y", rounds = 6, lr = 0.5)
+    assert(math.signum(a.weights(1)) == math.signum(full.weights(1)))
+  }
 }
