@@ -9198,6 +9198,90 @@ object Queries {
         .mkString("\n      UNION ALL ")}"""
     })
 
+  /** Token-budget mixture allocation by exact water-filling — the step
+    * AFTER q94's temperature weights: given per-source token supply
+    * s_i, temperature targets t_i ∝ round₆(√s_i) (α = 0.5), and a hard
+    * budget B = ⌊0.4·Σs⌋, allocate a_i = min(s_i, L·t_i) with the
+    * unique level L making Σa_i = B — the data-mixing solve every
+    * budgeted pretraining run needs (undersupplied sources cap at one
+    * epoch, the rest fill to the level). Closed form, not iteration:
+    * sort sources by cap-point r_i = s_i/t_i, one prefix window over
+    * the (config-scale) source dimension, L = (B − cumS)/(T − cumT) at
+    * the first breakpoint where it clears — so the whole solve is one
+    * bounded window + two one-row constKey broadcasts; the corpus-
+    * scale work is only the token census. Exact-decimal prefix sums
+    * and the floor(x+0.5) integer convention keep every branch
+    * engine-replayable; the oracle solves the identical closed form.
+    * Output: per source supply, target share, level, allocation,
+    * epochs and whether supply (not the level) was binding. */
+  val q203MixBudget = Q(
+    "q203_mix_budget",
+    (s, d) => {
+      import graft.operators.Guards
+      val tok = documents(s, d).groupBy("source")
+        .agg(sum(Text.tokenCount(col("text")).cast("long")).as("supply"))
+        .where(col("supply") > 0)
+      val tots = tok.agg(sum(col("supply")).as("tot"),
+          sum(round(sqrt(col("supply").cast("double")), 6)
+            .cast("decimal(18,6)")).cast("double").as("ptot"))
+        .withColumn("__k", Guards.constKey(col("tot")))
+      val base = tok.withColumn("__k", Guards.constKey(col("source")))
+        .join(broadcast(tots), "__k")
+        .select(col("source"), col("supply"),
+          round(round(sqrt(col("supply").cast("double")), 6) / col("ptot"), 6)
+            .as("target"),
+          floor(col("tot") * lit(2) / lit(5.0)).cast("long").as("budget"))
+      Packing.waterFill(base, "source")
+        .select(col("source"), col("supply"), col("target"),
+          col("level"), col("alloc"), col("epochs"), col("supply_capped"))
+    },
+    Some(s"""WITH tk AS ($duckToksSql),
+      c AS (
+        SELECT d.source, CAST(sum(len(tk.toks)) AS BIGINT) AS supply
+        FROM documents d JOIN tk ON tk.doc_id = d.doc_id
+        GROUP BY 1 HAVING sum(len(tk.toks)) > 0),
+      tots AS (
+        SELECT CAST(sum(supply) AS BIGINT) AS tot,
+          CAST(sum(CAST(round(sqrt(supply), 6) AS DECIMAL(18,6))) AS DOUBLE)
+            AS ptot
+        FROM c),
+      base AS (
+        SELECT source, supply,
+          round(round(sqrt(supply), 6) / ptot, 6) AS t,
+          CAST(floor(tot * 2 / 5.0) AS BIGINT) AS budget
+        FROM c, tots),
+      base2 AS (SELECT *, round(supply / t, 6) AS r FROM base),
+      ta AS (
+        SELECT CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS tott
+        FROM base2),
+      rk AS (
+        SELECT b.*, ta.tott,
+          COALESCE(CAST(sum(supply) OVER (ORDER BY r, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+            AS cumS,
+          COALESCE(CAST(sum(CAST(t AS DECIMAL(18,6))) OVER (ORDER BY r, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE), 0.0)
+            AS cumT
+        FROM base2 b, ta),
+      rk2 AS (
+        SELECT *, round((budget - cumS) / (tott - cumT), 6) AS lcand FROM rk),
+      lv AS (
+        SELECT (min(struct_pack(r := r, s := source, l := lcand))).l AS level
+        FROM rk2 WHERE lcand <= r)
+      SELECT b.source, b.supply, b.t AS target, lv.level,
+        CASE WHEN lv.level IS NULL THEN b.supply
+             ELSE least(b.supply,
+               CAST(floor(lv.level * b.t + 0.5) AS BIGINT)) END AS alloc,
+        round((CASE WHEN lv.level IS NULL THEN b.supply
+             ELSE least(b.supply,
+               CAST(floor(lv.level * b.t + 0.5) AS BIGINT)) END) / b.supply, 4)
+          AS epochs,
+        (CASE WHEN lv.level IS NULL THEN b.supply
+             ELSE least(b.supply,
+               CAST(floor(lv.level * b.t + 0.5) AS BIGINT)) END) = b.supply
+          AS supply_capped
+      FROM rk2 b, lv"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9251,5 +9335,6 @@ object Queries {
     q189Compaction, q190TriangleCount, q191Kcore, q192Sssp,
     q193IncrementalComponents, q194Closeness, q195PcaPower,
     q196PcaProject, q197LogregQuality, q198DedupCanonical,
-    q199Betweenness, q200Sq8, q201CurationDedup, q202Anf)
+    q199Betweenness, q200Sq8, q201CurationDedup, q202Anf,
+    q203MixBudget)
 }

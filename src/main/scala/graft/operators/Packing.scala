@@ -208,4 +208,53 @@ object Packing {
         i.as("i"))))
       .getField("i")
   }
+
+  /** Exact water-filling allocation of a hard budget across supply-
+    * capped groups — the data-mixing solve a budgeted pretraining run
+    * needs: allocate a_i = min(supply_i, L·target_i) with the unique
+    * level L making Σa_i = budget (all supplies allocated when the
+    * budget covers them). Closed form, not iteration: groups sort by
+    * their cap-point r_i = supply_i/target_i; with every group before
+    * breakpoint i capped, L_i = (budget − Σsupply_<i)/(Σtarget_≥i),
+    * and the true level is the first L_i at or below its own r_i.
+    *
+    * Input: one row per group with `keyCol`, `supply` (BIGINT > 0),
+    * `target` (6-dp-grid share summing ≈ 1), `budget` (BIGINT, same on
+    * every row). Output adds (r, level, alloc, epochs, supply_capped).
+    * The group dimension is config-scale, so the one global window is
+    * a bounded single-partition sort; the two one-row aggregates ride
+    * constKey broadcasts. Integer allocations use the floor(x + 0.5)
+    * convention, so Σalloc lands within n/2 of the budget (the
+    * continuous solve is exact). Engine-replayable throughout: exact
+    * BIGINT/DECIMAL prefix sums, divisions re-gridded at 6 dp. */
+  def waterFill(df: DataFrame, keyCol: String): DataFrame = {
+    val tAgg = df.agg(
+        sum(col("target").cast("decimal(18,6)")).cast("double").as("tott"))
+      .withColumn("__k", Guards.constKey(col("tott")))
+    val w = Window.orderBy(col("r"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = df
+      .withColumn("r", round(col("supply") / col("target"), 6))
+      .withColumn("__k", Guards.constKey(col(keyCol)))
+      .join(broadcast(tAgg), "__k")
+      .withColumn("cumS", coalesce(sum("supply").over(w), lit(0L)))
+      .withColumn("cumT", coalesce(
+        sum(col("target").cast("decimal(18,6)")).over(w).cast("double"),
+        lit(0.0)))
+      .withColumn("lcand",
+        round((col("budget") - col("cumS")) / (col("tott") - col("cumT")), 6))
+    val lRow = ranked.where(col("lcand") <= col("r"))
+      .agg(min(struct(col("r").as("r"), col(keyCol).as("s"),
+        col("lcand").as("l"))).as("b"))
+      .select(col("b").getField("l").as("level"))
+      .withColumn("__k", Guards.constKey(col("level")))
+    ranked.withColumn("__k", Guards.constKey(col(keyCol)))
+      .join(broadcast(lRow), "__k")
+      .withColumn("alloc", when(col("level").isNull, col("supply"))
+        .otherwise(least(col("supply"),
+          floor(col("level") * col("target") + lit(0.5)).cast("long"))))
+      .withColumn("epochs", round(col("alloc") / col("supply"), 4))
+      .withColumn("supply_capped", col("alloc") === col("supply"))
+      .drop("__k", "cumS", "cumT", "lcand", "tott")
+  }
 }

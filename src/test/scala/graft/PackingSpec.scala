@@ -179,4 +179,27 @@ class PackingSpec extends SparkSpec {
     val sizes = shards.groupBy(_._1).view.mapValues(_.size)
     assert(sizes.size == 8 && sizes.values.forall(s => s > 100 && s < 500))
   }
+
+  test("waterFill: caps undersupplied groups, levels the rest, hits the budget") {
+    // uniform targets 1/3, skewed supplies, budget 600: groups c (10) and
+    // b (100) cap at full supply; a fills to the level —
+    // L = (600-110)/0.333333 = 1470.0015, alloc_a = floor(490.0005+.5) = 490
+    val df = Seq(("a", 1000L), ("b", 100L), ("c", 10L))
+      .toDF("source", "supply")
+      .withColumn("target", lit(0.333333))
+      .withColumn("budget", lit(600L))
+    val byKey = Packing.waterFill(df, "source")
+      .select(col("source"), col("alloc"), col("supply_capped"))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byKey === Map("a" -> (490L, false), "b" -> (100L, true),
+      "c" -> (10L, true)))
+    assert(byKey.values.map(_._1).sum === 600L)
+    // budget >= total supply: no level, everyone keeps full supply
+    val all = Packing.waterFill(
+        df.withColumn("budget", lit(5000L)), "source")
+      .select(col("alloc"), col("supply_capped"))
+      .as[(Long, Boolean)].collect()
+    assert(all.forall(_._2) && all.map(_._1).sum === 1110L)
+  }
 }
