@@ -9282,6 +9282,83 @@ object Queries {
           AS supply_capped
       FROM rk2 b, lv"""))
 
+  /** q204's cell-partitioned IVF index over YESTERDAY'S corpus
+    * (vec_id % 7 ≠ 0), staged once per (process, sfDir) — the build is
+    * setup; the measured region is the MAINTENANCE. */
+  private val q204IndexByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental IVF index maintenance — the vector-index twin of q193's
+    * incremental components and q187's keyed MERGE: today's embeddings
+    * (vec_id % 7 = 0) are assigned against the FROZEN coarse quantizer
+    * (centroids from the old corpus — re-quantizing is a rebuild, not
+    * maintenance), shaped into index rows by the IDENTICAL arithmetic
+    * the builder uses ([[graft.operators.Similarity.indexRows]]), and
+    * merged into the cell-partitioned layout —
+    * [[graft.sources.Sinks.mergeIntoPartitioned]] rewrites ONLY the
+    * cells that received arrivals, upsert-idempotent so every bench
+    * iteration measures a real merge. The probe then searches the
+    * MAINTAINED index; the oracle replays the frozen-centroid
+    * assignment over old+new relationally (q81's shape with the
+    * quantizer trained on the old subset) — probe parity is the proof
+    * that maintenance reconstructed exactly what a full rebuild over
+    * the union would have. */
+  val q204IvfIncremental = Q(
+    "q204_ivf_incremental",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val isOld = col("vec_id") % 7 =!= 0
+      val cent = Clustering.labelCentroids(
+        e.where(isOld), "label", "embedding")
+      val tag = d.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9_]", "_")
+      val path = q204IndexByDir.computeIfAbsent(d, _ => {
+        val p = graft.sources.Scratch.dir(s"ivfinc_$tag")
+        Similarity.writeIvfIndex(e.where(isOld), "vec_id", "embedding",
+          cent, p)
+        p
+      })
+      val arrivals = Similarity.indexRows(
+        e.where(!isOld), "vec_id", "embedding", cent)
+      graft.sources.Sinks.mergeIntoPartitioned(path, arrivals,
+        Seq("neighbor_id"), Seq("cell"))
+      Similarity.ivfPartitionedTopK(
+        e.where(col("vec_id") < 10), "vec_id", "embedding", cent, path,
+        k = 5, nprobe = 2)
+    },
+    Some("""WITH idx AS (
+        SELECT label AS cell, embedding::DOUBLE[] AS ev,
+          unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings WHERE vec_id % 7 <> 0),
+      dims AS (
+        SELECT cell, pos,
+          round(CAST(sum(CAST(ev[CAST(pos AS INT)] AS DECIMAL(28,12))) AS DOUBLE)
+            / count(*), 6) AS cv
+        FROM idx GROUP BY 1, 2),
+      cent AS (
+        SELECT cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY 1),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      ca AS (
+        SELECT vec_id, e, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY
+            list_sum(list_transform(range(1, len(e) + 1),
+              i -> pow(e[i] - centroid[i], 2))), cell) AS cr
+        FROM v, cent),
+      corpus AS (SELECT vec_id AS neighbor_id, e, cell FROM ca WHERE cr = 1),
+      pr AS (SELECT vec_id AS probe_id, e AS pe, cell
+             FROM ca WHERE cr <= 2 AND vec_id < 10),
+      sc AS (
+        SELECT pr.probe_id, c.neighbor_id,
+          list_cosine_similarity(c.e, pr.pe) AS cosf
+        FROM corpus c JOIN pr ON c.cell = pr.cell
+          AND c.neighbor_id <> pr.probe_id),
+      rk AS (
+        SELECT probe_id, neighbor_id, cosf,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY cosf DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT probe_id, rank, neighbor_id, round(cosf, 6) AS cos
+      FROM rk WHERE rank <= 5"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9336,5 +9413,5 @@ object Queries {
     q193IncrementalComponents, q194Closeness, q195PcaPower,
     q196PcaProject, q197LogregQuality, q198DedupCanonical,
     q199Betweenness, q200Sq8, q201CurationDedup, q202Anf,
-    q203MixBudget)
+    q203MixBudget, q204IvfIncremental)
 }

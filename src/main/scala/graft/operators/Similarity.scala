@@ -189,15 +189,25 @@ object Similarity {
     * applied to ANN, and the on-disk shape a 100 TB vector corpus
     * actually serves queries from (FAISS's inverted lists, as a
     * partitioned table). */
-  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, path: String): Unit = {
+  /** The index-shaped rows [[writeIvfIndex]] persists — (neighbor_id,
+    * __cv, __cn, cell), each vector assigned to its nearest centroid
+    * with the norm precomputed. Public so INCREMENTAL maintenance can
+    * produce merge changesets with the identical schema and identical
+    * assignment arithmetic ([[graft.sources.Sinks.mergeIntoPartitioned]]
+    * then rewrites only the receiving cells). */
+  def indexRows(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
     val ss = corpus.sparkSession
-    val assigned = assignCells(
+    assignCells(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"),
         norm(ss, col(vecCol)).as("__cn")), "neighbor_id", 1, centroids)
       .withColumnRenamed("__v", "__cv")
-    graft.sources.Sinks.writePartitioned(assigned, path, Seq("cell"))
   }
+
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, path: String): Unit =
+    graft.sources.Sinks.writePartitioned(
+      indexRows(corpus, idCol, vecCol, centroids), path, Seq("cell"))
 
   /** Search a [[writeIvfIndex]] layout: assign probes to their `nprobe`
     * cells, then join the partitioned index on `cell` with the probe

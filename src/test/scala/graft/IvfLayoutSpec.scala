@@ -62,4 +62,38 @@ class IvfLayoutSpec extends SparkSpec {
       .where(col("cell") === 3).count()
     assert(one.count() == all && all > 0)
   }
+
+  test("incremental maintenance reconstructs exactly a full rebuild") {
+    // build over the old slice, merge the arrivals with the FROZEN
+    // quantizer, and the maintained (id, cell) content must equal an
+    // index built over the union with the same centroids — and cells
+    // that received no arrival must keep their original files
+    val isOld = col("vec_id") % 7 =!= 0
+    val oldCent = Clustering.labelCentroids(e.where(isOld), "label", "embedding")
+    val p = Scratch.dir("ivfspec_inc")
+    Similarity.writeIvfIndex(e.where(isOld), "vec_id", "embedding", oldCent, p)
+    val untouched = Similarity.indexRows(e, "vec_id", "embedding", oldCent)
+      .groupBy("cell").agg(sum(when(col("neighbor_id") % 7 === 0, 1)
+        .otherwise(0)).as("arrivals"))
+      .where(col("arrivals") === 0)
+      .select("cell").collect().map(_.get(0).toString).toSet
+    val before = untouched.map { c =>
+      c -> new java.io.File(s"$p/cell=$c").listFiles().map(_.getName).toSet
+    }.toMap
+    graft.sources.Sinks.mergeIntoPartitioned(p,
+      Similarity.indexRows(e.where(!isOld), "vec_id", "embedding", oldCent),
+      Seq("neighbor_id"), Seq("cell"))
+    val maintained = spark.read.parquet(p)
+      .select(col("neighbor_id").cast("long"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = Similarity.indexRows(e, "vec_id", "embedding", oldCent)
+      .select(col("neighbor_id").cast("long"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained == rebuilt,
+      "maintained index content diverges from a frozen-quantizer rebuild")
+    before.foreach { case (c, files) =>
+      val now = new java.io.File(s"$p/cell=$c").listFiles().map(_.getName).toSet
+      assert(now == files, s"cell $c had no arrivals but its files changed")
+    }
+  }
 }
