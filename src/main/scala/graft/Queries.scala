@@ -9198,44 +9198,11 @@ object Queries {
         .mkString("\n      UNION ALL ")}"""
     })
 
-  /** Token-budget mixture allocation by exact water-filling — the step
-    * AFTER q94's temperature weights: given per-source token supply
-    * s_i, temperature targets t_i ∝ round₆(√s_i) (α = 0.5), and a hard
-    * budget B = ⌊0.4·Σs⌋, allocate a_i = min(s_i, L·t_i) with the
-    * unique level L making Σa_i = B — the data-mixing solve every
-    * budgeted pretraining run needs (undersupplied sources cap at one
-    * epoch, the rest fill to the level). Closed form, not iteration:
-    * sort sources by cap-point r_i = s_i/t_i, one prefix window over
-    * the (config-scale) source dimension, L = (B − cumS)/(T − cumT) at
-    * the first breakpoint where it clears — so the whole solve is one
-    * bounded window + two one-row constKey broadcasts; the corpus-
-    * scale work is only the token census. Exact-decimal prefix sums
-    * and the floor(x+0.5) integer convention keep every branch
-    * engine-replayable; the oracle solves the identical closed form.
-    * Output: per source supply, target share, level, allocation,
-    * epochs and whether supply (not the level) was binding. */
-  val q203MixBudget = Q(
-    "q203_mix_budget",
-    (s, d) => {
-      import graft.operators.Guards
-      val tok = documents(s, d).groupBy("source")
-        .agg(sum(Text.tokenCount(col("text")).cast("long")).as("supply"))
-        .where(col("supply") > 0)
-      val tots = tok.agg(sum(col("supply")).as("tot"),
-          sum(round(sqrt(col("supply").cast("double")), 6)
-            .cast("decimal(18,6)")).cast("double").as("ptot"))
-        .withColumn("__k", Guards.constKey(col("tot")))
-      val base = tok.withColumn("__k", Guards.constKey(col("source")))
-        .join(broadcast(tots), "__k")
-        .select(col("source"), col("supply"),
-          round(round(sqrt(col("supply").cast("double")), 6) / col("ptot"), 6)
-            .as("target"),
-          floor(col("tot") * lit(2) / lit(5.0)).cast("long").as("budget"))
-      Packing.waterFill(base, "source")
-        .select(col("source"), col("supply"), col("target"),
-          col("level"), col("alloc"), col("epochs"), col("supply_capped"))
-    },
-    Some(s"""WITH tk AS ($duckToksSql),
+  /** The q203 water-filling solve as oracle CTEs, ending in
+    * `wf(source, supply, target, level, alloc)` — shared with q205's
+    * pick materialization. Mirrors [[graft.operators.Packing
+    * .waterFill]] clause for clause. */
+  private lazy val mixBudgetCtes: String = s"""tk AS ($duckToksSql),
       c AS (
         SELECT d.source, CAST(sum(len(tk.toks)) AS BIGINT) AS supply
         FROM documents d JOIN tk ON tk.doc_id = d.doc_id
@@ -9267,20 +9234,41 @@ object Queries {
         SELECT *, round((budget - cumS) / (tott - cumT), 6) AS lcand FROM rk),
       lv AS (
         SELECT (min(struct_pack(r := r, s := source, l := lcand))).l AS level
-        FROM rk2 WHERE lcand <= r)
-      SELECT b.source, b.supply, b.t AS target, lv.level,
-        CASE WHEN lv.level IS NULL THEN b.supply
-             ELSE least(b.supply,
-               CAST(floor(lv.level * b.t + 0.5) AS BIGINT)) END AS alloc,
-        round((CASE WHEN lv.level IS NULL THEN b.supply
-             ELSE least(b.supply,
-               CAST(floor(lv.level * b.t + 0.5) AS BIGINT)) END) / b.supply, 4)
-          AS epochs,
-        (CASE WHEN lv.level IS NULL THEN b.supply
-             ELSE least(b.supply,
-               CAST(floor(lv.level * b.t + 0.5) AS BIGINT)) END) = b.supply
-          AS supply_capped
-      FROM rk2 b, lv"""))
+        FROM rk2 WHERE lcand <= r),
+      wf AS (
+        SELECT b.source, b.supply, b.t AS target, lv.level,
+          CASE WHEN lv.level IS NULL THEN b.supply
+               ELSE least(b.supply,
+                 CAST(floor(lv.level * b.t + 0.5) AS BIGINT)) END AS alloc
+        FROM rk2 b, lv)"""
+
+  /** Token-budget mixture allocation by exact water-filling — the step
+    * AFTER q94's temperature weights: given per-source token supply
+    * s_i, temperature targets t_i ∝ round₆(√s_i) (α = 0.5), and a hard
+    * budget B = ⌊0.4·Σs⌋, allocate a_i = min(s_i, L·t_i) with the
+    * unique level L making Σa_i = B — the data-mixing solve every
+    * budgeted pretraining run needs (undersupplied sources cap at one
+    * epoch, the rest fill to the level). Closed form, not iteration:
+    * sort sources by cap-point r_i = s_i/t_i, one prefix window over
+    * the (config-scale) source dimension, L = (B − cumS)/(T − cumT) at
+    * the first breakpoint where it clears — so the whole solve is one
+    * bounded window + two one-row constKey broadcasts; the corpus-
+    * scale work is only the token census. Exact-decimal prefix sums
+    * and the floor(x+0.5) integer convention keep every branch
+    * engine-replayable; the oracle solves the identical closed form.
+    * Output: per source supply, target share, level, allocation,
+    * epochs and whether supply (not the level) was binding. */
+  val q203MixBudget = Q(
+    "q203_mix_budget",
+    (s, d) =>
+      mixAllocation(s, d)
+        .select(col("source"), col("supply"), col("target"),
+          col("level"), col("alloc"), col("epochs"), col("supply_capped")),
+    Some(s"""WITH $mixBudgetCtes
+      SELECT source, supply, target, level, alloc,
+        round(alloc / supply, 4) AS epochs,
+        alloc = supply AS supply_capped
+      FROM wf"""))
 
   /** q204's cell-partitioned IVF index over YESTERDAY'S corpus
     * (vec_id % 7 ≠ 0), staged once per (process, sfDir) — the build is
@@ -9359,6 +9347,80 @@ object Queries {
       SELECT probe_id, rank, neighbor_id, round(cosf, 6) AS cos
       FROM rk WHERE rank <= 5"""))
 
+  /** The q203 allocation frame, Spark side — shared by q203 (readout)
+    * and q205 (pick materialization). */
+  private def mixAllocation(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Guards
+    val tok = documents(s, d).groupBy("source")
+      .agg(sum(Text.tokenCount(col("text")).cast("long")).as("supply"))
+      .where(col("supply") > 0)
+    val tots = tok.agg(sum(col("supply")).as("tot"),
+        sum(round(sqrt(col("supply").cast("double")), 6)
+          .cast("decimal(18,6)")).cast("double").as("ptot"))
+      .withColumn("__k", Guards.constKey(col("tot")))
+    val base = tok.withColumn("__k", Guards.constKey(col("source")))
+      .join(broadcast(tots), "__k")
+      .select(col("source"), col("supply"),
+        round(round(sqrt(col("supply").cast("double")), 6) / col("ptot"), 6)
+          .as("target"),
+        floor(col("tot") * lit(2) / lit(5.0)).cast("long").as("budget"))
+    Packing.waterFill(base, "source")
+  }
+
+  /** Mixture MATERIALIZATION — q203's allocation turned into the actual
+    * pick: per source, documents are taken in deterministic hash order
+    * (the q95 reproducible-shuffle convention, salt 21) until the next
+    * doc would cross the allocated token budget — greedy whole-document
+    * packing, so the picked set is a pure function of (corpus, budget)
+    * and identical on any cluster size. One keyed window per source
+    * (cumulative tokens in hash order) + the allocation broadcast; the
+    * census reports picks, picked tokens and budget utilization — the
+    * gap to 1.0 is the tail doc that didn't fit, bounded by one doc.
+    * Sources whose allocation is smaller than their first doc pick
+    * nothing and still report (LEFT join keeps the row). */
+  val q205MixMaterialize = Q(
+    "q205_mix_materialize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wf = mixAllocation(s, d).select(col("source"), col("alloc"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val o = documents(s, d).select(col("source"), col("doc_id"),
+          Text.tokenCount(col("text")).as("tok"),
+          Text.md5Hash64(col("doc_id").cast("string"), 21).as("h"))
+        .withColumn("cum", sum("tok").over(w))
+      val picks = o.join(wf, "source").where(col("cum") <= col("alloc"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_picked"),
+          sum(col("tok").cast("long")).as("picked_tokens"))
+      wf.join(picks, Seq("source"), "left")
+        .select(col("source"), col("alloc"),
+          coalesce(col("n_picked"), lit(0L)).as("n_picked"),
+          coalesce(col("picked_tokens"), lit(0L)).as("picked_tokens"),
+          round(coalesce(col("picked_tokens"), lit(0L)) / col("alloc"), 4)
+            .as("utilization"))
+    },
+    Some(s"""WITH $mixBudgetCtes,
+      o AS (
+        SELECT d.source, d.doc_id, len(tk.toks) AS tok,
+          sum(len(tk.toks)) OVER (PARTITION BY d.source ORDER BY
+            ('0x' || substr(md5('21:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+            d.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents d JOIN tk ON tk.doc_id = d.doc_id),
+      p AS (
+        SELECT o.source, o.tok FROM o JOIN wf USING (source)
+        WHERE o.cum <= wf.alloc),
+      pk AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_picked,
+          CAST(sum(tok) AS BIGINT) AS picked_tokens
+        FROM p GROUP BY source)
+      SELECT wf.source, wf.alloc,
+        coalesce(pk.n_picked, 0) AS n_picked,
+        coalesce(pk.picked_tokens, 0) AS picked_tokens,
+        round(coalesce(pk.picked_tokens, 0) / wf.alloc, 4) AS utilization
+      FROM wf LEFT JOIN pk USING (source)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9413,5 +9475,5 @@ object Queries {
     q193IncrementalComponents, q194Closeness, q195PcaPower,
     q196PcaProject, q197LogregQuality, q198DedupCanonical,
     q199Betweenness, q200Sq8, q201CurationDedup, q202Anf,
-    q203MixBudget, q204IvfIncremental)
+    q203MixBudget, q204IvfIncremental, q205MixMaterialize)
 }
