@@ -231,13 +231,20 @@ object Packing {
     val tAgg = df.agg(
         sum(col("target").cast("decimal(18,6)")).cast("double").as("tott"))
       .withColumn("__k", Guards.constKey(col("tott")))
-    val w = Window.orderBy(col("r"), col(keyCol))
+    // the solve's window is over the GROUP dimension — config-scale by
+    // contract, so it runs under the Guards bounded-single-partition
+    // regime (constant keyed partition + runtime row bound), never as a
+    // partition-less sort of unbounded data
+    val w = Window.partitionBy(Guards.constKey(col("r")))
+      .orderBy(col("r"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = df
       .withColumn("r", round(col("supply") / col("target"), 6))
       .withColumn("__k", Guards.constKey(col(keyCol)))
       .join(broadcast(tAgg), "__k")
-      .withColumn("cumS", coalesce(sum("supply").over(w), lit(0L)))
+      .withColumn("cumS", Guards.bounded(
+        coalesce(sum("supply").over(w), lit(0L)), col("r"),
+        "water-fill group dimension"))
       .withColumn("cumT", coalesce(
         sum(col("target").cast("decimal(18,6)")).over(w).cast("double"),
         lit(0.0)))

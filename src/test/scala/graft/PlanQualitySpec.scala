@@ -54,7 +54,12 @@ class PlanQualitySpec extends SparkSpec {
     // inherits exactly their probe-bounded brute scans — the approximate
     // indexes under test (q29/q81/q109/q120) stay nested-loop-free, and
     // the scorer itself adds only equi-joins on (probe_id, neighbor_id)
-    "q181_ann_recall")
+    "q181_ann_recall",
+    // incremental-IVF maintenance + probe: the q186 rationale twice —
+    // the changeset arrivals and the 10 probes each cross ONLY the
+    // broadcast centroid table (10 rows); the corpus side was assigned
+    // at index-build time, off this plan
+    "q204_ivf_incremental")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).
