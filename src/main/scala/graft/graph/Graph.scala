@@ -1033,8 +1033,15 @@ object Graph {
       growing = settled.where(col("hop") === h + 1).limit(1).count() > 0
       h += 1
     }
+    // deepest populated hop: when the loop stopped on `growing`, round
+    // h's expansion found nothing, so hop h is empty
+    val deepest = if (growing) h else h - 1
     var delta = cut(settled.withColumn("delta", lit(0.0)), durable, ret)
-    var lv = maxHops - 1
+    // levels above deepest−1 are structural no-ops (empty up-side join,
+    // state reproduced identically) — the ORACLE still unrolls them, but
+    // paying an edge join + full state checkpoint per skipped level is
+    // pure waste on the engine side
+    var lv = math.min(maxHops - 1, deepest - 1)
     while (lv >= 1) {
       delta = cut(betwBackwardLevel(delta, eDst, lv), durable, ret)
       lv -= 1
