@@ -9421,6 +9421,55 @@ object Queries {
         round(coalesce(pk.picked_tokens, 0) / wf.alloc, 4) AS utilization
       FROM wf LEFT JOIN pk USING (source)"""))
 
+  /** Fill-in-the-middle corpus transformation
+    * ([[graft.operators.Corpus.fim]], Bavarian et al. 2022): the
+    * infilling-pretraining rewrite — hash-selected 50% of documents
+    * split at hash-derived points into `<PRE>p<SUF>s<MID>m`. Pure
+    * map-only expression work (no shuffle anywhere before the output),
+    * reproducible at any cluster size. The output carries the part
+    * lengths, an md5 of the transformed text (content rides the hash
+    * gate without shipping megabytes through the compare) and the
+    * LOSSLESS bit — prefix‖middle‖suffix must reassemble the original
+    * byte-for-byte, the invariant that makes the transform safe to
+    * apply in place. */
+  val q206Fim = Q(
+    "q206_fim",
+    (s, d) =>
+      graft.operators.Corpus.fim(documents(s, d), "doc_id", "text")
+        .join(documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          length(col("prefix")).cast("long").as("prefix_len"),
+          length(col("middle")).cast("long").as("mid_len"),
+          length(col("suffix")).cast("long").as("suffix_len"),
+          (concat(col("prefix"), col("middle"), col("suffix")) === col("text"))
+            .as("lossless"),
+          md5(col("fim_text")).as("fim_md5")),
+    Some("""WITH f AS (
+        SELECT doc_id, text, length(text) AS len,
+          CAST(floor(length(text) / 3.0) AS BIGINT) AS third
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) >= 20
+          AND ('0x' || substr(md5('30:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 50),
+      g AS (
+        SELECT doc_id, text, len,
+          1 + ('0x' || substr(md5('31:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % third AS a,
+          1 + ('0x' || substr(md5('32:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % third AS b
+        FROM f),
+      p AS (
+        SELECT doc_id, text,
+          substr(text, 1, CAST(a AS INT)) AS prefix,
+          substr(text, CAST(a + 1 AS INT), CAST(len - a - b AS INT)) AS middle,
+          substr(text, CAST(len - b + 1 AS INT), CAST(b AS INT)) AS suffix
+        FROM g)
+      SELECT doc_id,
+        CAST(length(prefix) AS BIGINT) AS prefix_len,
+        CAST(length(middle) AS BIGINT) AS mid_len,
+        CAST(length(suffix) AS BIGINT) AS suffix_len,
+        prefix || middle || suffix = text AS lossless,
+        md5('<PRE>' || prefix || '<SUF>' || suffix || '<MID>' || middle)
+          AS fim_md5
+      FROM p"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9475,5 +9524,5 @@ object Queries {
     q193IncrementalComponents, q194Closeness, q195PcaPower,
     q196PcaProject, q197LogregQuality, q198DedupCanonical,
     q199Betweenness, q200Sq8, q201CurationDedup, q202Anf,
-    q203MixBudget, q204IvfIncremental, q205MixMaterialize)
+    q203MixBudget, q204IvfIncremental, q205MixMaterialize, q206Fim)
 }

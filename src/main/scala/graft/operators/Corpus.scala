@@ -252,4 +252,39 @@ object Corpus {
           round(col("oov_tokens").cast("double") / col("n_tokens"), 6))
           .otherwise(0.0).as("oov_ratio"))
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022 — "FIM":
+    * split a document into prefix/middle/suffix and emit
+    * `<PRE>prefix<SUF>suffix<MID>middle`, teaching an autoregressive
+    * model to infill; applied to a deterministic hash-selected fraction
+    * of the corpus, the paper's 50% convention). Everything is
+    * map-only expression work — selection, both split points and the
+    * rearrangement derive from md5 hashes and substring arithmetic, so
+    * the transform is a pure function of (id, text, pct, salt),
+    * reproducible on any cluster size and replayable by a SQL oracle.
+    *
+    * Split geometry: prefix and suffix lengths are each drawn from
+    * [1, ⌊len/3⌋] (hash mod), so all three parts are non-empty for any
+    * doc passing `minChars`. Returns ONLY the transformed rows:
+    * (<idCol>, prefix, middle, suffix, fim_text). */
+  def fim(df: DataFrame, idCol: String, textCol: String,
+          minChars: Int = 20, pct: Int = 50, salt: Int = 30): DataFrame = {
+    require(minChars >= 3, "minChars must allow three non-empty parts")
+    require(pct >= 1 && pct <= 100, s"pct must be in [1, 100], got $pct")
+    val t = col(textCol)
+    val len = length(t)
+    val idS = col(idCol).cast("string")
+    val sel = pmod(Text.md5Hash64(idS, salt), lit(100)) < pct
+    val third = floor(len / lit(3.0)).cast("long")
+    val a = lit(1L) + pmod(Text.md5Hash64(idS, salt + 1), third)
+    val b = lit(1L) + pmod(Text.md5Hash64(idS, salt + 2), third)
+    df.where(t.isNotNull && len >= minChars && sel)
+      .withColumn("prefix", t.substr(lit(1), a.cast("int")))
+      .withColumn("middle",
+        t.substr((a + 1L).cast("int"), (len - a - b).cast("int")))
+      .withColumn("suffix", t.substr((len - b + 1L).cast("int"), b.cast("int")))
+      .select(col(idCol), col("prefix"), col("middle"), col("suffix"),
+        concat(lit("<PRE>"), col("prefix"), lit("<SUF>"), col("suffix"),
+          lit("<MID>"), col("middle")).as("fim_text"))
+  }
 }

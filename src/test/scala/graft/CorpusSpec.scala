@@ -166,6 +166,31 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.duplicateSpans(docs, "doc_id", "text", k = 8).count() == 0L)
   }
 
+  test("fim: lossless three-part split, bounded geometry, plan map-only") {
+    val docs = (1L to 60L).map(i =>
+      (i, s"doc$i " + ("abcdefghij" * (2 + (i % 5).toInt)))).toDF("doc_id", "text")
+    val out = Corpus.fim(docs, "doc_id", "text")
+    val rows = out.join(docs, "doc_id")
+      .select(col("doc_id"), col("prefix"), col("middle"), col("suffix"),
+        col("fim_text"), col("text"))
+      .collect()
+    assert(rows.nonEmpty && rows.length < 60, "hash selection must be partial")
+    rows.foreach { r =>
+      val (p, m, sfx, fimT, t) = (r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5))
+      assert(p + m + sfx == t, s"doc ${r.getLong(0)} not lossless")
+      assert(p.nonEmpty && m.nonEmpty && sfx.nonEmpty)
+      assert(p.length <= t.length / 3 && sfx.length <= t.length / 3)
+      assert(fimT == s"<PRE>$p<SUF>$sfx<MID>$m")
+    }
+    // short docs are never split
+    assert(Corpus.fim(Seq((1L, "tiny")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+    // map-only: no exchange anywhere in the transform's plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "fim must stay map-only")
+  }
+
   private implicit class Tup3Ops(rows: Array[(Long, Int, String)]) {
     def toMap2b: Map[Long, (Int, String)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap
