@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.native.{CosineSimilarity, DotProduct, HausdorffDistance, SimHashAgg}
+import graft.functions.native.{BottomKAgg, CosineSimilarity, DotProduct, HausdorffDistance, SimHashAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // fused early-break Hausdorff over trajectory struct arrays
     inject("graft_hausdorff", 2, c => HausdorffDistance(c(0), c(1)),
       classOf[HausdorffDistance].getName)
+    // bottom-k (KMV) sketch aggregate: ≤k-long partial states, so the
+    // shuffle ships 8k bytes per group however many distinct hashes a
+    // partition saw (the collect_set fallback ships them all)
+    inject("graft_bottomk", 2, c => BottomKAgg(c(0), c(1)),
+      classOf[BottomKAgg].getName)
   }
 }
 

@@ -1107,16 +1107,22 @@ object Graph {
     val out = (1 to maxHops).map { h =>
       val contrib = e.join(state, e("dst") === state("node"))
         .select(e("src").as("node"), col("kmv"))
-      // ONE node-keyed shuffle per round: collect_set partial-aggregates
-      // (and dedups) map-side, then the bottom-k truncation is a pure
-      // expression over the ≤(deg+1)·k-element merged set — a first cut
-      // spelled this as distinct → keyed window → collect_list, which is
-      // value-identical but paid THREE wide shuffles with sorts per
-      // round (steady 70.3 s → 14.7 s at sf0.1 from this change)
+      // ONE node-keyed shuffle per round. Preferred: the native
+      // graft_bottomk aggregate — its PARTIAL states are already
+      // truncated to k (bottom-k of a union is the bottom-k of unioned
+      // bottom-k's), so the exchange ships ≤8k bytes per group however
+      // many distinct hashes a partition saw. Fallback: collect_set +
+      // sort + slice — value-identical, but partial states carry every
+      // distinct hash (a first cut spelled the round as distinct →
+      // keyed window → collect_list: THREE wide shuffles with sorts;
+      // steady 70.3 s → 14.7 s at sf0.1 from collapsing to one).
       val hashes = state.select(col("node"), explode(col("kmv")).as("h"))
         .unionByName(contrib.select(col("node"), explode(col("kmv")).as("h")))
-      state = cut(hashes.groupBy("node")
-        .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("kmv")),
+      val bottomK =
+        if (graft.GraftExtensions.has(edges.sparkSession, "graft_bottomk"))
+          call_function("graft_bottomk", col("h"), lit(k))
+        else slice(array_sort(collect_set(col("h"))), 1, k)
+      state = cut(hashes.groupBy("node").agg(bottomK.as("kmv")),
         durable, ret)
       val row = state.agg(count(lit(1)).as("n"),
         sum(round(estCol, 4).cast("decimal(38,4)")).cast("double").as("p"))

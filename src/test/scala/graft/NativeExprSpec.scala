@@ -170,4 +170,65 @@ class NativeExprSpec extends SparkSpec {
       assert(n == h, s"hausdorff mismatch: native $n vs HOF $h")
     }
   }
+
+  test("graft_bottomk agg equals the collect_set expression form") {
+    val rnd = new scala.util.Random(11)
+    // many groups, duplicate hashes, nulls, one group smaller than k
+    val rows = (1 to 5000).map { i =>
+      val g = i % 37
+      val h: java.lang.Long =
+        if (i % 97 == 0) null else java.lang.Long.valueOf(rnd.nextInt(400).toLong)
+      (g, h)
+    } :+ ((99, java.lang.Long.valueOf(5L)))
+    val df = rows.toDF("g", "h").repartition(16, col("g") + col("h"))
+    val native = df.groupBy("g")
+      .agg(call_function("graft_bottomk", col("h"), lit(8)).as("kmv"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val fallback = df.groupBy("g")
+      .agg(slice(array_sort(collect_set(col("h"))), 1, 8).as("kmv"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(native === fallback)
+    assert(native(99) === Seq(5L), "sub-k group must return the exact set")
+    assert(native.values.forall(v => v.size <= 8 && v == v.sorted))
+    // k must be a positive foldable int
+    intercept[Exception] {
+      df.groupBy("g")
+        .agg(call_function("graft_bottomk", col("h"), lit(0))).collect()
+    }
+  }
+
+  test("neighborhoodFunction routes through graft_bottomk and matches the fallback") {
+    import graft.graph.Graph
+    val pairs = (1 to 120).flatMap(i =>
+      Seq((s"n${i % 25}", s"n${(i * 3 + 1) % 25}"),
+        (s"n${(i * 7) % 25}", s"n${i % 25}")))
+      .filter(p => p._1 != p._2)
+    val e = pairs.toDF("src", "dst")
+    val nat = Graph.neighborhoodFunction(e, k = 8, maxHops = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(graft.GraftExtensions.has(spark, "graft_bottomk"),
+      "spec session must carry the extension for this A/B to mean anything")
+    // compare against the directly-spelled collect_set fallback
+    val state0 = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .select(col("node"), array(graft.functions.Text
+        .md5Hash64(col("node").cast("string"), 7)).as("kmv"))
+    var st = state0
+    val scaleC = 7.0 * 1.152921504606846976e18
+    val est = when(size(col("kmv")) < 8, size(col("kmv")).cast("double"))
+      .otherwise(lit(scaleC) / element_at(col("kmv"), 8))
+    val manual = (1 to 3).map { h =>
+      val contrib = e.join(st, e("dst") === st("node"))
+        .select(e("src").as("node"), col("kmv"))
+      st = st.select(col("node"), explode(col("kmv")).as("h"))
+        .unionByName(contrib.select(col("node"), explode(col("kmv")).as("h")))
+        .groupBy("node")
+        .agg(slice(array_sort(collect_set(col("h"))), 1, 8).as("kmv"))
+        .localCheckpoint()
+      val r = st.agg(count(lit(1)),
+        sum(round(est, 4).cast("decimal(38,4)")).cast("double")).head()
+      (h, r.getLong(0), r.getDouble(1))
+    }
+    assert(nat === manual, "native ANF diverged from the collect_set form")
+  }
 }
