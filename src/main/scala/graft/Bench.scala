@@ -17,6 +17,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // object-typed aggregates (graft_bottomk, graft_simhash) keep tiny
+      // ≤8k-byte buffers per group; the default 128-key fallback turns
+      // every such aggregation sort-based and spills the exploded input
+      // (q202 spilled a constant 5.9 GB/iteration from exactly this)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
