@@ -1125,7 +1125,8 @@ object Graph {
       state = cut(hashes.groupBy("node").agg(bottomK.as("kmv")),
         durable, ret)
       val row = state.agg(count(lit(1)).as("n"),
-        sum(round(estCol, 4).cast("decimal(38,4)")).cast("double").as("p"))
+        coalesce(sum(round(estCol, 4).cast("decimal(38,4)")).cast("double"),
+          lit(0.0)).as("p"))
         .head()
       (h, row.getLong(0), row.getDouble(1))
     }

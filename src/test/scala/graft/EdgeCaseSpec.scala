@@ -147,4 +147,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
       4L -> "removed", 5L -> "added"))
   }
+
+  test("betweennessSampled: zero matching seeds is an empty result, not a crash") {
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val out = graft.graph.Graph.betweennessSampled(e,
+      _ => org.apache.spark.sql.functions.lit(false), maxHops = 4)
+    assert(out.count() == 0)
+  }
+
+  test("neighborhoodFunction: isolated-free empty graph degrades to zero rows per hop") {
+    val e = spark.emptyDataFrame
+      .select(org.apache.spark.sql.functions.lit("x").as("src"),
+        org.apache.spark.sql.functions.lit("y").as("dst"))
+      .where(org.apache.spark.sql.functions.lit(false))
+    val out = graft.graph.Graph.neighborhoodFunction(e, k = 4, maxHops = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1, 0L, 0.0), (2, 0L, 0.0)))
+  }
 }
