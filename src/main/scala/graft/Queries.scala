@@ -9470,6 +9470,83 @@ object Queries {
           AS fim_md5
       FROM p"""))
 
+  /** Batch assembly end to end — the chain that turns a curated corpus
+    * into training sequences, each stage an already-oracled operator:
+    * q203's budget solve picks the per-source token allocation, q205's
+    * greedy hash-ordered pick materializes it, the picked corpus
+    * shuffles deterministically into 8 shards (q95's
+    * [[graft.operators.Packing.shuffleShard]] — md5 shard + per-shard
+    * rank, reproducible at any cluster size), and each shard packs
+    * concat-and-chunk into 256-token sequences (q79's
+    * [[graft.operators.Packing.packSequences]]). The census reports
+    * per shard: documents, tokens, sequences, boundary-straddling docs
+    * and the fill ratio — the numbers a training run's data loader
+    * actually consumes. Every window is shard- or source-keyed; no
+    * global sort exists anywhere in the chain. */
+  val q207BatchAssembly = Q(
+    "q207_batch_assembly",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wf = mixAllocation(s, d).select(col("source"), col("alloc"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val picked = documents(s, d).select(col("source"), col("doc_id"),
+          Text.tokenCount(col("text")).as("tok"),
+          Text.md5Hash64(col("doc_id").cast("string"), 21).as("h"))
+        .withColumn("cum", sum("tok").over(w))
+        .join(wf, "source").where(col("cum") <= col("alloc"))
+        .select(col("doc_id"), col("tok"))
+      val sharded = Packing.shuffleShard(picked, "doc_id", shards = 8,
+        salt = 5)
+      Packing.packSequences(sharded, Seq("shard"), "pos", "tok", seqLen = 256)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok").cast("long")).as("total_tokens"),
+          (max("end_seq") + 1).as("n_seqs"),
+          sum(when(col("end_seq") > col("start_seq"), 1).otherwise(0))
+            .as("n_straddling"))
+        .select(col("shard"), col("n_docs"), col("total_tokens"),
+          col("n_seqs"), col("n_straddling"),
+          round(col("total_tokens") / (col("n_seqs") * lit(256.0)), 4)
+            .as("fill_ratio"))
+    },
+    Some(s"""WITH $mixBudgetCtes,
+      o AS (
+        SELECT d.source, d.doc_id, len(tk.toks) AS tok,
+          sum(len(tk.toks)) OVER (PARTITION BY d.source ORDER BY
+            ('0x' || substr(md5('21:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+            d.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents d JOIN tk ON tk.doc_id = d.doc_id),
+      pk AS (
+        SELECT o.doc_id, o.tok FROM o JOIN wf USING (source)
+        WHERE o.cum <= wf.alloc),
+      hs AS (
+        SELECT doc_id, tok,
+          ('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM pk),
+      sh AS (
+        SELECT doc_id, tok, h % 8 AS shard,
+          row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS pos
+        FROM hs),
+      px AS (
+        SELECT shard, tok,
+          CAST(sum(tok) OVER (PARTITION BY shard ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) - tok AS BIGINT) AS off
+        FROM sh),
+      py AS (
+        SELECT shard, tok, off // 256 AS start_seq,
+          CASE WHEN tok > 0 THEN (off + tok - 1) // 256
+               ELSE off // 256 END AS end_seq
+        FROM px)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS total_tokens,
+        CAST(max(end_seq) + 1 AS BIGINT) AS n_seqs,
+        CAST(sum(CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_straddling,
+        round(sum(tok) / ((max(end_seq) + 1) * 256.0), 4) AS fill_ratio
+      FROM py GROUP BY shard"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9524,5 +9601,6 @@ object Queries {
     q193IncrementalComponents, q194Closeness, q195PcaPower,
     q196PcaProject, q197LogregQuality, q198DedupCanonical,
     q199Betweenness, q200Sq8, q201CurationDedup, q202Anf,
-    q203MixBudget, q204IvfIncremental, q205MixMaterialize, q206Fim)
+    q203MixBudget, q204IvfIncremental, q205MixMaterialize, q206Fim,
+    q207BatchAssembly)
 }
