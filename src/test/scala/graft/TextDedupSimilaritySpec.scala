@@ -63,6 +63,49 @@ class TextDedupSimilaritySpec extends SparkSpec {
       && pairs(0).getInt(2) == 0)
   }
 
+  test("editVerifiedNearDup: verify kills band collisions; dist matches hand count") {
+    // 1 vs 2: "tok7" -> "tok7x" = 1 insertion; the pair band-collides
+    //   (chunk 16-bit match at hamming 7, verified offline) -> edit 1.
+    // 3 vs 4: whitespace-only difference -> identical normalized text,
+    //   hamming 0, edit_dist 0.
+    // 1 vs 3/4: unrelated; any band collision must be killed by the verify.
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("tok7 ", "tok7x ")),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two  three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Dedup.editVerifiedNearDup(df, "doc_id", "text",
+        maxHamming = 10, prefixLen = 256, maxEdits = 10)
+      .orderBy("id1", "id2")
+      .select("id1", "id2", "edit_dist").as[(Long, Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1), (3L, 4L, 0)))
+  }
+
+  test("editVerifiedNearDup: banded threshold DP equals unbounded within bound") {
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base.replace("tok7", "tok7x")),
+      (3L, base), (4L, "wholly different content entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.editVerifiedNearDup(df, "doc_id", "text",
+        maxHamming = 64, prefixLen = 128, maxEdits = 5)
+      .select("id1", "id2", "edit_dist").as[(Long, Long, Int)].collect()
+    // identical pair always survives banding (hamming 0) with dist 0
+    assert(out.contains((1L, 3L, 0)))
+    // parity: every emitted distance equals the UNBOUNDED levenshtein on
+    // the same normalized 128-char prefixes (threshold DP is lossless
+    // within its bound)
+    val pfx = df.select($"doc_id",
+        substring(Text.normalize($"text"), 1, 128).as("p"))
+      .as[(Long, String)].collect().toMap
+    out.foreach { case (a, b, d) =>
+      val full = df.sparkSession.sql(
+        s"SELECT levenshtein('${pfx(a)}', '${pfx(b)}')").as[Int].head()
+      assert(d == full && d <= 5)
+    }
+  }
+
   test("bruteForceTopK: hand-computed cosine ordering") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),   // probe
