@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.native.{BottomKAgg, CosineSimilarity, DotProduct, HausdorffDistance, SimHashAgg}
+import graft.functions.native.{BottomKAgg, CosineSimilarity, DotProduct, HausdorffDistance, MisraGriesAgg, SimHashAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -47,6 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // partition saw (the collect_set fallback ships them all)
     inject("graft_bottomk", 2, c => BottomKAgg(c(0), c(1)),
       classOf[BottomKAgg].getName)
+    // Misra–Gries heavy-hitter summary: ≤k (key,count) counters per
+    // partial state — the bounded candidate pass of the exact two-scan
+    // heavy-hitters plan (the expression fallback is a full groupBy
+    // census, which ships every distinct key)
+    inject("graft_mg", 2, c => MisraGriesAgg(c(0), c(1)),
+      classOf[MisraGriesAgg].getName)
   }
 }
 

@@ -9578,6 +9578,36 @@ object Queries {
       FROM hv JOIN pfx a ON a.doc_id = hv.id1 JOIN pfx b ON b.doc_id = hv.id2
       WHERE levenshtein(a.p, b.p) <= 40"""))
 
+  /** EXACT heavy hitters by Misra–Gries candidates + exact verify
+    * ([[Sketches.heavyHitters]]). The key stream is built head+tail:
+    * p_name tokens (16 heavy keys, each ~4% of the stream at every SF)
+    * unioned with each part's unique key string (a distinct-key tail that
+    * grows with SF — 2k keys at sf0.01, 20k at sf0.1) — so the one-scan
+    * census alternative shuffles the whole tail while the MG pass ships
+    * k=512 counters, and phi=0.01 keeps the answer the same 16 rows at
+    * any scale. Output counts are EXACT (pass-2 recount of <= k
+    * candidates), so the oracle is a plain census HAVING — the engines
+    * agree even though the driver never shuffles the tail. */
+  val q209HeavyHitters = Q(
+    "q209_heavy_hitters",
+    (s, d) => {
+      val p = part(s, d)
+      val keyed = p.select(explode(Text.tokens(col("p_name"))).as("key"))
+        .unionByName(p.select(col("p_partkey").cast("string").as("key")))
+      Sketches.heavyHitters(keyed, col("key"), phi = 0.01, k = 512)
+    },
+    Some("""WITH k AS (
+        SELECT unnest(string_split(
+          trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')), ' ')) AS key
+        FROM part
+        UNION ALL
+        SELECT CAST(p_partkey AS VARCHAR) FROM part),
+      n AS (SELECT count(*) AS nn FROM k)
+      SELECT key, count(*) AS cnt,
+        round(count(*) / CAST((SELECT nn FROM n) AS DOUBLE), 6) AS share
+      FROM k GROUP BY key
+      HAVING count(*) >= ceil(0.01 * (SELECT nn FROM n))"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9633,5 +9663,5 @@ object Queries {
     q196PcaProject, q197LogregQuality, q198DedupCanonical,
     q199Betweenness, q200Sq8, q201CurationDedup, q202Anf,
     q203MixBudget, q204IvfIncremental, q205MixMaterialize, q206Fim,
-    q207BatchAssembly, q208EditVerified)
+    q207BatchAssembly, q208EditVerified, q209HeavyHitters)
 }

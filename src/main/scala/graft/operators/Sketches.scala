@@ -232,4 +232,67 @@ object Sketches {
     coalesce(if (lookups.size == 1) lookups.head else least(lookups: _*),
       lit(0L))
   }
+
+  /** EXACT heavy hitters in two bounded scans — keys of `keyCol` whose
+    * frequency is >= ceil(phi * n) (n = non-null key count), with their
+    * exact counts and shares.
+    *
+    * The classic candidate/verify plan (Misra & Gries 1982 + a counting
+    * pass), NOT the one-scan census: a plain
+    * `groupBy(key).count().filter(cnt >= t)` shuffles one row per
+    * DISTINCT key — at 100 TB of text tokens that census IS the job.
+    * Here pass 1 runs the native [[graft.functions.native.MisraGriesAgg]]
+    * summary (<= k counters per partial state, k structs through the
+    * one-row global aggregation) alongside `count(keyCol)`; its guarantee
+    * — every key with frequency > n/(k+1) survives, whatever the
+    * partitioning — makes the summary a certain SUPERSET of the answer
+    * whenever phi > 1/(k+1), which the require pins. Pass 2 re-counts
+    * ONLY the (<= k, broadcast as a literal array) candidates exactly and
+    * applies the threshold, so the emitted counts are exact and the
+    * output is deterministic/oracle-checkable even though summary
+    * contents are merge-order-dependent.
+    *
+    * Sessions without the extension fall back to the exact census
+    * groupBy — identical answers, unbounded shuffle key-space (the usual
+    * extension contract: lose shuffle bytes, never answers).
+    */
+  def heavyHitters(df: DataFrame, keyCol: Column, phi: Double,
+                   k: Int = 512): DataFrame = {
+    require(phi > 1.0 / (k + 1),
+      s"phi=$phi must exceed 1/(k+1)=${1.0 / (k + 1)} for the MG superset guarantee")
+    val spark = df.sparkSession
+    val keyed = df.select(keyCol.cast("string").as("key"))
+    val thresholdOf = (n: Long) => math.ceil(phi * n).toLong
+    if (graft.GraftExtensions.has(spark, "graft_mg")) {
+      // pass 1: bounded summary + exact n in ONE scan and one one-row agg
+      val row = keyed
+        .agg(call_function("graft_mg", col("key"), lit(k)).as("mg"),
+          count(col("key")).as("n"))
+        .head()
+      val n = row.getLong(1)
+      val cands = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      val t = thresholdOf(n)
+      if (cands.isEmpty)
+        return keyed.limit(0).select(col("key"),
+          lit(0L).as("cnt"), lit(0.0).as("share"))
+      // pass 2: exact count of candidates only — the filter is a literal
+      // in-set predicate, map-side, so the shuffle carries <= k keys
+      keyed.where(col("key").isInCollection(cands))
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= t)
+        .select(col("key"), col("cnt"),
+          round(col("cnt") / lit(n.toDouble), 6).as("share"))
+    } else {
+      import graft.operators.Guards
+      val tot = keyed.agg(count(col("key")).as("n"))
+        .withColumn("__k", Guards.constKey(col("n")))
+      keyed.where(col("key").isNotNull)
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+        .withColumn("__k", Guards.constKey(col("key")))
+        .join(broadcast(tot), "__k")
+        .where(col("cnt") >= ceil(lit(phi) * col("n")).cast("long"))
+        .select(col("key"), col("cnt"),
+          round(col("cnt") / col("n").cast("double"), 6).as("share"))
+    }
+  }
 }

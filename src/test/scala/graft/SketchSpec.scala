@@ -201,4 +201,58 @@ class SketchSpec extends SparkSpec {
       count(lit(1)), sum("v")).as[(Long, Long)].collect().head
     assert(viaBloom == plain && plain._1 == 50L)
   }
+
+  test("misra-gries buffer: update bound, classic decrement, merge truncation") {
+    import graft.functions.native.MisraGriesAgg
+    // hand case, k=2: stream a a b c -> offer(c) against a full {a:2,b:1}
+    // decrements all (b drops at 0), c never lands -> {a:1}
+    val b = new MisraGriesAgg.Buf(2)
+    Seq("a", "a", "b", "c").foreach(b.offer)
+    assert(b.counts.toMap == Map("a" -> 1L))
+    // merge truncation: {x:5, y:3} ++ {z:2} at k=2 -> subtract the
+    // 3rd-largest (2) from all -> {x:3, y:1}
+    val m1 = new MisraGriesAgg.Buf(2); val m2 = new MisraGriesAgg.Buf(2)
+    m1.counts ++= Map("x" -> 5L, "y" -> 3L)
+    m2.counts ++= Map("z" -> 2L)
+    m1.mergeFrom(m2)
+    assert(m1.counts.toMap == Map("x" -> 3L, "y" -> 1L))
+  }
+
+  test("misra-gries superset guarantee holds across partitionings") {
+    // 1 key at 30% + 200 singleton tail keys; k=8 -> anything above
+    // n/9 (~11%) MUST survive the summary whatever the partitioning
+    val rows = Seq.fill(90)("heavy") ++ (1 to 200).map(i => s"t$i") ++
+      Seq.fill(10)("semi") // 300 rows total; heavy=30%, semi ~3.3%
+    for (parts <- Seq(1, 3, 7)) {
+      val df = rows.toDF("key").repartition(parts)
+      val summary = df.agg(call_function("graft_mg", col("key"), lit(8)))
+        .as[Seq[(String, Long)]].collect().head
+      assert(summary.map(_._1).contains("heavy"),
+        s"heavy key missing at $parts partitions: $summary")
+      assert(summary.size <= 8)
+      // count lower bound: summary count never exceeds the true count
+      val est = summary.toMap.getOrElse("heavy", 0L)
+      assert(est <= 90L && est >= 90L - 300L / 9 - 1)
+    }
+  }
+
+  test("heavyHitters: exact counts match a census; tail never leaks in") {
+    val rows = Seq.fill(60)("hh1") ++ Seq.fill(40)("hh2") ++
+      (1 to 150).map(i => s"tail$i") // n=250; hh1=24%, hh2=16%, tail 0.4%
+    val df = rows.toDF("key").repartition(5)
+    val out = Sketches.heavyHitters(df, col("key"), phi = 0.1, k = 16)
+      .orderBy(desc("cnt")).as[(String, Long, Double)].collect()
+    assert(out.toSeq == Seq(("hh1", 60L, 0.24), ("hh2", 40L, 0.16)))
+    // fallback census path answers identically
+    val exp = df.groupBy("key").count().where(col("count") >= 25)
+      .as[(String, Long)].collect().toSet
+    assert(out.map(r => (r._1, r._2)).toSet == exp)
+  }
+
+  test("heavyHitters: phi below the MG guarantee is rejected") {
+    val df = Seq("a", "b").toDF("key")
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(df, col("key"), phi = 0.001, k = 16)
+    }
+  }
 }
