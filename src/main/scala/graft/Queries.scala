@@ -9608,6 +9608,62 @@ object Queries {
       FROM k GROUP BY key
       HAVING count(*) >= ceil(0.01 * (SELECT nn FROM n))"""))
 
+  /** One k-center greedy round as DuckDB CTEs: min-distance map against
+    * the centers so far (`cc\$p`), farthest pick via the min-struct
+    * (−d, id) trick, appended to the center set — the
+    * [[Clustering.kCenterGreedy]] recurrence under the q93/q185 6-dp
+    * distance discipline. */
+  private def kcenterRoundSql(n: Int): String = {
+    val p = n - 1
+    s"""
+      dm$n AS (
+        SELECT p.vec_id,
+          min(round(list_aggregate(list_transform(range(1, 65),
+            i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])), 'sum'), 6)) AS d
+        FROM p CROSS JOIN cc$p c GROUP BY p.vec_id),
+      pk$n AS (
+        SELECT min(struct_pack(nd := -d, id := vec_id)) AS s FROM dm$n),
+      cc$n AS MATERIALIZED (
+        SELECT * FROM cc$p UNION ALL
+        SELECT $n AS round, d.vec_id AS center_id, d.d AS radius, p.v
+        FROM dm$n d JOIN pk$n ON d.vec_id = pk$n.s.id
+        JOIN p ON p.vec_id = d.vec_id)"""
+  }
+
+  /** k-center greedy coreset selection + assignment audit
+    * ([[Clustering.kCenterGreedy]]/[[kCenterAssign]]): 8 farthest-point
+    * picks over the embeddings (Gonzalez'85 / Sener-Savarese coreset),
+    * then every point assigned to its nearest pick — per-center
+    * population and true coverage radius. The oracle unrolls the same 8
+    * greedy rounds; picks, radii, assignment and coverage must agree
+    * bit-for-bit on the 6-dp distance grid. */
+  val q210KcenterCoreset = Q(
+    "q210_kcenter_coreset",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val picks = Clustering.kCenterGreedy(emb, "vec_id", "embedding", k = 8)
+      Clustering.kCenterAssign(emb, "vec_id", "embedding", picks)
+    },
+    Some(s"""WITH p AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cc0 AS (
+        SELECT 0 AS round, vec_id AS center_id, CAST(NULL AS DOUBLE) AS radius, v
+        FROM p WHERE vec_id = (SELECT min(vec_id) FROM p)),
+      ${(1 to 7).map(kcenterRoundSql).mkString(",\n")},
+      asg AS (
+        SELECT p.vec_id,
+          min(struct_pack(
+            d := round(list_aggregate(list_transform(range(1, 65),
+              i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])), 'sum'), 6),
+            r := c.round)) AS s
+        FROM p CROSS JOIN cc7 c GROUP BY p.vec_id),
+      agg AS (
+        SELECT s.r AS round, count(*) AS n_assigned, max(s.d) AS coverage
+        FROM asg GROUP BY 1)
+      SELECT CAST(c.round AS BIGINT) AS round, c.center_id, c.radius,
+        a.n_assigned, a.coverage
+      FROM cc7 c JOIN agg a USING (round)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9663,5 +9719,6 @@ object Queries {
     q196PcaProject, q197LogregQuality, q198DedupCanonical,
     q199Betweenness, q200Sq8, q201CurationDedup, q202Anf,
     q203MixBudget, q204IvfIncremental, q205MixMaterialize, q206Fim,
-    q207BatchAssembly, q208EditVerified, q209HeavyHitters)
+    q207BatchAssembly, q208EditVerified, q209HeavyHitters,
+    q210KcenterCoreset)
 }

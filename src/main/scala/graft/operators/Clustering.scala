@@ -130,6 +130,94 @@ object Clustering {
         lit(it).as("iters"), round(lit(shift), 6).as("shift"))
   }
 
+  /** k-center greedy coreset selection — farthest-point traversal
+    * (Gonzalez 1985's 2-approximation to the k-center cover; Sener &
+    * Savarese, ICLR 2018 use exactly this as coreset selection for
+    * training-data subsampling): seed with the smallest id, then k−1
+    * times pick the point FARTHEST from the current center set (max of
+    * min-distance, ties to the smallest id). The selected rows are the
+    * "cover" — the k most mutually spread exemplars, the opposite
+    * failure mode of random sampling (which oversamples dense regions
+    * and never sees outliers).
+    *
+    * Deterministic and engine-portable under the kmeansAssign
+    * discipline: distances are squared L2 against a LITERAL center
+    * matrix, rounded to 6 dp before any comparison; both the pick
+    * (max d, then min id) and the final assignment (min d, then first
+    * center in pick order) order on the rounded grid, so an SQL oracle
+    * unrolling the same k rounds reproduces the identical cover.
+    *
+    * Scale shape: k passes over the points, each a map-side fused
+    * multiply-add projection (centers ride along as literals — no join,
+    * the vectors never shuffle) reduced by a TakeOrdered(1); centers
+    * accumulate on the driver (k x dims doubles, config scale). No
+    * all-pairs distance matrix ever exists — the O(n·k) total work is
+    * the known lower envelope for this cover.
+    *
+    * Returns k rows: (round, center_id, radius) where radius is the
+    * picked point's min-distance to the PREVIOUS centers — i.e. the
+    * coverage radius of the first `round` centers — and the seed's
+    * radius is null.
+    */
+  def kCenterGreedy(points: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k-center needs k >= 1")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = prep(points, idCol, vecCol)
+    val seed = pts.orderBy(col("__id")).limit(1)
+      .select(col("__id"), col("__v")).collect()(0)
+    var centers = IndexedSeq(seed.getSeq[Double](1).toIndexedSeq)
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+      (0L, seed.getLong(0), None))
+    for (r <- 1 until k) {
+      val far = pts
+        .select(col("__id"), col("__v"), minDistColumn(col("__v"), centers).as("d"))
+        .orderBy(col("d").desc, col("__id")).limit(1)
+        .collect()(0)
+      picks += ((r.toLong, far.getLong(0), Some(far.getDouble(2))))
+      centers = centers :+ far.getSeq[Double](1).toIndexedSeq
+    }
+    picks.toSeq.toDF("round", "center_id", "radius")
+  }
+
+  /** Assignment of every point to its nearest k-center pick (ties to the
+    * earliest-picked center, the assignColumn convention): per-center
+    * population and true coverage radius — the audit a coreset user
+    * reads before trusting the cover. One extra map-side pass. */
+  def kCenterAssign(points: DataFrame, idCol: String, vecCol: String,
+                    picks: DataFrame): DataFrame = {
+    val pts = prep(points, idCol, vecCol)
+    // picks is k rows (config scale): collect center vectors in pick order
+    val cents = picks
+      .join(pts, picks("center_id") === pts("__id"))
+      .orderBy(col("round"))
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    // the min distance IS the assigned center's distance (argmin), so one
+    // literal projection yields both columns
+    val assigned = pts
+      .withColumn("cluster", assignColumn(col("__v"), cents))
+      .withColumn("d", minDistColumn(col("__v"), cents))
+      .groupBy(col("cluster").cast("long").as("round"))
+      .agg(count(lit(1)).as("n_assigned"), max(col("d")).as("coverage"))
+    picks.join(assigned, "round")
+      .select(col("round"), col("center_id"), col("radius"),
+        col("n_assigned"), col("coverage"))
+  }
+
+  /** Min 6-dp-rounded squared-L2 distance to a literal center matrix. */
+  private def minDistColumn(vec: Column,
+      cents: IndexedSeq[IndexedSeq[Double]]): Column = {
+    val ds = cents.map { cv =>
+      val w = array(cv.map(lit): _*)
+      round(aggregate(
+        zip_with(vec, w, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v), 6)
+    }
+    if (ds.size == 1) ds.head else least(ds: _*)
+  }
+
   /** Calibration probe (not a catalog operator): the per-round centroid
     * shifts for `maxIter` Lloyd rounds — how q185's tolerance was sized. */
   private[graft] def kmeansShiftTrace(points: DataFrame, idCol: String,

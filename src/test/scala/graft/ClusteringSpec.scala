@@ -158,4 +158,39 @@ class ClusteringSpec extends SparkSpec {
     assert(conv.map(r => r._1 -> r._2).toMap == fixed,
       "converged assignment diverges from the fixed-round twin at the same k")
   }
+
+  test("kCenterGreedy: hand-solved farthest-point picks with id tie-break") {
+    // seed = min id (1). round 1: farthest is 2 (d=100). round 2: both 3
+    // and 4 sit at min-dist 1 -> tie breaks to the smaller id 3.
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(10.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(9.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val picks = Clustering.kCenterGreedy(df, "vec_id", "embedding", k = 3)
+      .orderBy("round")
+      .select("round", "center_id", "radius")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(picks.toSeq == Seq((0L, 1L, None), (1L, 2L, Some(100.0)),
+      (2L, 3L, Some(1.0))))
+    // assignment: 4 joins center 2's cluster (d=1 vs 81/82); coverage of
+    // that cluster is exactly that distance
+    val audit = Clustering.kCenterAssign(df, "vec_id", "embedding",
+        Clustering.kCenterGreedy(df, "vec_id", "embedding", k = 3))
+      .orderBy("round")
+      .select("round", "n_assigned", "coverage")
+      .as[(Long, Long, Double)].collect()
+    assert(audit.toSeq == Seq((0L, 1L, 0.0), (1L, 2L, 1.0), (2L, 1L, 0.0)))
+  }
+
+  test("kCenterGreedy: selection radii are non-increasing (cover property)") {
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 60L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat() * 10))).toDF("vec_id", "embedding")
+    val radii = Clustering.kCenterGreedy(df, "vec_id", "embedding", k = 6)
+      .orderBy("round").select("radius")
+      .as[Option[Double]].collect().flatten
+    assert(radii.length == 5)
+    radii.toSeq.sliding(2).foreach { w =>
+      assert(w(1) <= w(0), s"radius grew: ${w(0)} -> ${w(1)}") }
+  }
 }
