@@ -9664,6 +9664,46 @@ object Queries {
         a.n_assigned, a.coverage
       FROM cc7 c JOIN agg a USING (round)"""))
 
+  /** Exact-substring dedup APPLY ([[Corpus.exciseDuplicateSpans]]) —
+    * q156 detects duplicated spans, this rewrites the corpus with them
+    * excised (Lee et al. 2022: drop the substring, keep the unique
+    * remainder). The oracle replays the k-gram census, position
+    * explosion and the token-level stitch (string_agg over surviving
+    * positions), so the REWRITTEN TEXT itself hash-matches — the
+    * strongest possible check of the surgery. */
+  val q211DedupRewrite = Q(
+    "q211_dedup_rewrite",
+    (s, d) =>
+      Corpus.exciseDuplicateSpans(documents(s, d), "doc_id", "text", k = 8),
+    Some(s"""WITH t AS ($duckToksSql),
+      c AS (
+        SELECT doc_id, unnest(range(0, len(toks) - 7)) AS start, toks
+        FROM t WHERE len(toks) >= 8),
+      s AS (
+        SELECT doc_id, start,
+          ('0x' || substr(md5('0:' ||
+            array_to_string(toks[start + 1 : start + 8], ' ')), 1, 15))::BIGINT AS key
+        FROM c),
+      dk AS (
+        SELECT key FROM (SELECT DISTINCT key, doc_id FROM s)
+        GROUP BY key HAVING count(*) >= 2),
+      rm AS (
+        SELECT DISTINCT doc_id, unnest(range(start, start + 8)) AS pos
+        FROM s JOIN dk USING (key)),
+      ra AS (SELECT doc_id, count(*) AS removed FROM rm GROUP BY 1),
+      tp AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks FROM t),
+      tk AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tp),
+      ct AS (
+        SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.pos) AS clean_text
+        FROM tk k
+        WHERE NOT EXISTS (SELECT 1 FROM rm
+          WHERE rm.doc_id = k.doc_id AND rm.pos = k.pos)
+        GROUP BY k.doc_id)
+      SELECT t.doc_id, len(t.toks) AS n_tokens,
+        coalesce(ra.removed, 0) AS removed_tokens,
+        coalesce(ct.clean_text, '') AS clean_text
+      FROM t LEFT JOIN ra USING (doc_id) LEFT JOIN ct USING (doc_id)"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9720,5 +9760,5 @@ object Queries {
     q199Betweenness, q200Sq8, q201CurationDedup, q202Anf,
     q203MixBudget, q204IvfIncremental, q205MixMaterialize, q206Fim,
     q207BatchAssembly, q208EditVerified, q209HeavyHitters,
-    q210KcenterCoreset)
+    q210KcenterCoreset, q211DedupRewrite)
 }

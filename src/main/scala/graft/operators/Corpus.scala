@@ -147,6 +147,66 @@ object Corpus {
           .as("dup_ratio"))
   }
 
+  /** The APPLY step of exact-substring dedup — rewrite each document
+    * with its cross-document duplicated spans EXCISED (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": drop
+    * the duplicated substring, keep the unique remainder — deleting
+    * whole documents over one shared span throws away unique text, and
+    * keeping the span trains the model on it twice). [[duplicateSpans]]
+    * is the detector; this is the surgeon.
+    *
+    * Excision is symmetric (every occurrence goes, not all-but-one) —
+    * the conservative mode: a canonical-keeper needs a global
+    * min-doc-per-span election whose output depends on doc ids, while
+    * symmetric excision is a pure function of the duplicated-k-gram set,
+    * so it stays map-shaped after the one dup-key join.
+    *
+    * Plan: the same stride-1 k-gram census as [[duplicateSpans]] (one
+    * partial-agg'd shuffle over hashed keys), then ONLY duplicated grams
+    * explode to their k covered token positions (work scales with
+    * duplicated content, not corpus size), distinct-collapsed and
+    * collected per doc — a set bounded by the doc's own token count.
+    * The rewrite is a map-side HOF: filter tokens whose index is in the
+    * removed set, re-join with single spaces. Per-doc cost is
+    * O(n_tokens · removed) worst case — bounded by document length, the
+    * same envelope as every other per-doc HOF here.
+    *
+    * Returns one row per input document:
+    * (idCol, n_tokens, removed_tokens, clean_text) — clean_text is ''
+    * for a fully-duplicated doc, the untouched re-join for a clean one.
+    */
+  def exciseDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame = {
+    require(k >= 2, "span length must be >= 2 tokens")
+    val toks = df.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("__toks"))
+    val grams = toks.where(size(col("__toks")) >= k)
+      .select(col("id"),
+        explode(sequence(lit(0), size(col("__toks")) - k)).as("start"),
+        col("__toks"))
+      .select(col("id"), col("start"),
+        Text.md5Hash64(
+          array_join(slice(col("__toks"), col("start") + 1, lit(k)), " "), 0)
+          .as("key"))
+    val dupKeys = grams.select("key", "id").distinct()
+      .groupBy("key").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= 2).select("key")
+    val removed = grams.join(dupKeys, "key")
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
+      .distinct()
+      .groupBy("id").agg(sort_array(collect_set(col("pos"))).as("__rm"))
+    toks.join(removed, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__rm")).cast("long"), lit(0L)).as("removed_tokens"),
+        when(col("__rm").isNull, array_join(col("__toks"), " "))
+          .otherwise(array_join(
+            filter(col("__toks"),
+              (_, i) => !array_contains(col("__rm"), i)), " "))
+          .as("clean_text"))
+  }
+
   /** Cross-document span dedup signal — the C4-style boilerplate filter:
     * split every document into NON-overlapping `spanTokens`-token spans
     * (the k-token analogue of C4's three-sentence span), and for each

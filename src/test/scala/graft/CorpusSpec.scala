@@ -157,6 +157,38 @@ class CorpusSpec extends SparkSpec {
     assert(full(2L)._1 == 2L && full(2L)._2 == 19L)
   }
 
+  test("exciseDuplicateSpans: hand-solved surgery, overlap union, short docs") {
+    // docs 1/2 share the 3-gram "a b c" -> excised from BOTH (symmetric);
+    // doc 3 untouched; docs 4/5 are identical -> fully excised to '';
+    // doc 6 is under k tokens -> no grams, untouched.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "x y a b c z"),
+      (3L, "unique text nothing shared"),
+      (4L, "p q r"), (5L, "p q r"),
+      (6L, "s t")
+    ).toDF("doc_id", "text")
+    val out = Corpus.exciseDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "n_tokens", "removed_tokens", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 6L, 3L, "d e f"), (2L, 6L, 3L, "x y z"),
+      (3L, 4L, 0L, "unique text nothing shared"),
+      (4L, 3L, 3L, ""), (5L, 3L, 3L, ""),
+      (6L, 2L, 0L, "s t")))
+  }
+
+  test("exciseDuplicateSpans: overlapping islands excise their coverage union") {
+    // doc 1's grams "a b c" and "b c d" are each duplicated (in different
+    // partners) — coverage [0,3) U [1,4) must union to all 4 tokens
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "b c d")
+    ).toDF("doc_id", "text")
+    val out = Corpus.exciseDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "removed_tokens", "clean_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 4L, ""), (2L, 3L, ""), (3L, 3L, "")))
+  }
+
   test("duplicateSpans: within-doc repetition alone is NOT corpus duplication") {
     val run = (1 to 8).map(i => s"r$i").mkString(" ")
     val docs = Seq(
