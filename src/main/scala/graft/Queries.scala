@@ -8175,28 +8175,36 @@ object Queries {
     * squared (the q146 market-basket shape), never supplier². Oracle:
     * the same thresholded graph, then [[lpaRoundSql]]'s gated unroll —
     * labels, round count and the stop's change census all hash-match. */
+  /** The thresholded supplier co-supply graph q188/q212 run on:
+    * suppliers linked when they co-supplied more orders than the
+    * average co-supplying pair (one-row broadcast threshold; pair
+    * fan-out bounded by order size squared — the q146 basket shape,
+    * never supplier²). Edges come out canonical (src < dst). */
+  private def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"),
+        concat(lit("s"), col("l_suppkey")).as("sup"))
+      .distinct()
+    val pairs = li
+      .join(li.withColumnRenamed("sup", "sup2"), "ok")
+      .where(col("sup") < col("sup2"))
+      .groupBy(col("sup").as("src"), col("sup2").as("dst"))
+      .agg(count(lit(1)).as("co"))
+    val thr = pairs.agg(avg(col("co")).as("m"))
+      .withColumn("__k", graft.operators.Guards.constKey(col("m")))
+    pairs
+      .withColumn("__k", graft.operators.Guards.constKey(col("src")))
+      .join(broadcast(thr), "__k")
+      .where(col("co") > col("m"))
+      .select(col("src"), col("dst"))
+  }
+
   val q188LpaTol = Q(
     "q188_lpa_tol",
-    (s, d) => {
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("ok"),
-          concat(lit("s"), col("l_suppkey")).as("sup"))
-        .distinct()
-      val pairs = li
-        .join(li.withColumnRenamed("sup", "sup2"), "ok")
-        .where(col("sup") < col("sup2"))
-        .groupBy(col("sup").as("src"), col("sup2").as("dst"))
-        .agg(count(lit(1)).as("co"))
-      val thr = pairs.agg(avg(col("co")).as("m"))
-        .withColumn("__k", graft.operators.Guards.constKey(col("m")))
-      val edges = pairs
-        .withColumn("__k", graft.operators.Guards.constKey(col("src")))
-        .join(broadcast(thr), "__k")
-        .where(col("co") > col("m"))
-        .select(col("src"), col("dst"))
-      graft.graph.Graph.labelPropagationConverged(edges, maxIter = 10)
-        .orderBy(col("node"))
-    },
+    (s, d) =>
+      graft.graph.Graph
+        .labelPropagationConverged(coSupplyEdges(s, d), maxIter = 10)
+        .orderBy(col("node")),
     Some(s"""WITH li AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS ok,
           's' || CAST(l_suppkey AS VARCHAR) AS sup
@@ -9704,6 +9712,188 @@ object Queries {
         coalesce(ct.clean_text, '') AS clean_text
       FROM t LEFT JOIN ra USING (doc_id) LEFT JOIN ct USING (doc_id)"""))
 
+  /** Newman modularity of the supplier NATION partition over the
+    * co-supply graph ([[graft.graph.Graph.modularity]]) — does a
+    * metadata attribute explain the graph's structure, or is the
+    * partition no better than the degree-preserving null model (Q ≈
+    * 0)? The attribute partition is the discriminating test here: the
+    * q188 LPA labels collapse to one community on this dense graph
+    * (Q = 0 by construction — vacuous), while 25 nations give 25
+    * distinct contributions. Per-community degree mass and intra-edge
+    * counts are integer-exact; each contribution is two IEEE divisions
+    * on exact integers rounded at 12 dp; the global Q is their
+    * decimal-exact sum — bit-replayable in SQL. */
+  val q212Modularity = Q(
+    "q212_modularity",
+    (s, d) => {
+      val labels = supplier(s, d)
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(concat(lit("s"), col("s_suppkey")).as("node"),
+          col("n_name").as("label"))
+      graft.graph.Graph.modularity(coSupplyEdges(s, d), labels)
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok,
+          's' || CAST(l_suppkey AS VARCHAR) AS sup
+        FROM lineitem),
+      pr AS (
+        SELECT x.sup AS s1, y.sup AS s2, count(*) AS co
+        FROM li x JOIN li y ON x.ok = y.ok AND x.sup < y.sup
+        GROUP BY 1, 2),
+      thr AS (SELECT avg(co) AS m FROM pr),
+      ed AS MATERIALIZED (SELECT s1, s2 FROM pr, thr WHERE co > m),
+      und AS MATERIALIZED (
+        SELECT s1 AS a, s2 AS b FROM ed UNION SELECT s2, s1 FROM ed),
+      lab AS MATERIALIZED (
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node, n_name AS lab
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM ed),
+      deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY 1),
+      dc AS (
+        SELECT l.lab, count(*) AS nodes,
+          CAST(sum(d.deg) AS BIGINT) AS deg_sum
+        FROM lab l JOIN deg d USING (node) GROUP BY 1),
+      intra AS (
+        SELECT la.lab, count(*) AS intra
+        FROM ed e JOIN lab la ON e.s1 = la.node
+          JOIN lab lb ON e.s2 = lb.node
+        WHERE la.lab = lb.lab GROUP BY 1),
+      perc AS (
+        SELECT dc.lab AS label, dc.nodes, dc.deg_sum,
+          CAST(coalesce(i.intra, 0) AS BIGINT) AS intra_edges,
+          round(coalesce(i.intra, 0) / mm.m -
+            (dc.deg_sum / (2.0 * mm.m)) * (dc.deg_sum / (2.0 * mm.m)),
+            12) AS q_contrib
+        FROM dc LEFT JOIN intra i ON dc.lab = i.lab CROSS JOIN mm),
+      qt AS (
+        SELECT CAST(sum(CAST(q_contrib AS DECIMAL(28,12))) AS DOUBLE) AS q
+        FROM perc)
+      SELECT p.label, p.nodes, p.deg_sum, p.intra_edges, p.q_contrib,
+        round(qt.q, 12) AS modularity
+      FROM perc p CROSS JOIN qt ORDER BY p.label"""))
+
+  /** One MMR greedy round as DuckDB CTEs: max-sim-to-selected over the
+    * not-yet-selected candidates, the two-literal score, the min-struct
+    * argmax pick, appended to the selected set — the
+    * [[Similarity.mmrSelect]] recurrence on the 6-dp cosine grid. */
+  private def mmrRoundSql(n: Int): String = {
+    val p = n - 1
+    s"""
+      ms$n AS (
+        SELECT c.probe_id, c.cand_id, c.rel, max(p.sim) AS ms
+        FROM cand c
+        JOIN pairs p ON p.probe_id = c.probe_id AND p.id1 = c.cand_id
+        JOIN sel$p s ON s.probe_id = p.probe_id AND s.sel_id = p.id2
+        WHERE NOT EXISTS (SELECT 1 FROM sel$p x
+          WHERE x.probe_id = c.probe_id AND x.sel_id = c.cand_id)
+        GROUP BY 1, 2, 3),
+      sc$n AS (
+        SELECT probe_id, cand_id, rel, ms,
+          CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * ms AS score
+        FROM ms$n),
+      pk$n AS (
+        SELECT probe_id, min(struct_pack(ns := -score, id := cand_id)) AS s
+        FROM sc$n GROUP BY 1),
+      sel$n AS MATERIALIZED (
+        SELECT * FROM sel$p UNION ALL
+        SELECT m.probe_id, m.cand_id AS sel_id, $n AS pick, m.rel AS cos,
+          m.ms AS max_sim, round(m.score, 6) AS mmr
+        FROM sc$n m JOIN pk$n k
+          ON m.probe_id = k.probe_id AND m.cand_id = k.s.id)"""
+  }
+
+  /** MMR diversified retrieval ([[Similarity.mmrSelect]]): each probe's
+    * top-20 cosine candidates greedily re-ranked to 5 picks balancing
+    * relevance (0.7) against redundancy with what's already picked
+    * (0.3). The oracle replays the q26 LATERAL candidate generator, the
+    * candidate-pair cosine grid, and all four greedy rounds
+    * ([[mmrRoundSql]]) — picks, order, and scores hash-match. */
+  val q213Mmr = Q(
+    "q213_mmr_rerank",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.mmrSelect(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "vec_id", candK = 20, selectK = 5,
+          relWeight = 0.7, divWeight = 0.3)
+        .orderBy(col("probe_id"), col("pick"))
+    },
+    Some(s"""WITH cand AS MATERIALIZED (
+        SELECT p.vec_id AS probe_id, n.rank, n.cand_id, n.rel
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) p,
+        LATERAL (
+          SELECT c.vec_id AS cand_id,
+            row_number() OVER (ORDER BY
+              list_cosine_similarity(c.embedding::DOUBLE[],
+                (SELECT embedding FROM embeddings e
+                 WHERE e.vec_id = p.vec_id)::DOUBLE[]) DESC,
+              c.vec_id) AS rank,
+            round(list_cosine_similarity(c.embedding::DOUBLE[],
+              (SELECT embedding FROM embeddings e
+               WHERE e.vec_id = p.vec_id)::DOUBLE[]), 6) AS rel
+          FROM embeddings c WHERE c.vec_id <> p.vec_id
+          ORDER BY rank LIMIT 20) n),
+      pairs AS MATERIALIZED (
+        SELECT a.probe_id, a.cand_id AS id1, b.cand_id AS id2,
+          round(list_cosine_similarity(av.embedding::DOUBLE[],
+            bv.embedding::DOUBLE[]), 6) AS sim
+        FROM cand a JOIN cand b
+          ON a.probe_id = b.probe_id AND a.cand_id <> b.cand_id
+        JOIN embeddings av ON av.vec_id = a.cand_id
+        JOIN embeddings bv ON bv.vec_id = b.cand_id),
+      sel1 AS MATERIALIZED (
+        SELECT probe_id, cand_id AS sel_id, 1 AS pick, rel AS cos,
+          CAST(NULL AS DOUBLE) AS max_sim, CAST(NULL AS DOUBLE) AS mmr
+        FROM cand WHERE rank = 1),
+      ${(2 to 5).map(mmrRoundSql).mkString(",\n")}
+      SELECT probe_id, CAST(pick AS INT) AS pick, sel_id, cos, max_sim, mmr
+      FROM sel5 ORDER BY probe_id, pick"""))
+
+  /** One deterministic-walk step as DuckDB CTEs: hash-argmin over the
+    * current node's neighbors under the md5Hash64 convention — the
+    * [[graft.graph.Graph.randomWalks]] recurrence. */
+  private def walkStepSql(t: Int): String = {
+    val p = t - 1
+    s"""
+      ch$t AS (
+        SELECT w.wid,
+          min(struct_pack(
+            h := ('0x' || substr(md5('7:' || w.wid || ':' || '$t' || ':' ||
+              CAST(e.b AS VARCHAR)), 1, 15))::BIGINT,
+            n := e.b)) AS s
+        FROM wk$p w JOIN und e ON w.node = e.a
+        GROUP BY 1),
+      wk$t AS MATERIALIZED (SELECT wid, s.n AS node FROM ch$t)"""
+  }
+
+  /** Random-walk corpus generation over the parts co-purchase graph
+    * ([[graft.graph.Graph.randomWalks]]): 2 walkers per seed part, 8
+    * hash-argmin steps on the undirected view — the DeepWalk sequence
+    * corpus an embedding trainer consumes, fully replayable. The
+    * oracle unrolls all 8 steps ([[walkStepSql]]) and stitches the
+    * walk strings; sequences hash-match token for token. */
+  val q214RandomWalks = Q(
+    "q214_random_walks",
+    (s, d) =>
+      graft.graph.Graph.randomWalks(coOrderEdges(s, d),
+          node => node <= 20, walkLen = 8, walksPerSeed = 2)
+        .orderBy(col("walk_id")),
+    Some(s"""WITH $coOrderEdgesSql,
+      sd AS (SELECT DISTINCT a AS node FROM und WHERE a <= 20),
+      wk0 AS MATERIALIZED (
+        SELECT CAST(node AS VARCHAR) || '#' || CAST(r.r AS VARCHAR) AS wid,
+          node
+        FROM sd CROSS JOIN (SELECT unnest([1, 2]) AS r) r),
+      ${(1 to 8).map(walkStepSql).mkString(",\n")},
+      tr AS (
+        ${(0 to 8).map(t =>
+          s"SELECT wid, $t AS step, node FROM wk$t")
+          .mkString("\n        UNION ALL ")})
+      SELECT wid AS walk_id, count(*) AS steps,
+        string_agg(CAST(node AS VARCHAR), ' ' ORDER BY step) AS walk
+      FROM tr GROUP BY 1 ORDER BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9760,5 +9950,6 @@ object Queries {
     q199Betweenness, q200Sq8, q201CurationDedup, q202Anf,
     q203MixBudget, q204IvfIncremental, q205MixMaterialize, q206Fim,
     q207BatchAssembly, q208EditVerified, q209HeavyHitters,
-    q210KcenterCoreset, q211DedupRewrite)
+    q210KcenterCoreset, q211DedupRewrite, q212Modularity, q213Mmr,
+    q214RandomWalks)
 }

@@ -1171,6 +1171,133 @@ object Graph {
           coalesce(col("dnew"), lit(0.0)).as("delta")))
   }
 
+  /** Newman modularity of a node partition (Newman & Girvan 2004,
+    * eq. 5): Q = Σ_c [ m_c/m − (d_c/(2m))² ] over the undirected
+    * simple graph, where m is the undirected edge count, m_c the edges
+    * with both endpoints in community c, and d_c the degree mass of c.
+    * This is the standard quality readout for a community assignment
+    * ([[labelPropagationConverged]]'s output): Q ≈ 0 means the
+    * partition is no better than the degree-preserving random graph,
+    * Q ≳ 0.3 means real structure — the number a curation pipeline
+    * checks before trusting community-level sampling decisions.
+    *
+    * One bounded pass, no iteration: canonicalize edges to distinct
+    * a<b pairs (one shuffle), label both endpoints (two node-keyed
+    * joins — `labels` is node-scale, so at 100 TB these shuffle on the
+    * node key like every round of the iterative family), then three
+    * integer aggregations (m, per-community degree mass, per-community
+    * intra edges) with the totals riding one-row constKey broadcasts.
+    *
+    * Determinism: every count is exact BIGINT; each community's
+    * contribution is two IEEE divisions + one multiply + one subtract
+    * on exact integers, rounded at 12 dp; the global Q sums the
+    * rounded contributions as exact decimal — the [[pageRank]] regime,
+    * so a SQL oracle replays it bit-for-bit.
+    *
+    * Returns one row per community: (label, nodes, deg_sum,
+    * intra_edges, q_contrib, modularity) with `modularity` the global
+    * Q repeated on every row (the driver-gate-friendly shape). */
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 nodeCol: String = "node", labCol: String = "label")
+      : DataFrame = {
+    import graft.operators.Guards
+    val lab = labels.select(col(nodeCol).as("node"), col(labCol).as("lab"))
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    val mRow = und.agg(count(lit(1)).cast("double").as("m"))
+      .withColumn("__k", Guards.constKey(col("m")))
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dc = lab.join(deg, Seq("node"))
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = und
+      .join(lab.select(col("node").as("a"), col("lab").as("la")), "a")
+      .join(lab.select(col("node").as("b"), col("lab").as("lb")), "b")
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("intra_edges"))
+    val perC = dc.join(intra, Seq("lab"), "left")
+      .withColumn("__k", Guards.constKey(col("lab")))
+      .join(broadcast(mRow), "__k")
+      .select(col("lab").as("label"), col("nodes"), col("deg_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        round(coalesce(col("intra_edges"), lit(0L)) / col("m") -
+          (col("deg_sum") / (lit(2.0) * col("m"))) *
+          (col("deg_sum") / (lit(2.0) * col("m"))), 12).as("q_contrib"))
+    val qTot = perC.agg(
+        sum(col("q_contrib").cast("decimal(28,12)")).cast("double").as("q"))
+      .withColumn("__k", Guards.constKey(col("q")))
+    perC.withColumn("__k", Guards.constKey(col("label")))
+      .join(broadcast(qTot), "__k")
+      .select(col("label"), col("nodes"), col("deg_sum"),
+        col("intra_edges"), col("q_contrib"),
+        round(col("q"), 12).as("modularity"))
+  }
+
+  /** Deterministic random-walk corpus generation (DeepWalk, Perozzi et
+    * al. KDD'14; node2vec's p=q=1 case) — turn a graph into the
+    * sequence corpus a skip-gram embedding trainer consumes. Each
+    * seed launches `walksPerSeed` walkers; at step t a walker at node
+    * u moves to the neighbor v minimizing
+    * md5(seed:walk_id:t:v) — a hash-argmin stand-in for uniform
+    * neighbor sampling that is exactly replayable on any engine (no
+    * RNG state, the [[graft.functions.Text.md5Hash64]] convention),
+    * while still decorrelating walks across walkers and steps.
+    *
+    * Per step: one walker⋈edges equi-join on the current node + one
+    * min-struct aggregation per walker — the [[pageRank]] round shape
+    * (src-bucketed edges make the edge side exchange-free at scale),
+    * `walkLen` bounded rounds, walker-scale state. Walks move on the
+    * UNDIRECTED view so no walker dead-ends. Returns one row per walk:
+    * (walk_id, steps, walk) with `walk` the space-joined node
+    * sequence — the training-corpus shape. */
+  def randomWalks(edges: DataFrame, isSeed: Column => Column,
+                  walkLen: Int, walksPerSeed: Int = 1, seed: Int = 7,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(walkLen >= 1 && walksPerSeed >= 1,
+      "randomWalks needs walkLen >= 1 and walksPerSeed >= 1")
+    withDurable(edges, checkpointDir) { durable =>
+    val e = edges.select(col("src"), col("dst"))
+    val und = cut(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+        .where(col("a") =!= col("b")).distinct(), durable)
+    val ret = new Retention
+    val reps = array((1 to walksPerSeed).map(lit): _*)
+    var frontier = cut(
+      und.select(col("a").as("node")).distinct()
+        .where(isSeed(col("node")))
+        .select(explode(reps).as("r"), col("node"))
+        .select(concat(col("node").cast("string"), lit("#"), col("r"))
+          .as("wid"), col("node")), durable, ret)
+    var trace = frontier.select(col("wid"), lit(0).as("step"), col("node"))
+    var t = 1
+    while (t <= walkLen) {
+      val hashed = frontier.join(und, frontier("node") === und("a"))
+        .select(col("wid"),
+          struct(graft.functions.Text.md5Hash64(
+            concat(col("wid"), lit(":"), lit(t.toString), lit(":"),
+              col("b").cast("string")), seed).as("h"),
+            col("b").as("n")).as("hn"))
+      frontier = cut(hashed.groupBy("wid")
+        .agg(min(col("hn")).getField("n").as("node")), durable, ret)
+      trace = trace.unionByName(
+        frontier.select(col("wid"), lit(t).as("step"), col("node")))
+      t += 1
+    }
+    trace.groupBy("wid")
+      .agg(count(lit(1)).as("steps"),
+        array_join(transform(array_sort(
+            collect_list(struct(col("step"), col("node").cast("string")
+              .as("n")))),
+          x => x.getField("n")), " ").as("walk"))
+      .select(col("wid").as("walk_id"), col("steps"), col("walk"))
+    }
+  }
+
   /** [[sssp]] with PER-SEED provenance — state keyed (seed, node), so
     * the output carries every seed's own distance field instead of the
     * min over seeds. This is the transport for sampled centrality

@@ -363,4 +363,89 @@ object Similarity {
       .reduce(_ + _)
     joined.select(col("id").as(idCol), round(total, 9).as("rrf"))
   }
+
+  /** Maximal-marginal-relevance diversified retrieval (Carbonell &
+    * Goldstein, SIGIR 1998): from each probe's top-`candK` relevance
+    * candidates, greedily select `selectK` results maximizing
+    * relWeight·rel(d) − divWeight·max_{s∈S} sim(d, s) — the re-ranker
+    * that keeps a RAG context window or a few-shot example set from
+    * filling up with near-duplicates of the single best hit.
+    *
+    * Scale shape: the corpus is touched exactly once, by
+    * [[bruteForceTopK]] (or any ANN front-end the caller swaps in) —
+    * everything after runs on candK rows per probe, so the greedy
+    * loop's selectK−1 rounds are config-scale jobs (candK² pairwise
+    * sims per probe, all frames localCheckpointed) no matter how big
+    * the corpus is. That per-probe boundedness is the production
+    * contract: MMR is quadratic, so it must only ever see a bounded
+    * candidate set.
+    *
+    * Determinism: rel and pairwise sims live on the 6-dp cosine grid
+    * ([[bruteForceTopK]]'s output discipline); each MMR score is two
+    * IEEE multiplies and a subtract of grid values; ties break on
+    * candidate id via the min-struct argmax. `relWeight`/`divWeight`
+    * are SEPARATE literals, not derived as 1−λ ([[graft.graph.Graph
+    * .pageRank]]'s teleport lesson: both engines must PARSE the same
+    * constant — Scala's `1 - 0.7` is 0.30000000000000004, a SQL
+    * oracle's `0.3` is not).
+    *
+    * Returns (probe_id, pick, sel_id, cos, max_sim, mmr) — pick 1 is
+    * the relevance top-1 with null max_sim/mmr. */
+  def mmrSelect(corpus: DataFrame, probes: DataFrame, idCol: String,
+                vecCol: String, probeIdCol: String, candK: Int,
+                selectK: Int, relWeight: Double, divWeight: Double)
+      : DataFrame = {
+    require(selectK >= 1 && candK >= selectK,
+      "mmrSelect needs 1 <= selectK <= candK")
+    val ss = corpus.sparkSession
+    val cand = bruteForceTopK(corpus, probes, idCol, vecCol, probeIdCol,
+        candK)
+      .select(col("probe_id"), col("rank"),
+        col("neighbor_id").as("cand_id"), col("cos").as("rel"))
+      .localCheckpoint()
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__v"),
+      norm(ss, col(vecCol)).as("__n"))
+    val withVec = cand.select(col("probe_id"), col("cand_id"))
+      .join(cv, Seq("cand_id"))
+    val a = withVec.select(col("probe_id"), col("cand_id").as("id1"),
+      col("__v").as("v1"), col("__n").as("n1"))
+    val b = withVec.select(col("probe_id").as("pb"), col("cand_id").as("id2"),
+      col("__v").as("v2"), col("__n").as("n2"))
+    val pairs = a.join(b,
+        col("probe_id") === col("pb") && col("id1") =!= col("id2"))
+      .select(col("probe_id"), col("id1").as("cand_id"), col("id2"),
+        round(when(col("n1") * col("n2") > 0,
+          dot(ss, col("v1"), col("v2")) / (col("n1") * col("n2"))), 6)
+          .as("sim"))
+      .localCheckpoint()
+    var sel = cand.where(col("rank") === 1)
+      .select(col("probe_id"), col("cand_id").as("sel_id"),
+        lit(1).as("pick"), col("rel").as("cos"),
+        lit(null).cast("double").as("max_sim"),
+        lit(null).cast("double").as("mmr"))
+      .localCheckpoint()
+    var n = 2
+    while (n <= selectK) {
+      val selIds = sel.select(col("probe_id"), col("sel_id").as("cand_id"))
+      val selAsId2 = sel.select(col("probe_id"), col("sel_id").as("id2"))
+      val ms = cand.join(selIds, Seq("probe_id", "cand_id"), "left_anti")
+        .join(pairs, Seq("probe_id", "cand_id"))
+        .join(selAsId2, Seq("probe_id", "id2"))
+        .groupBy(col("probe_id"), col("cand_id"), col("rel"))
+        .agg(max(col("sim")).as("ms"))
+      val scored = ms.withColumn("score",
+        lit(relWeight) * col("rel") - lit(divWeight) * col("ms"))
+      val pick = scored.groupBy(col("probe_id"))
+        .agg(min(struct((-col("score")).as("ns"), col("cand_id").as("id")))
+          .as("s"))
+        .select(col("probe_id"), col("s.id").as("cand_id"))
+      val newSel = pick.join(scored, Seq("probe_id", "cand_id"))
+        .select(col("probe_id"), col("cand_id").as("sel_id"),
+          lit(n).as("pick"), col("rel").as("cos"), col("ms").as("max_sim"),
+          round(col("score"), 6).as("mmr"))
+      sel = sel.unionByName(newSel).localCheckpoint()
+      n += 1
+    }
+    sel
+  }
 }

@@ -244,4 +244,63 @@ class GraphTopologySpec extends SparkSpec {
     assert(betw(path4) === Map("b" -> 4.0, "c" -> 4.0))
     assert(betw(path4, maxHops = 2) === Map("b" -> 2.0, "c" -> 2.0))
   }
+
+  test("modularity: two triangles with a bridge, hand-computed") {
+    // triangles {1,2,3} and {4,5,6} joined by 3-4: m = 7,
+    // d_A = d_B = 7, intra = 3 each -> Q = 2*(3/7 - (7/14)^2) = 5/14
+    val e = Seq("1" -> "2", "2" -> "3", "3" -> "1",
+      "4" -> "5", "5" -> "6", "6" -> "4", "3" -> "4").toDF("src", "dst")
+    val lab = Seq("1" -> "A", "2" -> "A", "3" -> "A",
+      "4" -> "B", "5" -> "B", "6" -> "B").toDF("node", "label")
+    val rows = Graph.modularity(e, lab).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("A", "B"))
+    rows.values.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(2) == 7L && r.getLong(3) == 3L)
+      assert(math.abs(r.getDouble(4) - (3.0 / 7 - 0.25)) < 1e-9)
+      assert(math.abs(r.getDouble(5) - 5.0 / 14) < 1e-9)
+    }
+  }
+
+  test("modularity: zero-intra partition scores negative") {
+    // path 1-2 split across communities: no intra edges anywhere,
+    // each side contributes -(1/2)^2 -> Q = -0.5
+    val e = Seq("1" -> "2").toDF("src", "dst")
+    val lab = Seq("1" -> "A", "2" -> "B").toDF("node", "label")
+    val rows = Graph.modularity(e, lab).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L)
+      assert(math.abs(r.getDouble(4) - -0.25) < 1e-12)
+      assert(math.abs(r.getDouble(5) - -0.5) < 1e-12)
+    }
+  }
+
+  test("randomWalks: deterministic, edge-respecting, right shape") {
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a",
+      "a" -> "c").toDF("src", "dst")
+    val und = Set("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a",
+        "a" -> "c").flatMap { case (x, y) => Seq(x -> y, y -> x) }
+    val run = () => Graph.randomWalks(e, _.isin("a", "b"),
+      walkLen = 6, walksPerSeed = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val w1 = run()
+    assert(w1.map(_._1).toSeq ==
+      Seq("a#1", "a#2", "b#1", "b#2"), "2 walkers per seed")
+    w1.foreach { case (wid, steps, walk) =>
+      assert(steps == 7L, s"$wid: walkLen+1 positions")
+      val toks = walk.split(" ").toSeq
+      assert(toks.size == 7 && toks.head == wid.takeWhile(_ != '#'))
+      toks.sliding(2).foreach { case Seq(x, y) =>
+        assert(und.contains(x -> y), s"$wid hops a non-edge $x->$y")
+      }
+    }
+    assert(w1.toSeq == run().toSeq, "identical on re-run")
+  }
+
+  test("randomWalks: a single-edge graph forces alternation") {
+    val e = Seq("x" -> "y").toDF("src", "dst")
+    val out = Graph.randomWalks(e, _ === "x", walkLen = 4).collect()
+    assert(out.length == 1 && out.head.getString(2) == "x y x y x")
+  }
 }

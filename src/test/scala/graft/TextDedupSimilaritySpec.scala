@@ -315,4 +315,48 @@ class TextDedupSimilaritySpec extends SparkSpec {
     // items in both lists dominate items in one (the hybrid property)
     assert(got(10L) > got(30L) && got(20L) > got(40L))
   }
+
+  test("mmrSelect: diversity beats pure relevance on a planted near-dup") {
+    // probe (1,0,0); d1/d2 nearly identical high-relevance pair, d3
+    // diverse and slightly less relevant. Relevance order is d1,d2,d3
+    // but MMR at 0.7/0.3 must pick d3 second: hand-solved
+    //   d2: .7*rel(d2) - .3*sim(d2,d1) ~ .7*.949 - .3*1    = .364
+    //   d3: .7*rel(d3) - .3*sim(d3,d1) ~ .7*.9   - .3*.719 = .414
+    val emb = Seq(
+      (100L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.95f, 0.31225f, 0f)),
+      (2L, Seq(0.9499f, 0.31257f, 0f)),
+      (3L, Seq(0.9f, -0.43589f, 0f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.mmrSelect(
+        emb, emb.where(col("vec_id") === 100), "vec_id", "embedding",
+        "vec_id", candK = 3, selectK = 3,
+        relWeight = 0.7, divWeight = 0.3)
+      .orderBy(col("pick")).collect()
+      .map(r => (r.getInt(2), r.getLong(1)))
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"picks were ${out.toSeq}; rel-only order is 1,2,3")
+    // score spot-check on the second pick
+    val row = graft.operators.Similarity.mmrSelect(
+        emb, emb.where(col("vec_id") === 100), "vec_id", "embedding",
+        "vec_id", candK = 3, selectK = 2,
+        relWeight = 0.7, divWeight = 0.3)
+      .where(col("pick") === 2).head()
+    assert(row.getLong(1) == 3L)
+    assert(math.abs(row.getDouble(5) -
+      (0.7 * row.getDouble(3) - 0.3 * row.getDouble(4))) < 5e-7)
+  }
+
+  test("mmrSelect: selectK=1 is the relevance top-1; ids break ties") {
+    val emb = Seq(
+      (9L, Seq(1f, 0f)), (5L, Seq(2f, 0f)), (6L, Seq(3f, 0f)))
+      .toDF("vec_id", "embedding")
+    // all candidates are cosine-identical to the probe: tie -> min id
+    val out = graft.operators.Similarity.mmrSelect(
+        emb, emb.where(col("vec_id") === 9), "vec_id", "embedding",
+        "vec_id", candK = 2, selectK = 2,
+        relWeight = 0.7, divWeight = 0.3).orderBy(col("pick")).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(5L, 6L))
+    assert(out.head.isNullAt(4) && out.head.isNullAt(5),
+      "pick 1 carries null max_sim/mmr")
+  }
 }
