@@ -9894,6 +9894,62 @@ object Queries {
         string_agg(CAST(node AS VARCHAR), ' ' ORDER BY step) AS walk
       FROM tr GROUP BY 1 ORDER BY 1"""))
 
+  /** Perceptual image near-dup ([[graft.multimodal.Binary.aHashPairs]]):
+    * aHash signatures over the bytes-as-pixels view of the document
+    * blobs, banded + hamming-verified at <= 6 bits. On the synthetic
+    * corpus the planted near-dup pairs land at hamming 0 with the noise
+    * floor starting at 8 — the threshold sits in the gap. Above-3
+    * banding recall is approximate by design (the q28 16-bit pigeonhole
+    * is complete only to 3 bits); the oracle replays the identical
+    * banding so both engines see the same candidate set. Bit 63 needs
+    * its literal value in SQL: DuckDB's `1::BIGINT << 63` raises
+    * instead of wrapping. */
+  val q215AhashDedup = Q(
+    "q215_ahash_dedup",
+    (s, d) =>
+      graft.multimodal.Binary.aHashPairs(
+          documents(s, d).withColumn("bytes", encode(col("text"), "UTF-8")),
+          "doc_id", "bytes", maxHamming = 6)
+        .orderBy(col("id1"), col("id2")),
+    Some {
+      val pix = (0 until 64).map { b =>
+        s"('0x' || substr(hx, 2*(((${b / 8}*side) >> 3)*side + " +
+          s"((${b % 8}*side) >> 3))+1, 2))::INT AS p$b"
+      }.mkString(",\n          ")
+      val total = (0 until 64).map(b => s"p$b").mkString(" + ")
+      val sig = (0 until 64).map { b =>
+        val w = if (b == 63) "CAST(-9223372036854775808 AS BIGINT)"
+                else s"(1::BIGINT << $b)"
+        s"CASE WHEN 64*p$b > s THEN $w ELSE 0::BIGINT END"
+      }.mkString("\n          + ")
+      s"""WITH hb AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+          CAST(floor(sqrt(CAST(octet_length(encode(text)) AS DOUBLE)))
+            AS INT) AS side
+        FROM documents),
+      px AS (
+        SELECT doc_id, side,
+          $pix
+        FROM hb WHERE side >= 8),
+      ss AS (SELECT *, $total AS s FROM px),
+      sig AS (
+        SELECT doc_id,
+          $sig AS ahash
+        FROM ss),
+      ch AS (
+        SELECT doc_id, ahash, cs.chunk,
+          (ahash >> (cs.chunk * 16)) & 65535 AS key
+        FROM sig, (SELECT unnest(range(0, 4)) AS chunk) cs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+          a.ahash AS h1, b.ahash AS h2
+        FROM ch a JOIN ch b
+          ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(h1, h2)) <= 6
+      ORDER BY id1, id2"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -9951,5 +10007,5 @@ object Queries {
     q203MixBudget, q204IvfIncremental, q205MixMaterialize, q206Fim,
     q207BatchAssembly, q208EditVerified, q209HeavyHitters,
     q210KcenterCoreset, q211DedupRewrite, q212Modularity, q213Mmr,
-    q214RandomWalks)
+    q214RandomWalks, q215AhashDedup)
 }

@@ -136,4 +136,54 @@ object Binary {
     docs.select(col(idCol).as("id"), encode(col(textCol), "UTF-8").as("bytes"))
       .as[Blob]
   }
+
+  /** 64-bit average hash (aHash — the classic perceptual image
+    * fingerprint: downsample to 8x8, threshold each cell against the
+    * mean, pack the bits) over the bytes-as-pixels square view
+    * ([[resizeStub]]'s convention: side = floor(sqrt(n_bytes)), the
+    * honest stand-in for a real decode; a codec would supply true
+    * dims/pixels to the SAME sampling math). Everything is
+    * integer-exact — nearest-neighbor cell index (y·side)>>3, byte
+    * lookup, and the threshold spelled 64·p > Σp so no division ever
+    * happens — which is what makes the signature bit-replayable in SQL
+    * and stable across engines. Fully expression-based (no UDF): one
+    * hex projection, 64 substr+conv byte reads, 64 conditional bit
+    * adds, all inside whole-stage codegen.
+    *
+    * Returns (id, ahash) for blobs with side >= 8 (smaller blobs have
+    * no 8x8 grid). */
+  def withAHash(df: DataFrame, idCol: String, bytesCol: String,
+                out: String = "ahash"): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        hex(col(bytesCol)).as("hx"),
+        floor(sqrt(length(col(bytesCol)).cast("double"))).cast("int")
+          .as("side"))
+      .where(col("side") >= 8)
+    // two-stage projection: pixels once as columns, then sum + bits read
+    // the columns — never re-derive the 64 substr/conv chains twice
+    val px = base.select(Seq(col("id")) ++ (0 until 64).map { b =>
+      val sy = shiftright(lit(b / 8) * col("side"), 3)
+      val sx = shiftright(lit(b % 8) * col("side"), 3)
+      val idx = sy * col("side") + sx
+      conv(col("hx").substr(lit(2) * idx + lit(1), lit(2)), 16, 10)
+        .cast("int").as(s"p$b")
+    }: _*)
+    val total = (0 until 64).map(b => col(s"p$b")).reduce(_ + _)
+    val sig = (0 until 64).map { b =>
+      when(lit(64) * col(s"p$b") > col("__s"), lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    px.withColumn("__s", total).select(col("id"), sig.as(out))
+  }
+
+  /** Perceptual near-dup image pairs: [[withAHash]] signatures through
+    * the shared 16-bit chunk banding + hamming verify
+    * ([[graft.operators.Dedup.hamming64Pairs]]) — the image analogue of
+    * SimHash text dedup, and the standard first pass of multimodal
+    * corpus dedup (re-encoded/resized copies of one image land within a
+    * few bits). Returns (id1, id2, hamming). */
+  def aHashPairs(df: DataFrame, idCol: String, bytesCol: String,
+                 maxHamming: Int): DataFrame =
+    graft.operators.Dedup.hamming64Pairs(
+      withAHash(df, idCol, bytesCol)
+        .select(col("id"), col("ahash").as("hash")), maxHamming)
 }

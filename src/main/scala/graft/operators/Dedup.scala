@@ -314,18 +314,30 @@ object Dedup {
 
   /** SimHash near-dup pairs via 16-bit chunk banding + hamming verify. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val hashed = withSimHash(df, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash"))
-    val chunked = hashed.select(col("id"), col("simhash"),
+                   maxHamming: Int = 3): DataFrame =
+    hamming64Pairs(withSimHash(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash").as("hash")), maxHamming)
+
+  /** 16-bit chunk banding + hamming verify over ANY 64-bit signature
+    * frame (id, hash) — the candidate generator shared by SimHash text
+    * dedup ([[simHashPairs]]) and perceptual image dedup
+    * ([[graft.multimodal.Binary.aHashPairs]]). Pigeonhole-COMPLETE for
+    * maxHamming <= 3 (a pair within 3 bits must agree exactly on one of
+    * the 4 chunks); above that it is a high-recall approximate
+    * generator (collisions on any chunk), never all-pairs — candidate
+    * volume is bounded by signature collisions, the property that
+    * survives 100 TB. */
+  def hamming64Pairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val chunked = hashed.select(col("id"), col("hash"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
-      .withColumn("key", expr("shiftright(simhash, chunk * 16)").bitwiseAND(0xFFFFL))
+      .withColumn("key",
+        expr("shiftright(hash, chunk * 16)").bitwiseAND(0xFFFFL))
     val a = chunked.as("a"); val b = chunked.as("b")
     val cand = a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+        col("a.hash").as("h1"), col("b.hash").as("h2"))
       .dropDuplicates("id1", "id2")
     cand.withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .where(col("hamming") <= maxHamming)

@@ -157,6 +157,34 @@ class GraphSpatialSpec extends SparkSpec {
     assert(r.checksum == ('A' + 'B' + 'D' + 'E').toLong % 997)
   }
 
+  test("aHash: hand-computed signature on an identity 8x8 grid") {
+    // 64 bytes -> side 8: sampling is the identity (b-th cell reads
+    // byte b). Craft bytes so the JVM reference below is trivially
+    // auditable, then check the expression pipeline bit-for-bit.
+    // ASCII-only so UTF-8 encoding is the identity on byte values
+    val bytes = (0 until 64).map(i => ((i * 37) % 97 + 1).toChar).mkString
+    val ref = {
+      val p = bytes.map(_.toInt)
+      val s = p.sum
+      (0 until 64).map(b => if (64 * p(b) > s) 1L << b else 0L).sum
+    }
+    val df = Seq((1L, bytes), (2L, "short")).toDF("doc_id", "text")
+      .withColumn("bytes", encode(col("text"), "UTF-8"))
+    val out = Binary.withAHash(df, "doc_id", "bytes").collect()
+    assert(out.length == 1, "side < 8 blobs must be dropped")
+    assert(out.head.getLong(1) == ref)
+  }
+
+  test("aHashPairs: identical blobs at hamming 0, banding finds them") {
+    val base = (0 until 100).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val df = Seq((1L, base), (2L, base), (3L, base.reverse))
+      .toDF("doc_id", "text")
+      .withColumn("bytes", encode(col("text"), "UTF-8"))
+    val got = Binary.aHashPairs(df, "doc_id", "bytes", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("personalizedPageRank: hand-solved chain, mass conserved, seeds anchor") {
     import spark.implicits._
     // a -> b -> c, seed {a}: 3 rounds by hand (dangling mass returns to a)
