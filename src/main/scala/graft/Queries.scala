@@ -9950,6 +9950,106 @@ object Queries {
       ORDER BY id1, id2"""
     })
 
+  /** nDCG@10 graded retrieval eval — the rank-SENSITIVE companion to
+    * q181's recall gate: recall@5 counts hits anywhere in the window,
+    * nDCG grades each hit by the brute-force ground-truth rank (rel =
+    * 11 − truth_rank) and discounts it by retrieval position
+    * (ln-ratio log2, the verify-recipe ln/ln discipline), so an index
+    * that returns the right neighbors in the WRONG order now scores
+    * below one that orders them correctly. Per-probe DCG is normalized
+    * by that probe's own ideal DCG (short truth lists handled), terms
+    * ride the 12-dp decimal-exact regime, and the oracle composes the
+    * constituent queries' oracle SQL end-to-end like q181. */
+  val q216NdcgEval = Q(
+    "q216_ndcg_eval",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") < 10), "vec_id", "embedding", "vec_id",
+          k = 10)
+        .select(col("probe_id"), col("rank").as("t_rank"),
+          col("neighbor_id"))
+        .localCheckpoint()
+      val term = (rel: Column, pos: Column) =>
+        round((lit(11) - rel) / (log(pos + lit(1)) / log(lit(2.0))), 12)
+          .cast("decimal(28,12)")
+      val idcg = truth.groupBy("probe_id")
+        .agg(sum(term(col("t_rank"), col("t_rank"))).cast("double")
+          .as("idcg"))
+      val probes = truth.select("probe_id").distinct()
+      def ndcg(method: String, res: DataFrame): DataFrame = {
+        val dcg = res.where(col("rank") <= 10)
+          .select(col("probe_id"), col("rank"), col("neighbor_id"))
+          .join(truth, Seq("probe_id", "neighbor_id"))
+          .groupBy("probe_id")
+          .agg(sum(term(col("t_rank"), col("rank"))).cast("double")
+            .as("dcg"))
+        probes.join(idcg, Seq("probe_id"))
+          .join(dcg, Seq("probe_id"), "left")
+          .select(round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6)
+            .as("nd"))
+          .agg(count(lit(1)).as("n_probes"),
+            round(sum(col("nd").cast("decimal(28,6)")).cast("double") /
+              count(lit(1)), 6).as("ndcg_at_10"))
+          .select(lit(method).as("method"), col("n_probes"),
+            col("ndcg_at_10"))
+      }
+      ndcg("q29_ann_lsh", q29AnnLsh.run(s, d))
+        .unionByName(ndcg("q109_ann_multiprobe",
+          q109AnnMultiprobe.run(s, d)))
+        .unionByName(ndcg("q81_ivf", q81IvfAnn.run(s, d)))
+        .unionByName(ndcg("q147_rp", q147RpAnn.run(s, d)))
+        .orderBy(col("method"))
+    },
+    Some {
+      def ndcgSql(method: String, inner: String): String = s"""
+        SELECT '$method' AS method,
+          CAST(count(*) AS BIGINT) AS n_probes,
+          round(CAST(sum(CAST(nd AS DECIMAL(28,6))) AS DOUBLE)
+            / count(*), 6) AS ndcg_at_10
+        FROM (
+          SELECT p.probe_id, round(coalesce(d.dcg, 0) / i.idcg, 6) AS nd
+          FROM probes p
+          JOIN idcg i ON i.probe_id = p.probe_id
+          LEFT JOIN (
+            SELECT r.probe_id,
+              CAST(sum(CAST(round((11 - t.t_rank) /
+                (ln(r.rank + 1) / ln(CAST(2.0 AS DOUBLE))), 12)
+                AS DECIMAL(28,12))) AS DOUBLE) AS dcg
+            FROM ($inner) r JOIN truth t
+              ON r.probe_id = t.probe_id AND r.neighbor_id = t.neighbor_id
+            WHERE r.rank <= 10
+            GROUP BY 1) d ON d.probe_id = p.probe_id)"""
+      s"""WITH truth AS MATERIALIZED (
+        SELECT p.vec_id AS probe_id, n.rank AS t_rank, n.neighbor_id
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) p,
+        LATERAL (
+          SELECT c.vec_id AS neighbor_id,
+            row_number() OVER (ORDER BY
+              list_cosine_similarity(c.embedding::DOUBLE[],
+                (SELECT embedding FROM embeddings e
+                 WHERE e.vec_id = p.vec_id)::DOUBLE[]) DESC,
+              c.vec_id) AS rank
+          FROM embeddings c WHERE c.vec_id <> p.vec_id
+          ORDER BY rank LIMIT 10) n),
+      probes AS (SELECT DISTINCT probe_id FROM truth),
+      idcg AS (
+        SELECT probe_id,
+          CAST(sum(CAST(round((11 - t_rank) /
+            (ln(t_rank + 1) / ln(CAST(2.0 AS DOUBLE))), 12)
+            AS DECIMAL(28,12))) AS DOUBLE) AS idcg
+        FROM truth GROUP BY 1)
+      SELECT * FROM (
+      ${ndcgSql("q29_ann_lsh", q29AnnLsh.oracle.get)}
+      UNION ALL
+      ${ndcgSql("q109_ann_multiprobe", q109AnnMultiprobe.oracle.get)}
+      UNION ALL
+      ${ndcgSql("q81_ivf", q81IvfAnn.oracle.get)}
+      UNION ALL
+      ${ndcgSql("q147_rp", q147RpAnn.oracle.get)})
+      ORDER BY method"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -10007,5 +10107,5 @@ object Queries {
     q203MixBudget, q204IvfIncremental, q205MixMaterialize, q206Fim,
     q207BatchAssembly, q208EditVerified, q209HeavyHitters,
     q210KcenterCoreset, q211DedupRewrite, q212Modularity, q213Mmr,
-    q214RandomWalks, q215AhashDedup)
+    q214RandomWalks, q215AhashDedup, q216NdcgEval)
 }
