@@ -10050,6 +10050,63 @@ object Queries {
       ORDER BY method"""
     })
 
+  /** Seasonal decomposition of the daily event series per event_type
+    * ([[TimeSeries.stlDecompose]], weekly period): trend = centered
+    * 7-day moving average, seasonal = centered day-of-week effect of
+    * the detrended interior, remainder = residual — the monitoring
+    * decomposition that separates "weekends are always slow" from "this
+    * Tuesday is anomalous". Integer window sums + 6-dp decimal means,
+    * so every component hash-matches the window-function replay. */
+  val q217StlDecompose = Q(
+    "q217_stl_decompose",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      TimeSeries.stlDecompose(daily, "event_type", "day", "y", period = 7)
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH s AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, d, y,
+          CASE WHEN count(*) OVER w = 7
+            THEN floor(sum(y) OVER w / CAST(7 AS DOUBLE)
+              * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / CAST(1000000 AS DOUBLE) END AS trend
+        FROM s WINDOW w AS (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      dt AS (
+        SELECT event_type, (d - DATE '1970-01-01') % 7 AS ph,
+          y - trend AS detr
+        FROM t WHERE trend IS NOT NULL),
+      sr AS (
+        SELECT event_type, ph,
+          floor(CAST(sum(CAST(detr AS DECIMAL(28,6))) AS DOUBLE)
+            / count(*) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / CAST(1000000 AS DOUBLE) AS sraw
+        FROM dt GROUP BY 1, 2),
+      sm AS (
+        SELECT event_type,
+          floor(CAST(sum(CAST(sraw AS DECIMAL(28,6))) AS DOUBLE)
+            / count(*) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / CAST(1000000 AS DOUBLE) AS smean
+        FROM sr GROUP BY 1),
+      se AS (
+        SELECT sr.event_type, sr.ph,
+          floor((sr.sraw - sm.smean) * CAST(1000000 AS DOUBLE)
+            + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS seasonal
+        FROM sr JOIN sm USING (event_type))
+      SELECT t.event_type, t.d AS day, t.y, t.trend, se.seasonal,
+        CASE WHEN t.trend IS NOT NULL
+          THEN floor((t.y - t.trend - se.seasonal)
+            * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / CAST(1000000 AS DOUBLE) END AS remainder
+      FROM t LEFT JOIN se ON se.event_type = t.event_type
+        AND se.ph = (t.d - DATE '1970-01-01') % 7
+      ORDER BY 1, 2"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -10107,5 +10164,5 @@ object Queries {
     q203MixBudget, q204IvfIncremental, q205MixMaterialize, q206Fim,
     q207BatchAssembly, q208EditVerified, q209HeavyHitters,
     q210KcenterCoreset, q211DedupRewrite, q212Modularity, q213Mmr,
-    q214RandomWalks, q215AhashDedup, q216NdcgEval)
+    q214RandomWalks, q215AhashDedup, q216NdcgEval, q217StlDecompose)
 }

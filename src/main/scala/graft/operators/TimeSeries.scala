@@ -229,4 +229,75 @@ object TimeSeries {
         col("__z.__s.x").as("value"),
         round(col("__z.__y").cast("double"), 6).as("ewma"))): _*)
   }
+
+  /** Classical additive seasonal decomposition (the "decompose" member
+    * of the STL family — Cleveland et al. 1990's framing, via the
+    * moving-average construction in Hyndman & Athanasopoulos FPP3
+    * §3.4): y = trend + seasonal + remainder per series.
+    *
+    *  - trend: centered `period`-point moving average (odd period), null
+    *    on the h = period/2 edge rows where the window is short;
+    *  - seasonal: per-(series, phase) mean of the detrended interior,
+    *    centered so the seasonal component sums to ~0 over one period
+    *    (phase = days since 1970-01-01 mod period — an engine-neutral
+    *    integer, where dayofweek() is famously not: Spark counts Sunday
+    *    as 1, DuckDB as 0);
+    *  - remainder: y − trend − seasonal on interior rows.
+    *
+    * `yCol` is cast to LONG (counts/integral measures): integer window
+    * sums are order-independent, so the sliding trend is exact on both
+    * engines regardless of how each engine's window internals associate
+    * the additions — a double input would hash-diverge under DuckDB's
+    * segment-tree window sums. Means run the decimal-exact
+    * round-then-sum regime at 6 dp.
+    *
+    * Scale shape: windows partition by the series key (naturally
+    * parallel), the seasonal/centering dims are (keys × period)-scale
+    * joins. Returns (key, day, y, trend, seasonal, remainder). */
+  def stlDecompose(df: DataFrame, keyCol: String, dayCol: String,
+                   yCol: String, period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      "stlDecompose needs an odd period >= 3 for a centered window")
+    val h = period / 2
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(-h, h)
+    val phase = pmod(datediff(col(dayCol), to_date(lit("1970-01-01"))),
+      lit(period))
+    // NOT round(): these means are rationals with SMALL denominators
+    // (window size, phase count), which land exactly on 6-dp half
+    // points — where Spark's shortest-decimal-string rounding and
+    // DuckDB's scaled-multiply rounding disagree on the same double
+    // (observed: 5.5697275 → 5.569727 vs 5.569728). floor(x·1e6+0.5)
+    // is the identical IEEE expression tree on both engines, so both
+    // snap the same way every time.
+    val r6 = (c: Column) =>
+      floor(c * lit(1000000.0d) + lit(0.5d)).cast("double") /
+        lit(1000000.0d)
+    val t = df.select(col(keyCol), col(dayCol),
+        col(yCol).cast("long").as("y"))
+      .withColumn("trend",
+        when(count(lit(1)).over(w) === period,
+          r6(sum(col("y")).over(w) / lit(period.toDouble))))
+    // y − trend is a near-grid double (trend is on the 6-dp grid), so
+    // the decimal cast below is unambiguous — no re-round needed
+    val det = t.where(col("trend").isNotNull)
+      .select(col(keyCol), phase.as("__ph"),
+        (col("y") - col("trend")).as("__detr"))
+    val sraw = det.groupBy(col(keyCol), col("__ph"))
+      .agg(r6(sum(col("__detr").cast("decimal(28,6)")).cast("double") /
+        count(lit(1))).as("__sraw"))
+    val smean = sraw.groupBy(col(keyCol))
+      .agg(r6(sum(col("__sraw").cast("decimal(28,6)")).cast("double") /
+        count(lit(1))).as("__smean"))
+    val seasonal = sraw.join(smean, Seq(keyCol))
+      .select(col(keyCol), col("__ph"),
+        r6(col("__sraw") - col("__smean")).as("seasonal"))
+    t.withColumn("__ph", phase)
+      .join(seasonal, Seq(keyCol, "__ph"), "left")
+      .select(col(keyCol), col(dayCol), col("y"), col("trend"),
+        col("seasonal"),
+        when(col("trend").isNotNull,
+          r6(col("y") - col("trend") - col("seasonal")))
+          .as("remainder"))
+  }
 }

@@ -181,4 +181,32 @@ class TimeSeriesJoinsSpec extends SparkSpec {
         .count()
     }
   }
+
+  test("stlDecompose recovers a planted trend + zero-sum weekly pattern") {
+    // y(t) = 100 + 2t + pat[t % 7], pat sums to 0 over any 7
+    // consecutive days -> centered MA is exactly the linear trend,
+    // per-phase means are exactly the pattern, remainder is exactly 0
+    val pat = Seq(3L, -1L, 2L, -2L, 1L, -3L, 0L)
+    val start = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 until 21).map { t =>
+      ("s", java.sql.Date.valueOf(start.plusDays(t)),
+        100L + 2 * t + pat(t % 7))
+    }
+    val out = TimeSeries.stlDecompose(
+        rows.toDF("k", "day", "y"), "k", "day", "y", period = 7)
+      .orderBy(col("day")).collect()
+    assert(out.length == 21)
+    out.zipWithIndex.foreach { case (r, t) =>
+      assert(r.getLong(2) == 100L + 2 * t + pat(t % 7))
+      if (t >= 3 && t <= 17) {
+        assert(r.getDouble(3) == 100.0 + 2 * t, s"trend at t=$t")
+        assert(r.getDouble(4) == pat(t % 7).toDouble, s"seasonal at t=$t")
+        assert(r.getDouble(5) == 0.0, s"remainder at t=$t")
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(5), s"edge row t=$t")
+        assert(r.getDouble(4) == pat(t % 7).toDouble,
+          s"edge seasonal at t=$t")
+      }
+    }
+  }
 }
