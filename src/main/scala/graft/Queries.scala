@@ -10107,6 +10107,56 @@ object Queries {
         AND se.ph = (t.d - DATE '1970-01-01') % 7
       ORDER BY 1, 2"""))
 
+  /** Adamic–Adar supplier affinity ([[graft.graph.Graph.adamicAdar]])
+    * over the customer→supplier bipartite graph: two suppliers score
+    * high when many LOW-degree customers buy from both (shared niche
+    * customers beat shared mass-market ones). Centers are capped at
+    * degree 50 and hash-sampled 1 in 4 — the deterministic skew bounds
+    * that keep wedge volume ≤ cap·m/4 at any scale; suppliers (degree
+    * ~600) fall out via the cap, so customers are the centers by
+    * construction. Top-50 by (exact score, pair) — the oracle replays
+    * the sampling, the cap, the 12-dp weight sums and the cut. */
+  val q218AdamicAdar = Q(
+    "q218_adamic_adar",
+    (s, d) => {
+      val e = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.graph.Graph.adamicAdar(e, maxCenterDeg = 50, sampleMod = 4,
+        topK = 50)
+    },
+    Some("""WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      ec AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS n1, greatest(src, dst) AS n2
+        FROM e0 WHERE src <> dst),
+      und AS MATERIALIZED (
+        SELECT n1 AS a, n2 AS b FROM ec UNION ALL SELECT n2, n1 FROM ec),
+      deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY 1),
+      ctr AS (
+        SELECT node, d FROM deg
+        WHERE d >= 2 AND d <= 50
+          AND ('0x' || substr(md5('7:' || node), 1, 15))::BIGINT % 4 = 0),
+      adj AS (
+        SELECT u.a AS z, u.b AS nbr, c.d
+        FROM und u JOIN ctr c ON u.a = c.node),
+      sc AS (
+        SELECT x.n1, y.n2, count(*) AS common,
+          CAST(sum(CAST(round(CAST(1.0 AS DOUBLE) / ln(CAST(x.d AS DOUBLE)),
+            12) AS DECIMAL(28,12))) AS DOUBLE) AS aa
+        FROM (SELECT z, nbr AS n1, d FROM adj) x
+        JOIN (SELECT z, nbr AS n2 FROM adj) y
+          ON x.z = y.z AND x.n1 < y.n2
+        GROUP BY 1, 2)
+      SELECT n1 AS node1, n2 AS node2, common, round(aa, 9) AS aa
+      FROM sc
+      WHERE NOT EXISTS (SELECT 1 FROM ec
+        WHERE ec.n1 = sc.n1 AND ec.n2 = sc.n2)
+      ORDER BY sc.aa DESC, n1, n2 LIMIT 50"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -10164,5 +10214,6 @@ object Queries {
     q203MixBudget, q204IvfIncremental, q205MixMaterialize, q206Fim,
     q207BatchAssembly, q208EditVerified, q209HeavyHitters,
     q210KcenterCoreset, q211DedupRewrite, q212Modularity, q213Mmr,
-    q214RandomWalks, q215AhashDedup, q216NdcgEval, q217StlDecompose)
+    q214RandomWalks, q215AhashDedup, q216NdcgEval, q217StlDecompose,
+    q218AdamicAdar)
 }

@@ -1298,6 +1298,56 @@ object Graph {
     }
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): score a
+    * non-adjacent pair (x, y) by Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z) — common
+    * neighbors, inversely weighted by how promiscuous each one is. The
+    * classic "who should be linked" readout over co-purchase /
+    * co-authorship graphs; on a bipartite graph the candidates fall out
+    * as same-side pairs automatically.
+    *
+    * Skew control — the part that decides 100 TB survival: raw wedge
+    * enumeration is Σ deg(z)², so one celebrity center emits 10¹²
+    * pairs. Two deterministic, engine-replayable bounds: (a) centers
+    * above `maxCenterDeg` are DROPPED (their per-pair weight 1/ln(deg)
+    * is the smallest in the graph, so they add the least signal per
+    * unit of work — the standard cut); (b) optional pivot sampling à la
+    * Brandes–Pich: only centers whose md5 hash ≡ 0 mod `sampleMod`
+    * contribute (scores become a deterministic ~1/sampleMod-expectation
+    * estimate). Wedge volume is then ≤ maxCenterDeg · m / sampleMod.
+    *
+    * Weights round at 12 dp into the decimal-exact sum regime; the
+    * top-k order is (exact score desc, pair) — total, so both engines
+    * cut the same k rows. Returns (node1, node2, common, aa). */
+  def adamicAdar(edges: DataFrame, maxCenterDeg: Int, sampleMod: Int = 1,
+                 topK: Int = 50, seed: Int = 7): DataFrame = {
+    require(maxCenterDeg >= 2 && sampleMod >= 1 && topK >= 1,
+      "adamicAdar needs maxCenterDeg >= 2, sampleMod >= 1, topK >= 1")
+    val e = edges.select(col("src"), col("dst"))
+    val ec = e.select(least(col("src"), col("dst")).as("n1"),
+        greatest(col("src"), col("dst")).as("n2"))
+      .where(col("n1") =!= col("n2")).distinct().localCheckpoint()
+    val und = ec.select(col("n1").as("a"), col("n2").as("b"))
+      .unionByName(ec.select(col("n2").as("a"), col("n1").as("b")))
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    val ctr = deg.where(col("d") >= 2 && col("d") <= maxCenterDeg &&
+      pmod(graft.functions.Text.md5Hash64(col("node").cast("string"), seed),
+        lit(sampleMod)) === 0)
+    val adj = und.join(ctr.select(col("node").as("a"), col("d")), "a")
+      .select(col("a").as("z"), col("b").as("nbr"), col("d"))
+    val x = adj.select(col("z"), col("nbr").as("n1"), col("d"))
+    val y = adj.select(col("z").as("__z2"), col("nbr").as("n2"))
+    val wedges = x.join(y, col("z") === col("__z2") && col("n1") < col("n2"))
+    val sc = wedges.groupBy("n1", "n2")
+      .agg(count(lit(1)).as("common"),
+        sum(round(lit(1.0) / log(col("d").cast("double")), 12)
+          .cast("decimal(28,12)")).cast("double").as("__aa"))
+    sc.join(ec, Seq("n1", "n2"), "left_anti")
+      .orderBy(col("__aa").desc, col("n1"), col("n2"))
+      .limit(topK)
+      .select(col("n1").as("node1"), col("n2").as("node2"), col("common"),
+        round(col("__aa"), 9).as("aa"))
+  }
+
   /** [[sssp]] with PER-SEED provenance — state keyed (seed, node), so
     * the output carries every seed's own distance field instead of the
     * min over seeds. This is the transport for sampled centrality

@@ -298,6 +298,32 @@ class GraphTopologySpec extends SparkSpec {
     assert(w1.toSeq == run().toSeq, "identical on re-run")
   }
 
+  test("adamicAdar: hand-computed weights, degree cap, no-edge filter") {
+    // z1-{x,y}, z2-{x,y,w}: (x,y) scores 1/ln2 + 1/ln3 (both centers),
+    // (x,w)/(y,w) score 1/ln3, and the reverse pairs (z1,z2) score
+    // 2/ln2 via centers x and y (deg 2 each); w (deg 1) never centers
+    val e = Seq("z1" -> "x", "z1" -> "y",
+      "z2" -> "x", "z2" -> "y", "z2" -> "w").toDF("src", "dst")
+    val got = Graph.adamicAdar(e, maxCenterDeg = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val iln2 = 1.0 / math.log(2); val iln3 = 1.0 / math.log(3)
+    assert(got.keySet == Set("x" -> "y", "w" -> "x", "w" -> "y",
+      "z1" -> "z2"))
+    assert(got("x" -> "y")._1 == 2L &&
+      math.abs(got("x" -> "y")._2 - (iln2 + iln3)) < 1e-9)
+    assert(math.abs(got("w" -> "x")._2 - iln3) < 1e-9)
+    assert(got("z1" -> "z2")._1 == 2L &&
+      math.abs(got("z1" -> "z2")._2 - 2 * iln2) < 1e-9)
+    // degree cap drops z2 as a center: only z1 and the deg-2 leaves
+    val capped = Graph.adamicAdar(e, maxCenterDeg = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(capped.keySet == Set("x" -> "y", "z1" -> "z2"))
+    assert(math.abs(capped("x" -> "y") - iln2) < 1e-9)
+    // adjacent pairs never score: no (z1, x)-style rows existed above
+    assert(!got.keySet.exists { case (a, b) => a.startsWith("z") ^ b.startsWith("z") })
+  }
+
   test("randomWalks: a single-edge graph forces alternation") {
     val e = Seq("x" -> "y").toDF("src", "dst")
     val out = Graph.randomWalks(e, _ === "x", walkLen = 4).collect()
