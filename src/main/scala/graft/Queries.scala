@@ -10157,6 +10157,207 @@ object Queries {
         WHERE ec.n1 = sc.n1 AND ec.n2 = sc.n2)
       ORDER BY sc.aa DESC, n1, n2 LIMIT 50"""))
 
+  /** Portable half-up rounding in SQL — the oracle-side mirror of
+    * [[graft.functions.Exprs.pround]]. */
+  private def proundSql(x: String, s: Int): String = {
+    val m = "1" + "0" * s
+    s"floor(($x) * CAST($m AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST($m AS DOUBLE)"
+  }
+
+  /** q219's two-epoch parquet table (pre-1998 orders WITHOUT
+    * o_orderpriority, 1998+ WITH it — the column-added-mid-history
+    * shape every long-lived lake table grows), staged once per
+    * (process, sfDir). */
+  private val q219TableByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Schema-evolution union read: `mergeSchema` over epochs whose file
+    * schemas differ — early rows surface the later column as NULL, and
+    * the per-epoch census (row counts, exact totals, priority
+    * null/distinct counts) proves no row or value was lost or
+    * fabricated by the widening. `schema_evolved` is a driver-verified
+    * precondition boolean riding the hash gate (the q189 pattern): it
+    * certifies the staged epochs REALLY disagree on schema, so the
+    * oracle's expectations are about an actual evolution, not two
+    * identical files. Steady state measures the merged read — the
+    * honest recurring cost of an evolved table. */
+  val q219SchemaEvolution = Q(
+    "q219_schema_evolution",
+    (s, d) => {
+      val tag = d.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9_]", "_")
+      val path = q219TableByDir.computeIfAbsent(d, _ => {
+        val p = graft.sources.Scratch.dir(s"evolve_$tag")
+        val o = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+        o.where(col("o_year") < 1998)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$p/epoch=1")
+        o.where(col("o_year") >= 1998)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$p/epoch=2")
+        p
+      })
+      val f1 = s.read.parquet(s"$path/epoch=1").schema.fieldNames.toSet
+      val f2 = s.read.parquet(s"$path/epoch=2").schema.fieldNames.toSet
+      val evolved = !f1.contains("o_orderpriority") &&
+        f2.contains("o_orderpriority")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("epoch"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice"), 2).cast("decimal(28,2)"))
+            .cast("double").as("total"),
+          count(col("o_orderpriority")).as("n_priority"),
+          countDistinct(col("o_orderpriority")).as("d_priority"))
+        .withColumn("schema_evolved", lit(evolved))
+        .orderBy(col("epoch"))
+    },
+    Some("""SELECT epoch, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,2)))
+          AS DOUBLE) AS total,
+        CAST(CASE WHEN epoch = 1 THEN 0 ELSE count(*) END
+          AS BIGINT) AS n_priority,
+        CAST(CASE WHEN epoch = 1 THEN 0
+          ELSE count(DISTINCT o_orderpriority) END AS BIGINT) AS d_priority,
+        true AS schema_evolved
+      FROM (SELECT *, CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 2 END
+        AS epoch FROM orders)
+      GROUP BY epoch ORDER BY epoch"""))
+
+  /** Quantity-weighted median price per (returnflag, ship year)
+    * ([[Robust.weightedMedian]]) — each line item counts its quantity
+    * times, the survey-stats location a mean can't give. Cumulative
+    * integer weights under a total order; the oracle replays the
+    * window + threshold pick exactly. */
+  val q220WeightedMedian = Q(
+    "q220_weighted_median",
+    (s, d) => {
+      val li = lineitem(s, d).select(col("l_returnflag"),
+        year(col("l_shipdate")).as("ship_year"), col("l_extendedprice"),
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      Robust.weightedMedian(li, Seq("l_returnflag", "ship_year"),
+          col("l_extendedprice"), col("l_quantity"),
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .orderBy(col("l_returnflag"), col("ship_year"))
+    },
+    Some("""WITH b AS (
+        SELECT l_returnflag AS flag, year(l_shipdate) AS yr,
+          l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt,
+          l_orderkey AS k1, l_linenumber AS k2
+        FROM lineitem),
+      c AS (
+        SELECT flag, yr, v, wt,
+          sum(wt) OVER (PARTITION BY flag, yr ORDER BY v, k1, k2) AS cw
+        FROM b),
+      t AS (
+        SELECT flag, yr, count(*) AS n, CAST(sum(wt) AS BIGINT) AS w_total
+        FROM b GROUP BY 1, 2),
+      m AS (
+        SELECT c.flag, c.yr, min(struct_pack(c := cw, v := v)) AS s
+        FROM c JOIN t USING (flag, yr)
+        WHERE 2 * cw >= w_total GROUP BY 1, 2)
+      SELECT m.flag AS l_returnflag, CAST(m.yr AS INT) AS ship_year,
+        t.n, t.w_total, m.s.v AS w_median
+      FROM m JOIN t USING (flag, yr) ORDER BY 1, 2"""))
+
+  /** Trimmed + winsorized mean order value per priority class
+    * ([[Robust.trimmedStats]], 10% per tail) — Tukey's robust pair:
+    * what's the central spend when the whale orders and the micro
+    * orders are dropped (trimmed) or clamped (winsorized)? Decimal
+    * sums, arithmetic tail reconstruction, pround divisions — the
+    * oracle replays rank, cut, and both means. */
+  val q221TrimmedMean = Q(
+    "q221_trimmed_mean",
+    (s, d) =>
+      Robust.trimmedStats(orders(s, d), Seq("o_orderpriority"),
+          col("o_totalprice"), Seq(col("o_orderkey")), trimPct = 10)
+        .orderBy(col("o_orderpriority")),
+    Some(s"""WITH b AS (
+        SELECT o_orderpriority AS pr, round(o_totalprice, 6) AS v,
+          o_orderkey AS k
+        FROM orders),
+      r AS (
+        SELECT pr, v,
+          row_number() OVER (PARTITION BY pr ORDER BY v, k) AS rn,
+          count(*) OVER (PARTITION BY pr) AS n
+        FROM b),
+      kpt AS (
+        SELECT pr, v, n,
+          CAST(floor(n * 10 / CAST(100 AS DOUBLE)) AS BIGINT) AS cut
+        FROM r WHERE rn > floor(n * 10 / CAST(100 AS DOUBLE))
+          AND rn <= n - floor(n * 10 / CAST(100 AS DOUBLE))),
+      g AS (
+        SELECT pr, min(n) AS n, min(cut) AS n_cut, count(*) AS nk,
+          sum(CAST(v AS DECIMAL(28,6))) AS s,
+          min(v) AS vlo, max(v) AS vhi
+        FROM kpt GROUP BY 1)
+      SELECT pr AS o_orderpriority, CAST(n AS BIGINT) AS n, n_cut,
+        ${proundSql("CAST(s AS DOUBLE) / nk", 6)} AS trimmed_mean,
+        ${proundSql(
+          "CAST(s + CAST(vlo AS DECIMAL(28,6)) * n_cut" +
+          " + CAST(vhi AS DECIMAL(28,6)) * n_cut AS DOUBLE) / n", 6)}
+          AS winsorized_mean
+      FROM g ORDER BY 1"""))
+
+  /** Theil–Sen robust daily trend per event_type
+    * ([[Robust.theilSen]]) — the median-of-pairwise-slopes line that
+    * one anomalous day cannot drag, next to which q138's OLS reads as
+    * the fragile baseline. Pairs are series-length bounded; medians
+    * pick by rank under a total order; the oracle replays both median
+    * selections and the residual pass. */
+  val q222TheilSen = Q(
+    "q222_theil_sen",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .select(col("event_type"),
+          datediff(col("day"), to_date(lit("1970-01-01"))).as("x"),
+          col("y"))
+      Robust.theilSen(daily, Seq("event_type"), col("x"), col("y"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH s AS (
+        SELECT event_type,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+          CAST(count(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT a.event_type, a.x AS x1, b.x AS x2,
+          (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS m
+        FROM s a JOIN s b ON a.event_type = b.event_type AND a.x < b.x),
+      pr AS (
+        SELECT event_type, m, x1, x2,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY m, x1, x2) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM p),
+      sl AS (
+        SELECT event_type, sum(m) / count(*) AS slope,
+          min(cnt) AS n_pairs
+        FROM pr
+        WHERE rn = CAST(floor((cnt + 1) / CAST(2 AS DOUBLE)) AS BIGINT)
+          OR rn = CAST(floor((cnt + 2) / CAST(2 AS DOUBLE)) AS BIGINT)
+        GROUP BY 1),
+      rs AS (
+        SELECT s.event_type, s.y - sl.slope * s.x AS b, s.x
+        FROM s JOIN sl USING (event_type)),
+      rr AS (
+        SELECT event_type, b,
+          row_number() OVER (PARTITION BY event_type ORDER BY b, x) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM rs),
+      ic AS (
+        SELECT event_type, sum(b) / count(*) AS icpt,
+          min(cnt) AS n_points
+        FROM rr
+        WHERE rn = CAST(floor((cnt + 1) / CAST(2 AS DOUBLE)) AS BIGINT)
+          OR rn = CAST(floor((cnt + 2) / CAST(2 AS DOUBLE)) AS BIGINT)
+        GROUP BY 1)
+      SELECT sl.event_type, ic.n_points, sl.n_pairs,
+        ${proundSql("sl.slope", 9)} AS slope,
+        ${proundSql("ic.icpt", 9)} AS intercept
+      FROM sl JOIN ic USING (event_type) ORDER BY 1"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -10215,5 +10416,6 @@ object Queries {
     q207BatchAssembly, q208EditVerified, q209HeavyHitters,
     q210KcenterCoreset, q211DedupRewrite, q212Modularity, q213Mmr,
     q214RandomWalks, q215AhashDedup, q216NdcgEval, q217StlDecompose,
-    q218AdamicAdar)
+    q218AdamicAdar, q219SchemaEvolution, q220WeightedMedian,
+    q221TrimmedMean, q222TheilSen)
 }

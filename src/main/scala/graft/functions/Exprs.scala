@@ -108,4 +108,22 @@ object Exprs {
   /** Planar Euclidean distance. */
   def planarDist(x1: Column, y1: Column, x2: Column, y2: Column): Column =
     sqrt(pow(x1 - x2, 2) + pow(y1 - y2, 2))
+
+  /** PORTABLE half-up rounding: floor(x·10^s + 0.5) / 10^s, the
+    * identical IEEE expression tree on every engine. Built-in round()
+    * implementations disagree on the same double exactly at half grid
+    * points — Spark rounds the SHORTEST-DECIMAL string of the double
+    * (Double.toString → BigDecimal HALF_UP), DuckDB rounds a scaled
+    * multiply — so rationals with small denominators (window means,
+    * n/2-style averages) can hash-diverge (observed on q217:
+    * 5.5697275 → 5.569727 vs 5.569728). Use THIS whenever the value
+    * being rounded is a small-denominator rational; mirror in SQL as
+    * floor(x * CAST(10^s AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+    * CAST(10^s AS DOUBLE). Negative values round half toward +inf on
+    * both engines — consistent, slightly different from HALF_UP's
+    * away-from-zero, documented trade. */
+  def pround(c: Column, s: Int): Column = {
+    val m = math.pow(10.0, s)
+    floor(c * lit(m) + lit(0.5d)).cast("double") / lit(m)
+  }
 }

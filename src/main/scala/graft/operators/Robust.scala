@@ -86,4 +86,147 @@ object Robust {
     df.join(broadcast(profile), keys)
       .withColumn("is_anomaly",
         abs(valueCol - col("mu")) > lit(cutoff) * col("sd"))
+
+  /** Exact per-group WEIGHTED median — the survey-statistics location
+    * estimator (each row counts `weightCol` times: passenger-weighted
+    * load, quantity-weighted price): the smallest value whose
+    * cumulative weight reaches half the group total, found by one
+    * keyed cumulative window over a TOTAL order (valueCol, tieCols) +
+    * one broadcast totals join. Weights are cast to LONG so the
+    * cumulative sums and the 2·cum ≥ total threshold are integer-exact
+    * — no float comparison anywhere, hence engine-exact. Keyed windows
+    * are naturally parallel; for groups too large to sort at 100 TB
+    * the swap is a weighted quantile sketch (same contract, bounded
+    * error), this is the exact tier. Returns (keys, n, w_total,
+    * w_median). */
+  def weightedMedian(df: DataFrame, keys: Seq[String], valueCol: Column,
+                     weightCol: Column, tieCols: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(valueCol +: tieCols: _*)
+    val cum = df
+      .withColumn("__wt", weightCol.cast("long"))
+      .withColumn("__v", valueCol)
+      .withColumn("__cw", sum(col("__wt")).over(w))
+    val tot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(weightCol.cast("long")).as("w_total"))
+    cum.join(broadcast(tot), keys)
+      .where(lit(2) * col("__cw") >= col("w_total"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(col("__cw").as("c"), col("__v").as("v")))
+        .getField("v").as("w_median"),
+        first(col("n")).as("n"), first(col("w_total")).as("w_total"))
+      .select((keys.map(col) ++
+        Seq(col("n"), col("w_total"), col("w_median"))): _*)
+  }
+
+  /** Per-group trimmed and winsorized means (Tukey's robust location
+    * pair): rank rows by the TOTAL order (valueCol, tieCols), drop —
+    * or clamp to the surviving boundary values — the lowest and
+    * highest floor(n·trimPct/100) rows, then take the decimal-exact
+    * mean. The trimmed mean ignores the tails outright; the winsorized
+    * mean keeps their COUNT but at the boundary values, reconstructed
+    * arithmetically as (Σ_kept + cut·(v_lo + v_hi)) / n so no second
+    * pass touches the trimmed rows. Values ride the 6-dp decimal grid;
+    * the final divisions use [[graft.functions.Exprs.pround]] (group
+    * sizes are exactly the small denominators built-in round()
+    * disagrees on). Returns (keys, n, n_cut, trimmed_mean,
+    * winsorized_mean). */
+  def trimmedStats(df: DataFrame, keys: Seq[String], valueCol: Column,
+                   tieCols: Seq[Column], trimPct: Int = 10): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50, "trimPct must be in [0, 50)")
+    import graft.functions.Exprs.pround
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(valueCol +: tieCols: _*)
+    val ranked = df
+      .withColumn("__v", round(valueCol, 6))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)))
+      .withColumn("__cut", floor(col("__n") * trimPct / 100).cast("long"))
+    val kept = ranked
+      .where(col("__rn") > col("__cut") &&
+        col("__rn") <= col("__n") - col("__cut"))
+    kept.groupBy(keys.map(col): _*)
+      .agg(first(col("__n")).as("n"), first(col("__cut")).as("n_cut"),
+        count(lit(1)).as("__nk"),
+        sum(col("__v").cast("decimal(28,6)")).as("__s"),
+        min(col("__v")).as("__vlo"), max(col("__v")).as("__vhi"))
+      .select((keys.map(col) ++ Seq(
+        col("n"), col("n_cut"),
+        pround(col("__s").cast("double") / col("__nk"), 6)
+          .as("trimmed_mean"),
+        pround((col("__s") +
+          col("__vlo").cast("decimal(28,6)") * col("n_cut") +
+          col("__vhi").cast("decimal(28,6)") * col("n_cut"))
+          .cast("double") / col("n"), 6).as("winsorized_mean"))): _*)
+  }
+
+  /** Theil–Sen robust trend (Theil 1950, Sen 1968): slope = the median
+    * of all pairwise slopes (y_j − y_i)/(x_j − x_i), intercept = the
+    * median residual y − slope·x — the trend line one wild day cannot
+    * drag, where OLS ([[TimeSeries.olsTrend]]) moves with every
+    * outlier. Pair volume is O(points²) PER KEY — bounded by series
+    * length (a calendar-scale quantity), never by row count, which is
+    * what makes the exact estimator scale-safe. Medians are picked by
+    * rank under a TOTAL order (slope, x_i, x_j), averaging the middle
+    * two — both engines pick the same rows and average the same two
+    * doubles, and the output rounds via pround. Returns (keys,
+    * n_points, n_pairs, slope, intercept). */
+  def theilSen(df: DataFrame, keys: Seq[String], xCol: Column,
+               yCol: Column): DataFrame = {
+    import graft.operators.Guards
+    import graft.functions.Exprs.pround
+    val base = df.select((keys.map(col) :+ xCol.cast("long").as("__x") :+
+      yCol.cast("double").as("__y")): _*)
+    val a = base.select((keys.map(col) :+ col("__x").as("__x1") :+
+      col("__y").as("__y1")): _*)
+    val b = base.select((keys.map(col) :+ col("__x").as("__x2") :+
+      col("__y").as("__y2")): _*)
+    val pairs = a.join(b, keys).where(col("__x1") < col("__x2"))
+      .withColumn("__m",
+        (col("__y2") - col("__y1")) / (col("__x2") - col("__x1"))
+          .cast("double"))
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__m"), col("__x1"), col("__x2"))
+    // middle-two picks via floor((cnt+k)/2.0): Spark's `/` is always
+    // double division, so a bare (cnt+1)/2 would be x.5 for even
+    // counts and match NO row
+    def medianOf(ranked: DataFrame, v: Column): DataFrame = ranked
+      .where(col("__rn") ===
+          floor((col("__cnt") + lit(1)) / lit(2.0)).cast("long") ||
+        col("__rn") ===
+          floor((col("__cnt") + lit(2)) / lit(2.0)).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg((sum(v) / count(lit(1))).as("__med"),
+        first(col("__cnt")).as("__cnt0"))
+    val slope = medianOf(
+      pairs.withColumn("__rn", row_number().over(wm))
+        .withColumn("__cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*))),
+      col("__m"))
+      .select((keys.map(col) :+ col("__med").as("__slope") :+
+        col("__cnt0").as("n_pairs")): _*)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__b"), col("__x"))
+    val resid = base.join(broadcast(slope), keys)
+      .withColumn("__b", col("__y") - col("__slope") * col("__x"))
+    val intercept = medianOf(
+      resid.withColumn("__rn", row_number().over(wr))
+        .withColumn("__cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*))),
+      col("__b"))
+    slope.join(intercept.select((keys.map(col) :+
+        col("__med").as("__icpt") :+ col("__cnt0").as("n_points")): _*),
+        keys)
+      .select((keys.map(col) ++ Seq(col("n_points"), col("n_pairs"),
+        pround(col("__slope"), 9).as("slope"),
+        pround(col("__icpt"), 9).as("intercept"))): _*)
+  }
 }

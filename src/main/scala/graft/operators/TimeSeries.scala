@@ -265,14 +265,10 @@ object TimeSeries {
       lit(period))
     // NOT round(): these means are rationals with SMALL denominators
     // (window size, phase count), which land exactly on 6-dp half
-    // points — where Spark's shortest-decimal-string rounding and
-    // DuckDB's scaled-multiply rounding disagree on the same double
-    // (observed: 5.5697275 → 5.569727 vs 5.569728). floor(x·1e6+0.5)
-    // is the identical IEEE expression tree on both engines, so both
-    // snap the same way every time.
-    val r6 = (c: Column) =>
-      floor(c * lit(1000000.0d) + lit(0.5d)).cast("double") /
-        lit(1000000.0d)
+    // points where built-in round() disagrees between engines — see
+    // [[graft.functions.Exprs.pround]] (this operator is where the
+    // divergence was first observed)
+    val r6 = (c: Column) => graft.functions.Exprs.pround(c, 6)
     val t = df.select(col(keyCol), col(dayCol),
         col(yCol).cast("long").as("y"))
       .withColumn("trend",

@@ -59,7 +59,12 @@ class PlanQualitySpec extends SparkSpec {
     // the changeset arrivals and the 10 probes each cross ONLY the
     // broadcast centroid table (10 rows); the corpus side was assigned
     // at index-build time, off this plan
-    "q204_ivf_incremental")
+    "q204_ivf_incremental",
+    // nDCG scorer: the q181 rationale verbatim — composes q26-shaped
+    // ground truth (corpus x 10 broadcast probes) and q147's rerank;
+    // everything the scorer ADDS is an equi-join on (probe_id,
+    // neighbor_id)
+    "q216_ndcg_eval")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).

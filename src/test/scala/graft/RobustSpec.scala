@@ -49,4 +49,46 @@ class RobustSpec extends SparkSpec {
     val mu = out.filter(_._1 == "A").map(_._2).sum / 20
     assert(math.abs(mu - 14.5) < 1e-9)
   }
+
+  test("weightedMedian: weight mass decides, not row count") {
+    // (1 w1)(2 w1)(3 w10): half of 12 is reached only at v=3 — a plain
+    // median would say 2
+    val df = Seq(("g", 1.0, 1L, 1), ("g", 2.0, 1L, 2), ("g", 3.0, 10L, 3))
+      .toDF("k", "v", "w", "id")
+    val r = Robust.weightedMedian(df, Seq("k"), col("v"), col("w"),
+      Seq(col("id"))).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 12L &&
+      r.getDouble(3) == 3.0)
+    // even split picks the LOWER weighted median (2cw >= total at cw=1)
+    val even = Seq(("g", 1.0, 1L, 1), ("g", 2.0, 1L, 2))
+      .toDF("k", "v", "w", "id")
+    assert(Robust.weightedMedian(even, Seq("k"), col("v"), col("w"),
+      Seq(col("id"))).head().getDouble(3) == 1.0)
+  }
+
+  test("trimmedStats: tails dropped or clamped, hand-computed") {
+    // 1..9 plus an outlier 100: cut = 1 per tail -> kept 2..9
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex
+      .map { case (v, i) => ("g", v, i) }.toDF("k", "v", "id")
+    val r = Robust.trimmedStats(df, Seq("k"), col("v"), Seq(col("id")),
+      trimPct = 10).head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 5.5, "trimmed mean of 2..9")
+    assert(r.getDouble(4) == 5.5, "winsorized: (44 + 2 + 9)/10")
+    // plain mean would be 14.5 — the outlier is fully neutralized
+  }
+
+  test("theilSen: exact line recovered, one wild point ignored") {
+    val line = (0 to 4).map(x => ("g", x, 2.0 * x + 1))
+    val withOutlier = line :+ (("g", 5, 500.0))
+    val clean = Robust.theilSen(line.toDF("k", "x", "y"), Seq("k"),
+      col("x"), col("y")).head()
+    assert(clean.getDouble(3) == 2.0 && clean.getDouble(4) == 1.0)
+    val r = Robust.theilSen(withOutlier.toDF("k", "x", "y"), Seq("k"),
+      col("x"), col("y")).head()
+    assert(r.getLong(1) == 6L && r.getLong(2) == 15L)
+    assert(r.getDouble(3) == 2.0, "median slope ignores the outlier")
+    assert(r.getDouble(4) == 1.0, "median residual ignores the outlier")
+    // OLS on the same data would report slope ~60 — the robustness gap
+  }
 }
