@@ -10358,6 +10358,73 @@ object Queries {
         ${proundSql("ic.icpt", 9)} AS intercept
       FROM sl JOIN ic USING (event_type) ORDER BY 1"""))
 
+  /** Data-contract battery over lineitem ([[Contracts.validate]]):
+    * four row rules in ONE shared scan, two uniqueness rules, two
+    * referential-integrity rules — the Deequ-style suite a production
+    * table ships with. The battery is honest about this dataset:
+    * (l_orderkey, l_linenumber) is NOT unique here (the tie hazard the
+    * verify recipe warns about becomes an explicit red row with its
+    * exact violation count), while ranges, flags and both FKs pass.
+    * Exact counts, trivially oracled. */
+  val q223DataContract = Q(
+    "q223_data_contract",
+    (s, d) => {
+      import Contracts._
+      Contracts.validate(lineitem(s, d),
+        rowRules = Seq(
+          RowRule("qty_in_range", col("l_quantity").between(1, 50)),
+          RowRule("disc_in_range", col("l_discount").between(0, 0.1)),
+          RowRule("price_positive", col("l_extendedprice") > 0),
+          RowRule("flag_valid", col("l_returnflag").isin("A", "N", "R"))),
+        uniqueRules = Seq(
+          UniqueRule("line_key_unique",
+            Seq("l_orderkey", "l_linenumber")),
+          UniqueRule("full_line_unique",
+            Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))),
+        fkRules = Seq(
+          FkRule("order_exists", Seq("l_orderkey"),
+            orders(s, d), Seq("o_orderkey")),
+          FkRule("part_exists", Seq("l_partkey"),
+            part(s, d), Seq("p_partkey"))))
+        .orderBy(col("rule"))
+    },
+    Some {
+      def rowSql(name: String, pred: String) =
+        s"""SELECT '$name' AS rule, 'row' AS kind,
+          count(*) AS n_checked,
+          CAST(sum(CASE WHEN coalesce($pred, false) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_violations,
+          sum(CASE WHEN coalesce($pred, false) THEN 0 ELSE 1 END) = 0
+            AS pass
+        FROM lineitem"""
+      def uniqSql(name: String, cols: String) =
+        s"""SELECT '$name' AS rule, 'unique' AS kind,
+          CAST(sum(c) AS BIGINT) AS n_checked,
+          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+            AS n_violations,
+          sum(CASE WHEN c > 1 THEN c ELSE 0 END) = 0 AS pass
+        FROM (SELECT count(*) AS c FROM lineitem GROUP BY $cols)"""
+      def fkSql(name: String, key: String, ref: String, refKey: String) =
+        s"""SELECT '$name' AS rule, 'fk' AS kind,
+          (SELECT count(*) FROM lineitem) AS n_checked,
+          (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM $ref r WHERE r.$refKey = l.$key))
+            AS n_violations,
+          (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM $ref r WHERE r.$refKey = l.$key)) = 0 AS pass"""
+      Seq(
+        rowSql("qty_in_range", "l_quantity BETWEEN 1 AND 50"),
+        rowSql("disc_in_range", "l_discount BETWEEN 0 AND 0.1"),
+        rowSql("price_positive", "l_extendedprice > 0"),
+        rowSql("flag_valid", "l_returnflag IN ('A', 'N', 'R')"),
+        uniqSql("line_key_unique", "l_orderkey, l_linenumber"),
+        uniqSql("full_line_unique",
+          "l_orderkey, l_linenumber, l_partkey, l_suppkey"),
+        fkSql("order_exists", "l_orderkey", "orders", "o_orderkey"),
+        fkSql("part_exists", "l_partkey", "part", "p_partkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule")
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -10417,5 +10484,5 @@ object Queries {
     q210KcenterCoreset, q211DedupRewrite, q212Modularity, q213Mmr,
     q214RandomWalks, q215AhashDedup, q216NdcgEval, q217StlDecompose,
     q218AdamicAdar, q219SchemaEvolution, q220WeightedMedian,
-    q221TrimmedMean, q222TheilSen)
+    q221TrimmedMean, q222TheilSen, q223DataContract)
 }
