@@ -10425,6 +10425,41 @@ object Queries {
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule")
     })
 
+  /** Skip-gram training pairs from the q214 walk corpus
+    * ([[graft.graph.Graph.skipGrams]], window ±2) — the DeepWalk
+    * pipeline's data layer: graph → deterministic walks → (center,
+    * context) counts ready for an embedding trainer. The oracle
+    * replays the full walk unroll ([[walkStepSql]]) plus the windowed
+    * position join; top-100 by (count, pair). */
+  val q224SkipGrams = Q(
+    "q224_skip_grams",
+    (s, d) => {
+      val walks = graft.graph.Graph.randomWalks(coOrderEdges(s, d),
+        node => node <= 20, walkLen = 8, walksPerSeed = 2)
+      graft.graph.Graph.skipGrams(walks, window = 2)
+        .orderBy(col("n").desc, col("center"), col("context"))
+        .limit(100)
+    },
+    Some(s"""WITH $coOrderEdgesSql,
+      sd AS (SELECT DISTINCT a AS node FROM und WHERE a <= 20),
+      wk0 AS MATERIALIZED (
+        SELECT CAST(node AS VARCHAR) || '#' || CAST(r.r AS VARCHAR) AS wid,
+          node
+        FROM sd CROSS JOIN (SELECT unnest([1, 2]) AS r) r),
+      ${(1 to 8).map(walkStepSql).mkString(",\n")},
+      tr AS (
+        ${(0 to 8).map(t =>
+          s"SELECT wid, $t AS pos, node FROM wk$t")
+          .mkString("\n        UNION ALL ")}),
+      tk AS (SELECT wid, pos, CAST(node AS VARCHAR) AS tok FROM tr),
+      sg AS (
+        SELECT a.tok AS center, b.tok AS context, count(*) AS n
+        FROM tk a JOIN tk b ON a.wid = b.wid AND a.pos <> b.pos
+          AND abs(a.pos - b.pos) <= 2
+        GROUP BY 1, 2)
+      SELECT center, context, n FROM sg
+      ORDER BY n DESC, center, context LIMIT 100"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -10484,5 +10519,5 @@ object Queries {
     q210KcenterCoreset, q211DedupRewrite, q212Modularity, q213Mmr,
     q214RandomWalks, q215AhashDedup, q216NdcgEval, q217StlDecompose,
     q218AdamicAdar, q219SchemaEvolution, q220WeightedMedian,
-    q221TrimmedMean, q222TheilSen, q223DataContract)
+    q221TrimmedMean, q222TheilSen, q223DataContract, q224SkipGrams)
 }

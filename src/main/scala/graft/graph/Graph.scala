@@ -1298,6 +1298,29 @@ object Graph {
     }
   }
 
+  /** Skip-gram (center, context) pair extraction over a walk corpus
+    * (word2vec's data layer — Mikolov et al. 2013, applied to
+    * [[randomWalks]] output exactly as DeepWalk prescribes): every
+    * ordered pair of positions within `window` of each other in the
+    * same walk, counted corpus-wide. One walk-keyed self-join bounded
+    * by walkLen·window pairs per walk + one pair-keyed count — both
+    * map-side combinable, nothing quadratic in corpus size. Expects
+    * (walk_id, walk) with space-joined tokens; returns
+    * (center, context, n). */
+  def skipGrams(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "skipGrams needs window >= 1")
+    val toks = walks.select(col("walk_id"),
+      posexplode(split(col("walk"), " ")).as(Seq("pos", "tok")))
+    val a = toks.select(col("walk_id"), col("pos").as("__pc"),
+      col("tok").as("center"))
+    val b = toks.select(col("walk_id").as("__w2"), col("pos").as("__px"),
+      col("tok").as("context"))
+    a.join(b, col("walk_id") === col("__w2") &&
+        col("__pc") =!= col("__px") &&
+        abs(col("__pc") - col("__px")) <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003): score a
     * non-adjacent pair (x, y) by Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z) — common
     * neighbors, inversely weighted by how promiscuous each one is. The

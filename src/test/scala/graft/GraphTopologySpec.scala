@@ -329,4 +329,16 @@ class GraphTopologySpec extends SparkSpec {
     val out = Graph.randomWalks(e, _ === "x", walkLen = 4).collect()
     assert(out.length == 1 && out.head.getString(2) == "x y x y x")
   }
+
+  test("skipGrams: windowed pairs of a known walk, hand-counted") {
+    val walks = Seq(("w1", "a b a c")).toDF("walk_id", "walk")
+    val got = Graph.skipGrams(walks, window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // positions: a0 b1 a2 c3; window 2 pairs (ordered):
+    // (a0,b1)(a0,a2)(b1,a0)(b1,a2)(b1,c3)(a2,a0)(a2,b1)(a2,c3)(c3,b1)(c3,a2)
+    assert(got == Map(
+      ("a", "b") -> 2L, ("a", "a") -> 2L, ("a", "c") -> 1L,
+      ("b", "a") -> 2L, ("b", "c") -> 1L,
+      ("c", "b") -> 1L, ("c", "a") -> 1L))
+  }
 }
