@@ -283,6 +283,46 @@ class SinksStreamingSpec extends SparkSpec {
       s"streamed sample != batch sample: ${streamed.size}/${batch.size}")
   }
 
+  test("streaming MG heavy hitters: superset + error bound across batches") {
+    import graft.streaming.StreamingHeavyHitters
+    import graft.streaming.StreamingHeavyHitters.{KeyRow, MgShard}
+    val k = 8
+    // head: 3 heavy keys at ~20% each; tail: 200 distinct singletons
+    val head = Seq.fill(60)("hot1") ++ Seq.fill(50)("hot2") ++
+      Seq.fill(40)("hot3")
+    val tail = (1 to 200).map(i => s"t$i")
+    val all = new scala.util.Random(3).shuffle(head ++ tail)
+      .map(key => KeyRow(math.abs(key.hashCode) % 4, key))
+    val dir = Files.createTempDirectory("graft_smg").toString
+    val (b1, b2) = all.splitAt(all.size / 2)
+    b1.toDF().write.mode("overwrite").parquet(dir)
+    val in = spark.readStream.schema(b1.toDF().schema).parquet(dir)
+      .as[KeyRow]
+    val q = StreamingHeavyHitters.mgShards(in, k)
+      .writeStream.outputMode(StreamingHeavyHitters.outputMode)
+      .format("memory").queryName("smg_out").start()
+    q.processAllAvailable()
+    b2.toDF().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val emissions = spark.sql("SELECT shard, keys, counts, n FROM smg_out")
+      .as[MgShard].collect().toSeq
+    q.stop()
+    val (n, merged) = StreamingHeavyHitters.mergeShards(emissions)
+    assert(n == all.size.toLong, "merged n is the exact stream length")
+    val truth = (head ++ tail).groupBy(identity).view.mapValues(_.size.toLong)
+    // superset guarantee: every key above n/(k+1) survives the merge
+    val heavy = truth.filter(_._2 > n / (k + 1.0)).keys.toSet
+    assert(heavy == Set("hot1", "hot2", "hot3"), "fixture sanity")
+    assert(heavy.subsetOf(merged.keySet),
+      s"lost a heavy key: $heavy vs ${merged.keySet}")
+    // error bound: estimates undercount by at most n/(k+1), never over
+    merged.foreach { case (key, est) =>
+      val t = truth.getOrElse(key, 0L)
+      assert(est <= t && est >= t - n / (k + 1.0) - 1,
+        s"$key: est $est vs true $t out of MG bounds")
+    }
+  }
+
   test("streaming session_window matches batch sessionization session counts") {
     val rows = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
