@@ -10460,6 +10460,110 @@ object Queries {
       SELECT center, context, n FROM sg
       ORDER BY n DESC, center, context LIMIT 100"""))
 
+  /** Precision/recall curve of the SimHash dedup tiers against the
+    * edit-verified truth (the q28 → q208 stack turned into an EVAL):
+    * for each hamming cutoff 0..6, how many banded candidates survive
+    * and what fraction are true near-dups — the operating-point
+    * table a dedup pipeline owner reads before picking a threshold.
+    * Truth is the verified tier itself (candidate-bounded by
+    * construction, as any at-scale truth set is). Exact counts, pround
+    * ratios, oracle composes the q208 CTE machinery. */
+  val q225DedupPr = Q(
+    "q225_dedup_pr_curve",
+    (s, d) => {
+      import graft.operators.Guards
+      val docs = documents(s, d)
+      val cand = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
+        .localCheckpoint()
+      val truth = Dedup.editVerifiedNearDup(docs, "doc_id", "text",
+          maxHamming = 6, prefixLen = 256, maxEdits = 40)
+        .select(col("id1"), col("id2"), lit(true).as("__ok"))
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+        .withColumn("__k", Guards.constKey(col("n_true")))
+      val flagged = cand.join(truth, Seq("id1", "id2"), "left")
+      val cutoffs = s.range(0, 7).select(col("id").cast("int").as("cutoff"))
+      cutoffs.join(flagged, col("hamming") <= col("cutoff"))
+        .groupBy(col("cutoff"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("__ok"), 1L).otherwise(0L)).as("n_true_pos"))
+        .withColumn("__k", Guards.constKey(col("cutoff")))
+        .join(broadcast(nt), "__k")
+        .select(col("cutoff").as("hamming_cutoff"), col("n_cand"),
+          col("n_true_pos"), col("n_true"),
+          graft.functions.Exprs.pround(
+            col("n_true_pos") / col("n_cand").cast("double"), 6).as("prec"),
+          graft.functions.Exprs.pround(
+            col("n_true_pos") / col("n_true").cast("double"), 6).as("rec"))
+        .orderBy(col("hamming_cutoff"))
+    },
+    Some(s"""WITH $simhashCandCtes,
+      hv AS MATERIALIZED (
+        SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(h1, h2)) <= 6),
+      pfx AS (SELECT doc_id, substr(n, 1, 256) AS p FROM t),
+      tr AS MATERIALIZED (
+        SELECT hv.id1, hv.id2 FROM hv
+        JOIN pfx a ON a.doc_id = hv.id1 JOIN pfx b ON b.doc_id = hv.id2
+        WHERE levenshtein(a.p, b.p) <= 40),
+      nt AS (SELECT count(*) AS n_true FROM tr),
+      fl AS (
+        SELECT hv.*, EXISTS (SELECT 1 FROM tr
+          WHERE tr.id1 = hv.id1 AND tr.id2 = hv.id2) AS ok
+        FROM hv),
+      cu AS (SELECT CAST(unnest(range(0, 7)) AS INT) AS cutoff),
+      ag AS (
+        SELECT cu.cutoff, count(*) AS n_cand,
+          CAST(sum(CASE WHEN fl.ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_true_pos
+        FROM cu JOIN fl ON fl.hamming <= cu.cutoff GROUP BY 1)
+      SELECT cutoff AS hamming_cutoff, n_cand, n_true_pos, nt.n_true,
+        ${proundSql("n_true_pos / CAST(n_cand AS DOUBLE)", 6)} AS prec,
+        ${proundSql("n_true_pos / CAST(nt.n_true AS DOUBLE)", 6)} AS rec
+      FROM ag CROSS JOIN nt ORDER BY 1"""))
+
+  /** One-scan Pearson correlation matrix over the lineitem measures
+    * ([[Profiler.corrMatrix]]): all six pairs' sufficient statistics
+    * ride a single aggregation as decimal-exact sums — the profiling
+    * query that answers "which measures move together" without one
+    * pass per pair. */
+  val q226CorrMatrix = Q(
+    "q226_corr_matrix",
+    (s, d) =>
+      Profiler.corrMatrix(lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("m1"), col("m2")),
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairSql = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        s"""SELECT '$a' AS m1, '$b' AS m2, count(*) AS n,
+          ${proundSql(
+            s"""CASE WHEN (count(*) * CAST(sum(CAST(round($a * $a, 9)
+                AS DECIMAL(38,9))) AS DOUBLE)
+              - CAST(sum(CAST(round($a, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                * CAST(sum(CAST(round($a, 9) AS DECIMAL(38,9))) AS DOUBLE))
+              * (count(*) * CAST(sum(CAST(round($b * $b, 9)
+                AS DECIMAL(38,9))) AS DOUBLE)
+              - CAST(sum(CAST(round($b, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                * CAST(sum(CAST(round($b, 9) AS DECIMAL(38,9))) AS DOUBLE))
+              > 0 THEN
+              (count(*) * CAST(sum(CAST(round($a * $b, 9)
+                AS DECIMAL(38,9))) AS DOUBLE)
+              - CAST(sum(CAST(round($a, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                * CAST(sum(CAST(round($b, 9) AS DECIMAL(38,9))) AS DOUBLE))
+              / sqrt((count(*) * CAST(sum(CAST(round($a * $a, 9)
+                AS DECIMAL(38,9))) AS DOUBLE)
+              - CAST(sum(CAST(round($a, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                * CAST(sum(CAST(round($a, 9) AS DECIMAL(38,9))) AS DOUBLE))
+              * (count(*) * CAST(sum(CAST(round($b * $b, 9)
+                AS DECIMAL(38,9))) AS DOUBLE)
+              - CAST(sum(CAST(round($b, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                * CAST(sum(CAST(round($b, 9) AS DECIMAL(38,9))) AS DOUBLE)))
+              END""", 6)} AS corr
+        FROM lineitem"""
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$pairSql\n) ORDER BY m1, m2"
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -10519,5 +10623,6 @@ object Queries {
     q210KcenterCoreset, q211DedupRewrite, q212Modularity, q213Mmr,
     q214RandomWalks, q215AhashDedup, q216NdcgEval, q217StlDecompose,
     q218AdamicAdar, q219SchemaEvolution, q220WeightedMedian,
-    q221TrimmedMean, q222TheilSen, q223DataContract, q224SkipGrams)
+    q221TrimmedMean, q222TheilSen, q223DataContract, q224SkipGrams,
+    q225DedupPr, q226CorrMatrix)
 }

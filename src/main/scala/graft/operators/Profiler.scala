@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -59,5 +59,38 @@ object Profiler {
       .select(col("col_name"), col("n_nonnull"), col("n_null"),
         col("n_distinct"), col("min_num"), col("max_num"),
         col("min_txt"), col("max_txt"))
+  }
+
+  /** Pairwise Pearson correlation matrix over numeric measures in ONE
+    * scan: every pair's sufficient statistics (n, Σx, Σy, Σx², Σy²,
+    * Σxy) ride a single aggregation as 9-dp-rounded decimal-exact sums
+    * (the q138 OLS regime), so adding a measure costs expressions, not
+    * passes — the profiling shape that still works when the table is
+    * 100 TB. corr is the textbook moment formula on the exact sums;
+    * output rounds via [[graft.functions.Exprs.pround]]. Returns one
+    * row per unordered pair: (m1, m2, n, corr), pair order = input
+    * order. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    import graft.functions.Exprs.pround
+    val dec = (c: Column) => sum(round(c, 9).cast("decimal(38,9)"))
+    val aggs = count(lit(1)).as("__n") +:
+      (cols.map(c => dec(col(c)).as(s"__s_$c")) ++
+        cols.map(c => dec(col(c) * col(c)).as(s"__q_$c")) ++
+        cols.combinations(2).toSeq.map { case Seq(a, b) =>
+          dec(col(a) * col(b)).as(s"__p_${a}_$b")
+        })
+    val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val frames = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val n = col("__n").cast("double")
+      val d = (x: String) => col(x).cast("double")
+      val cov = n * d(s"__p_${a}_$b") - d(s"__s_$a") * d(s"__s_$b")
+      val va = n * d(s"__q_$a") - d(s"__s_$a") * d(s"__s_$a")
+      val vb = n * d(s"__q_$b") - d(s"__s_$b") * d(s"__s_$b")
+      one.select(lit(a).as("m1"), lit(b).as("m2"),
+        col("__n").as("n"),
+        pround(when(va * vb > 0, cov / sqrt(va * vb)), 6).as("corr"))
+    }
+    frames.reduce(_ unionByName _)
   }
 }

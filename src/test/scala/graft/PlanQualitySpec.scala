@@ -64,7 +64,11 @@ class PlanQualitySpec extends SparkSpec {
     // ground truth (corpus x 10 broadcast probes) and q147's rerank;
     // everything the scorer ADDS is an equi-join on (probe_id,
     // neighbor_id)
-    "q216_ndcg_eval")
+    "q216_ndcg_eval",
+    // PR-curve eval: the 7-row cutoff spine crosses the banded
+    // candidate set (signature-collision bounded) on hamming <= cutoff
+    // — config-scale x bounded, never data x data
+    "q225_dedup_pr_curve")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).
