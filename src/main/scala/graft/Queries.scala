@@ -10564,6 +10564,170 @@ object Queries {
       s"SELECT * FROM (\n$pairSql\n) ORDER BY m1, m2"
     })
 
+  /** RAG context assembly: the step between retrieval and the prompt —
+    * each probe's top-10 cosine candidates greedily packed in rank
+    * order under a 600-token budget, snippets stitched into ONE
+    * context string per probe. Budget enforcement is a rank-ordered
+    * cumulative token sum (integer-exact) per probe; assembly is the
+    * sort-struct collect that every walk/packing query uses. The
+    * corpus is touched once, by the retrieval front-end; packing runs
+    * on k rows per probe. The oracle replays retrieval (the q26
+    * LATERAL), token counts, the cumulative cut and the string
+    * stitch — the assembled context hash-matches character for
+    * character. */
+  val q227RagContext = Q(
+    "q227_rag_context",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = embeddings(s, d)
+      val cand = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        k = 10)
+      val snip = documents(s, d).select(
+        col("doc_id").as("neighbor_id"),
+        Text.tokenCount(col("text")).as("n_tok"),
+        substring(Text.normalize(col("text")), 1, 80).as("snippet"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("rank"))
+      cand.join(snip, Seq("neighbor_id"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .where(col("cum") <= 600)
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_passages"), max(col("cum")).as("n_tokens"),
+          array_join(transform(array_sort(collect_list(
+              struct(col("rank"), col("snippet").as("s")))),
+            x => x.getField("s")), " | ").as("context"))
+        .orderBy(col("probe_id"))
+    },
+    Some("""WITH cand AS (
+        SELECT p.vec_id AS probe_id, n.rank, n.neighbor_id
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < 3) p,
+        LATERAL (
+          SELECT c.vec_id AS neighbor_id,
+            row_number() OVER (ORDER BY
+              list_cosine_similarity(c.embedding::DOUBLE[],
+                (SELECT embedding FROM embeddings e
+                 WHERE e.vec_id = p.vec_id)::DOUBLE[]) DESC,
+              c.vec_id) AS rank
+          FROM embeddings c WHERE c.vec_id <> p.vec_id
+          ORDER BY rank LIMIT 10) n),
+      snip AS (
+        SELECT doc_id AS neighbor_id,
+          CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+            OR text IS NULL THEN 0
+            ELSE len(string_split(
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+          END AS n_tok,
+          substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+            1, 80) AS snippet
+        FROM documents),
+      cm AS (
+        SELECT c.probe_id, c.rank, s.n_tok, s.snippet,
+          sum(s.n_tok) OVER (PARTITION BY c.probe_id ORDER BY c.rank)
+            AS cum
+        FROM cand c JOIN snip s USING (neighbor_id))
+      SELECT probe_id, count(*) AS n_passages,
+        CAST(max(cum) AS BIGINT) AS n_tokens,
+        string_agg(snippet, ' | ' ORDER BY rank) AS context
+      FROM cm WHERE cum <= 600
+      GROUP BY probe_id ORDER BY probe_id"""))
+
+  /** The q197 classifier's linear score over the feature frame, Spark
+    * side — weights from the trained fit as literals, the dot product
+    * in the oracle's exact association order, z re-gridded at 6 dp
+    * like the training rounds. */
+  private def logregScoreCol(weights: Seq[Double]): Column =
+    round(weights.zipWithIndex.map { case (w, i) =>
+      lit(w) * col(s"x${i + 1}")
+    }.reduce(_ + _), 6)
+
+  /** The shared oracle prefix for scoring with the TRAINED q197
+    * weights: features, zero init, all 8 training rounds, then one
+    * scored frame (z, y). */
+  private def logregScoredSql: String = {
+    val dot = (1 to 5).map(i => s"w.w$i*f.x$i").mkString(" + ")
+    s"""$logregFeaturesSql,
+      w0 AS (SELECT ${(1 to 5).map(i =>
+        s"CAST(0 AS DOUBLE) AS w$i").mkString(", ")},
+        CAST(NULL AS DOUBLE) AS loss),
+      ${(1 to 8).map(logregRoundSql).mkString(",\n      ")},
+      scored AS (
+        SELECT round($dot, 6) AS z, CAST(f.y AS BIGINT) AS y
+        FROM f CROSS JOIN w8 w)"""
+  }
+
+  /** Exact ROC-AUC of the q197 quality classifier
+    * ([[Classify.aucExact]]) — the discrimination eval the
+    * curated-vs-crawl gate actually answers to: does the trained score
+    * rank curated docs above crawl docs, and by how much? Midrank
+    * Mann–Whitney, integer until the final pround division; the
+    * oracle REPLAYS THE FULL 8-ROUND TRAINING (the q197 CTE chain)
+    * and then the rank arithmetic, so weights drift = red row. */
+  val q228AucEval = Q(
+    "q228_auc_eval",
+    (s, d) => {
+      val feats = logregFeaturesOf(documents(s, d)).localCheckpoint()
+      val fit = LogReg.train(feats, Seq("x1", "x2", "x3", "x4", "x5"),
+        "y", rounds = 8, lr = 0.5)
+      Classify.aucExact(
+        feats.withColumn("__z", logregScoreCol(fit.weights.toSeq)),
+        col("__z"), col("y"))
+    },
+    Some(s"""WITH $logregScoredSql,
+      g AS (SELECT z, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+        FROM scored GROUP BY 1),
+      cw AS (SELECT *, sum(c) OVER (ORDER BY z) - c AS cb FROM g),
+      ag AS (
+        SELECT CAST(sum(p) AS BIGINT) AS np,
+          CAST(sum(c - p) AS BIGINT) AS nn,
+          CAST(sum(p * (2*cb + c + 1)) AS BIGINT) AS s2
+        FROM cw)
+      SELECT np AS n_pos, nn AS n_neg,
+        ${proundSql(
+          "CAST(s2 - np*(np + 1) AS DOUBLE) / (CAST(2 AS DOUBLE) * np * nn)",
+          6)} AS auc
+      FROM ag"""))
+
+  /** Equal-frequency reliability diagram of the q197 classifier
+    * ([[Classify.calibrationDeciles]]): mean predicted probability vs
+    * observed positive rate per decile — the calibration readout
+    * beside q228's discrimination readout. Equal-frequency because
+    * this scorer's range is compressed (every prediction lands inside
+    * one fixed-width decile — the degenerate diagram
+    * [[Classify.calibrationBins]] would draw); deciles by distinct-
+    * probability cumulative rank keep ties deterministic. */
+  val q229Calibration = Q(
+    "q229_calibration",
+    (s, d) => {
+      val feats = logregFeaturesOf(documents(s, d)).localCheckpoint()
+      val fit = LogReg.train(feats, Seq("x1", "x2", "x3", "x4", "x5"),
+        "y", rounds = 8, lr = 0.5)
+      val z = logregScoreCol(fit.weights.toSeq)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+      Classify.calibrationDeciles(feats.withColumn("__p", p), col("__p"),
+          col("y"), bins = 10)
+        .orderBy(col("bin"))
+    },
+    Some(s"""WITH $logregScoredSql,
+      pb AS (
+        SELECT round(1.0/(1.0 + exp(-z)), 6) AS p, y FROM scored),
+      g AS (
+        SELECT p, count(*) AS c, CAST(sum(y) AS BIGINT) AS s
+        FROM pb GROUP BY 1),
+      cw AS (
+        SELECT *, sum(c) OVER (ORDER BY p) - c AS cb,
+          sum(c) OVER () AS n
+        FROM g),
+      bn AS (
+        SELECT CAST(floor(CAST(cb * 10 AS DOUBLE) / n) AS INT) AS bin,
+          p, c, s
+        FROM cw)
+      SELECT bin, CAST(sum(c) AS BIGINT) AS n,
+        ${proundSql(
+          "CAST(sum(CAST(p AS DECIMAL(28,6)) * c) AS DOUBLE) / sum(c)", 6)}
+          AS mean_pred,
+        ${proundSql("CAST(sum(s) AS DOUBLE) / sum(c)", 6)} AS frac_pos
+      FROM bn GROUP BY bin ORDER BY bin"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -10624,5 +10788,6 @@ object Queries {
     q214RandomWalks, q215AhashDedup, q216NdcgEval, q217StlDecompose,
     q218AdamicAdar, q219SchemaEvolution, q220WeightedMedian,
     q221TrimmedMean, q222TheilSen, q223DataContract, q224SkipGrams,
-    q225DedupPr, q226CorrMatrix)
+    q225DedupPr, q226CorrMatrix, q227RagContext, q228AucEval,
+    q229Calibration)
 }

@@ -110,4 +110,93 @@ object Classify {
           .as("score"), lit(l).as("lab"))
       }: _*)).getField("lab").as("pred"))
   }
+
+  /** Exact ROC-AUC via the midrank Mann–Whitney statistic (Hanley &
+    * McNeil 1982): AUC = (Σ midranks of positives − n₊(n₊+1)/2) /
+    * (n₊·n₋), with ties getting the average rank of their group. The
+    * whole computation is INTEGER until one final division: per
+    * distinct score, (count, positives); one ordered cumulative pass
+    * gives each group's rank offset; doubling the midrank formula
+    * (2·midrank = 2·cum_before + cnt + 1) keeps everything in longs —
+    * no float compare, no half-point anywhere until the pround'd
+    * output. The cumulative pass is a single-partition window over the
+    * DISTINCT-SCORE frame — Guards-bounded; at corpus scale the swap
+    * is binned AUC over a score histogram (same formula, bin-grained
+    * ties). Returns one row: (n_pos, n_neg, auc). */
+  def aucExact(scored: DataFrame, scoreCol: Column, labelCol: Column,
+               maxGroups: Long = 1000000L): DataFrame = {
+    import graft.functions.Exprs.pround
+    val g = scored.select(scoreCol.as("__z"), labelCol.cast("long").as("__y"))
+      .groupBy(col("__z"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Guards.constKey(col("__z"))).orderBy(col("__z"))
+    val cum = g.withColumn("__cb",
+      Guards.bounded(sum(col("__c")).over(w) - col("__c"), col("__z"),
+        "auc score groups", maxGroups))
+    cum.agg(sum(col("__p")).as("np"),
+        sum(col("__c") - col("__p")).as("nn"),
+        sum(col("__p") * (lit(2) * col("__cb") + col("__c") + 1)).as("s2"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        pround((col("s2") - col("np") * (col("np") + 1)).cast("double") /
+          (lit(2.0) * col("np") * col("nn")), 6).as("auc"))
+  }
+
+  /** Reliability-diagram bins (the calibration readout next to
+    * [[aucExact]]'s discrimination readout): bucket predictions into
+    * `bins` equal-width probability bins and compare the mean
+    * predicted probability against the observed positive rate — a
+    * well-calibrated scorer tracks the diagonal. Map-only bucketing +
+    * one keyed aggregation; means run decimal-exact with pround
+    * divisions. Returns (bin, n, mean_pred, frac_pos). */
+  def calibrationBins(scored: DataFrame, probCol: Column,
+                      labelCol: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "calibrationBins needs bins >= 2")
+    import graft.functions.Exprs.pround
+    scored.select(
+        least(floor(probCol * bins).cast("int"), lit(bins - 1)).as("bin"),
+        probCol.as("__p"), labelCol.cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        pround(sum(col("__p").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_pred"),
+        pround(sum(col("__y")).cast("double") / count(lit(1)), 6)
+          .as("frac_pos"))
+  }
+
+  /** EQUAL-FREQUENCY reliability bins — the variant that stays
+    * readable when the scorer's probability range is compressed (a
+    * weak classifier can land every prediction inside one fixed-width
+    * bin, which is exactly when you most need the diagram). Deciles
+    * are assigned per DISTINCT probability group by its cumulative
+    * rank offset — floor(cum_before·bins/n) — so tied predictions
+    * share a bin deterministically and both engines replay the
+    * assignment; the cumulative pass is the [[aucExact]]
+    * Guards-bounded distinct-score window. Returns
+    * (bin, n, mean_pred, frac_pos). */
+  def calibrationDeciles(scored: DataFrame, probCol: Column,
+                         labelCol: Column, bins: Int = 10,
+                         maxGroups: Long = 1000000L): DataFrame = {
+    require(bins >= 2, "calibrationDeciles needs bins >= 2")
+    import graft.functions.Exprs.pround
+    val g = scored.select(probCol.as("__p"), labelCol.cast("long").as("__y"))
+      .groupBy(col("__p"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__s"))
+    val key = Guards.constKey(col("__p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("__p"))
+    val cum = g.withColumn("__cb",
+        Guards.bounded(sum(col("__c")).over(w) - col("__c"), col("__p"),
+          "calibration prob groups", maxGroups))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(key)))
+    cum.withColumn("bin",
+        floor((col("__cb") * bins).cast("double") / col("__n")).cast("int"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__c")).as("n"),
+        pround(sum(col("__p").cast("decimal(28,6)") * col("__c"))
+          .cast("double") / sum(col("__c")), 6).as("mean_pred"),
+        pround(sum(col("__s")).cast("double") / sum(col("__c")), 6)
+          .as("frac_pos"))
+  }
 }

@@ -55,4 +55,38 @@ class ClassifySpec extends SparkSpec {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP)
     assert(got == exp, s"llik(spam|spam) $got != $exp")
   }
+
+  test("aucExact: perfect, random-tied, and hand-solved mixed cases") {
+    def auc(rows: Seq[(Double, Int)]): (Long, Long, Double) = {
+      val r = Classify.aucExact(rows.toDF("s", "y"), col("s"), col("y"))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    // perfect separation
+    assert(auc(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))) ==
+      (2L, 2L, 1.0))
+    // inverted scorer
+    assert(auc(Seq((0.1, 1), (0.2, 0)))._3 == 0.0)
+    // all scores tied -> midranks make AUC exactly 0.5
+    assert(auc(Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)))._3 == 0.5)
+    // hand-solved: scores 1..4 with labels 0,1,0,1 ->
+    // pairs won 2+1 of 4 -> AUC = 0.75
+    assert(auc(Seq((1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1)))._3 == 0.75)
+  }
+
+  test("calibrationDeciles: equal-frequency bins, tied groups stay whole") {
+    // 100 distinct probs -> 10 bins of 10; positives only in the top
+    val rows = (1 to 100).map(i => (i / 100.0, if (i > 90) 1 else 0))
+    val out = Classify.calibrationDeciles(rows.toDF("p", "y"),
+        col("p"), col("y")).orderBy(col("bin")).collect()
+    assert(out.length == 10 && out.forall(_.getLong(1) == 10L))
+    assert(out.last.getDouble(3) == 1.0 &&
+      out.take(9).forall(_.getDouble(3) == 0.0))
+    // one giant tied group must land in ONE bin (group stays whole)
+    val tied = Seq.fill(30)((0.5, 0)) ++ Seq((0.9, 1))
+    val t = Classify.calibrationDeciles(tied.toDF("p", "y"),
+      col("p"), col("y")).orderBy(col("bin")).collect()
+    assert(t.length == 2 && t.head.getLong(1) == 30L &&
+      t.last.getLong(1) == 1L)
+  }
 }
