@@ -10728,6 +10728,62 @@ object Queries {
         ${proundSql("CAST(sum(s) AS DOUBLE) / sum(c)", 6)} AS frac_pos
       FROM bn GROUP BY bin ORDER BY bin"""))
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank over the word co-occurrence graph — tokens linked when
+    * they appear within 2 positions in a document, undirected, then
+    * the exact q123 ranker ([[graft.graph.Graph.pageRank]]) for 6
+    * rounds, top-30 words. The graph build is an offset-exploded
+    * EQUI-join on (doc_id, position) — never a windowless self-join —
+    * and the ranker inherits the whole decimal-determinism regime, so
+    * the oracle is the q123 unroll ([[pageRankRoundSql]]) over a
+    * token-derived edge set. The graph machinery powering an NLP
+    * primitive is the point: one operator family, two domains. */
+  val q230Textrank = Q(
+    "q230_textrank",
+    (s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val a = toks.select(col("doc_id"),
+          explode(array(lit(1), lit(2))).as("o"), col("pos"), col("tok"))
+        .select(col("doc_id"), (col("pos") + col("o")).as("p2"),
+          col("tok").as("ta"))
+      val b = toks.select(col("doc_id"), col("pos").as("p2"),
+        col("tok").as("tb"))
+      val pairs = a.join(b, Seq("doc_id", "p2"))
+        .where(col("ta") =!= col("tb"))
+        .select(col("ta"), col("tb"))
+      val edges = pairs.select(col("ta").as("src"), col("tb").as("dst"))
+        .unionByName(pairs.select(col("tb").as("src"), col("ta").as("dst")))
+      graft.graph.Graph.pageRank(edges, iterations = 6)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(30)
+        .select(col("node").as("word"), round(col("rank"), 12).as("rank"))
+    },
+    Some(s"""WITH t AS ($duckToksSql),
+      c AS (
+        SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks
+        FROM t WHERE len(toks) > 0),
+      tk AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM c),
+      pr0 AS (
+        SELECT a.tok AS ta, b.tok AS tb
+        FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+          AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)
+        WHERE a.tok <> b.tok),
+      e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT ta AS src, tb AS dst FROM pr0
+          UNION ALL SELECT tb, ta FROM pr0)),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+      m AS (SELECT count(*) AS n FROM nodes),
+      s0 AS MATERIALIZED (
+        SELECT nd.node, dg.outdeg, m.n,
+          round(CAST(1.0 AS DOUBLE) / m.n, 12) AS rank
+        FROM nodes nd LEFT JOIN deg dg USING (node) CROSS JOIN m),
+      ${(1 to 6).map(k => pageRankRoundSql(s"s${k - 1}", k)).mkString(",\n")}
+      SELECT node AS word, rank FROM s6
+      ORDER BY rank DESC, node LIMIT 30"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -10789,5 +10845,5 @@ object Queries {
     q218AdamicAdar, q219SchemaEvolution, q220WeightedMedian,
     q221TrimmedMean, q222TheilSen, q223DataContract, q224SkipGrams,
     q225DedupPr, q226CorrMatrix, q227RagContext, q228AucEval,
-    q229Calibration)
+    q229Calibration, q230Textrank)
 }
