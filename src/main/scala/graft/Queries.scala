@@ -10784,6 +10784,56 @@ object Queries {
       SELECT node AS word, rank FROM s6
       ORDER BY rank DESC, node LIMIT 30"""))
 
+  /** Point-in-time snapshots over the q152 SCD2 intervals — the time
+    * travel readout a bitemporal dimension exists for: "who was in
+    * which state at T?" for three weekly cut points. The as-of spine
+    * is EXPLODED onto the interval rows (map-side, three literals —
+    * no join of any kind), then one filter + keyed count per
+    * snapshot; the oracle replays the run-collapse and the interval
+    * containment. */
+  val q231Snapshot = Q(
+    "q231_scd2_snapshot",
+    (s, d) => {
+      val ev = events(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("timestamp"), col("event_id"))
+      val intervals = ev
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+        .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts").cast("timestamp"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").cast("timestamp").as("valid_from"), col("valid_to"))
+      val snaps = Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00",
+        "2024-01-22 00:00:00")
+      intervals
+        .withColumn("as_of",
+          explode(array(snaps.map(x => lit(x).cast("timestamp")): _*)))
+        .where(col("valid_from") <= col("as_of") &&
+          (col("valid_to").isNull || col("valid_to") > col("as_of")))
+        .groupBy(col("as_of"), col("state"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("as_of"), col("state"))
+    },
+    Some("""WITH ch AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+          lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      runs AS (
+        SELECT user_id, state, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS valid_to
+        FROM ch WHERE prev IS NULL OR prev <> state),
+      sp AS (SELECT unnest([TIMESTAMP '2024-01-08 00:00:00',
+        TIMESTAMP '2024-01-15 00:00:00',
+        TIMESTAMP '2024-01-22 00:00:00']) AS as_of)
+      SELECT sp.as_of, r.state,
+        CAST(count(DISTINCT r.user_id) AS BIGINT) AS n_users
+      FROM runs r CROSS JOIN sp
+      WHERE r.valid_from <= sp.as_of
+        AND (r.valid_to IS NULL OR r.valid_to > sp.as_of)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -10845,5 +10895,5 @@ object Queries {
     q218AdamicAdar, q219SchemaEvolution, q220WeightedMedian,
     q221TrimmedMean, q222TheilSen, q223DataContract, q224SkipGrams,
     q225DedupPr, q226CorrMatrix, q227RagContext, q228AucEval,
-    q229Calibration, q230Textrank)
+    q229Calibration, q230Textrank, q231Snapshot)
 }
