@@ -68,7 +68,11 @@ class PlanQualitySpec extends SparkSpec {
     // PR-curve eval: the 7-row cutoff spine crosses the banded
     // candidate set (signature-collision bounded) on hamming <= cutoff
     // — config-scale x bounded, never data x data
-    "q225_dedup_pr_curve")
+    "q225_dedup_pr_curve",
+    // context packing: retrieval is the q26 brute shape (corpus x 3
+    // broadcast probes); the packing itself is keyed windows over k
+    // rows per probe
+    "q227_rag_context")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).
