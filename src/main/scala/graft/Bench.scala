@@ -307,6 +307,27 @@ object Bench {
           (dt, gcMs.get() - g0, (spillBytes.get() - s0) / 1048576.0)
         }
         spark.catalog.clearCache()
+        // perceptual-dedup probe: aHash signatures + banding + hamming
+        // verify (q215's op) over the SAME 10x corpus — identical copies
+        // share signatures exactly, so every copy-clique collides in all
+        // four bands and the verify stage carries ~100x the 1x pair
+        // volume, while the signature stage stresses the expression-only
+        // byte pipeline (hex + 64 substr/conv reads per blob). The claim
+        // under test: both stages stay candidate-bounded at 10x.
+        val aSamples = (1 to 3).map { _ =>
+          drain()
+          val (g0, s0) = (gcMs.get(), spillBytes.get())
+          val it0 = System.nanoTime()
+          graft.multimodal.Binary.aHashPairs(
+              spark.read.parquet(dedupBase)
+                .withColumn("bytes", encode(col("text"), "UTF-8")),
+              "doc_id", "bytes", maxHamming = 6)
+            .write.mode("overwrite").format("noop").save()
+          val dt = (System.nanoTime() - it0) / 1e9
+          drain()
+          (dt, gcMs.get() - g0, (spillBytes.get() - s0) / 1048576.0)
+        }
+        spark.catalog.clearCache()
         // gradient-tier probe: full-batch logistic-regression training
         // (q197's op) over the SAME 10x corpus the dedup probe staged —
         // 8 GD rounds, each one corpus pass partial-aggregated to a
@@ -338,6 +359,8 @@ object Bench {
             s"""\"setup_sec\":${r3(mergeSetup)},\"n_partitions\":$nParts,\"touched_partitions\":1""") +
           "," + entryJson("q86_dedup_sweep_10x", dSamples,
             s"""\"setup_sec\":${r3(dedupSetup)},\"doc_rows\":$docRows,\"copies\":$copies""") +
+          "," + entryJson("q215_ahash_dedup_10x", aSamples,
+            s"""\"doc_rows\":$docRows,\"copies\":$copies""") +
           "," + entryJson("q197_logreg_10x", lSamples,
             s"""\"doc_rows\":$docRows,\"rounds\":8""") +
           "}"
