@@ -51,4 +51,21 @@ class ContractsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L &&
       r.getBoolean(4)))
   }
+
+  test("corrMatrix: perfect, inverted, and constant-column cases") {
+    import graft.operators.Profiler
+    // b = 2a (corr 1), c = -a (corr -1), d constant (undefined -> null)
+    val rows = (1 to 20).map(i =>
+      (i.toDouble, 2.0 * i, -i.toDouble, 5.0))
+    val got = Profiler.corrMatrix(rows.toDF("a", "b", "c", "d"),
+        Seq("a", "b", "c", "d")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.size == 6 && got.forall(_._2 != null))
+    assert(got(("a", "b")) == Some(1.0))
+    assert(got(("a", "c")) == Some(-1.0))
+    assert(got(("b", "c")) == Some(-1.0))
+    assert(got(("a", "d")) == None, "zero-variance pair must be null")
+    assert(got(("b", "d")) == None && got(("c", "d")) == None)
+  }
 }
