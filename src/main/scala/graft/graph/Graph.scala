@@ -1190,9 +1190,11 @@ object Graph {
     *
     * Determinism: every count is exact BIGINT; each community's
     * contribution is two IEEE divisions + one multiply + one subtract
-    * on exact integers, rounded at 12 dp; the global Q sums the
-    * rounded contributions as exact decimal — the [[pageRank]] regime,
-    * so a SQL oracle replays it bit-for-bit.
+    * on exact integers, pround-ed at 12 dp (intra/m is a
+    * small-denominator rational — exactly the half-grid-point class
+    * where built-in round() diverges across engines); the global Q
+    * sums the rounded contributions as exact decimal — the
+    * [[pageRank]] regime, so a SQL oracle replays it bit-for-bit.
     *
     * Returns one row per community: (label, nodes, deg_sum,
     * intra_edges, q_contrib, modularity) with `modularity` the global
@@ -1224,7 +1226,11 @@ object Graph {
       .join(broadcast(mRow), "__k")
       .select(col("lab").as("label"), col("nodes"), col("deg_sum"),
         coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
-        round(coalesce(col("intra_edges"), lit(0L)) / col("m") -
+        // pround, not round: intra/m is a small-denominator rational
+        // (m = exact edge count), so the 12-dp value can land exactly
+        // on a half grid point where Spark/DuckDB round() diverge
+        graft.functions.Exprs.pround(
+          coalesce(col("intra_edges"), lit(0L)) / col("m") -
           (col("deg_sum") / (lit(2.0) * col("m"))) *
           (col("deg_sum") / (lit(2.0) * col("m"))), 12).as("q_contrib"))
     val qTot = perC.agg(
@@ -1234,7 +1240,7 @@ object Graph {
       .join(broadcast(qTot), "__k")
       .select(col("label"), col("nodes"), col("deg_sum"),
         col("intra_edges"), col("q_contrib"),
-        round(col("q"), 12).as("modularity"))
+        graft.functions.Exprs.pround(col("q"), 12).as("modularity"))
   }
 
   /** Deterministic random-walk corpus generation (DeepWalk, Perozzi et

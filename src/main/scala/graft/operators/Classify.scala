@@ -154,7 +154,11 @@ object Classify {
     require(bins >= 2, "calibrationBins needs bins >= 2")
     import graft.functions.Exprs.pround
     scored.select(
-        least(floor(probCol * bins).cast("int"), lit(bins - 1)).as("bin"),
+        // clamp BOTH ends: p = 1.0 lands in the top bin, and a
+        // mis-scaled scorer feeding p < 0 must not mint negative bin
+        // ids that silently skew the diagram
+        greatest(lit(0),
+          least(floor(probCol * bins).cast("int"), lit(bins - 1))).as("bin"),
         probCol.as("__p"), labelCol.cast("long").as("__y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),

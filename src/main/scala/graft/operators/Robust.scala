@@ -92,32 +92,48 @@ object Robust {
     * load, quantity-weighted price): the smallest value whose
     * cumulative weight reaches half the group total, found by one
     * keyed cumulative window over a TOTAL order (valueCol, tieCols) +
-    * one broadcast totals join. Weights are cast to LONG so the
-    * cumulative sums and the 2·cum ≥ total threshold are integer-exact
-    * — no float comparison anywhere, hence engine-exact. Keyed windows
+    * one broadcast totals join. Weights are coerced to LONG via an
+    * explicit half-up floor(w + 0.5) BEFORE the cast — Spark's
+    * decimal→long cast truncates toward zero while DuckDB's CAST
+    * rounds to nearest, so a bare cast silently diverges on any
+    * non-integral weight column; floor(w + 0.5) is the identical IEEE
+    * tree on both engines (oracles must mirror it, see q220). Negative
+    * weights raise (a negative cumulative weight makes the threshold
+    * pick meaningless); a zero-total group yields w_median = NULL
+    * instead of masquerading as its first row's value. The cumulative
+    * sums and the 2·cum ≥ total threshold are then integer-exact — no
+    * float comparison anywhere, hence engine-exact. Keyed windows
     * are naturally parallel; for groups too large to sort at 100 TB
-    * the swap is a weighted quantile sketch (same contract, bounded
-    * error), this is the exact tier. Returns (keys, n, w_total,
-    * w_median). */
+    * the swap is [[graft.operators.Sketches.weightedBottomK]] (same
+    * contract, bounded error), this is the exact tier. Returns
+    * (keys, n, w_total, w_median). */
   def weightedMedian(df: DataFrame, keys: Seq[String], valueCol: Column,
                      weightCol: Column, tieCols: Seq[Column]): DataFrame = {
+    // the guard rides the weight expression itself so column pruning
+    // can never optimize it away
+    val wt = when(weightCol < 0, raise_error(concat(
+        lit("weightedMedian: negative weight "), weightCol.cast("string")))
+        .cast("long"))
+      .otherwise(floor(weightCol.cast("double") + lit(0.5d)).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(valueCol +: tieCols: _*)
     val cum = df
-      .withColumn("__wt", weightCol.cast("long"))
+      .withColumn("__wt", wt)
       .withColumn("__v", valueCol)
       .withColumn("__cw", sum(col("__wt")).over(w))
     val tot = df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum(weightCol.cast("long")).as("w_total"))
+      .agg(count(lit(1)).as("n"), sum(wt).as("w_total"))
     cum.join(broadcast(tot), keys)
       .where(lit(2) * col("__cw") >= col("w_total"))
       .groupBy(keys.map(col): _*)
       .agg(min(struct(col("__cw").as("c"), col("__v").as("v")))
-        .getField("v").as("w_median"),
+        .getField("v").as("__med"),
         first(col("n")).as("n"), first(col("w_total")).as("w_total"))
       .select((keys.map(col) ++
-        Seq(col("n"), col("w_total"), col("w_median"))): _*)
+        Seq(col("n"), col("w_total"),
+          when(col("w_total") === 0, lit(null))
+            .otherwise(col("__med")).as("w_median"))): _*)
   }
 
   /** Per-group trimmed and winsorized means (Tukey's robust location

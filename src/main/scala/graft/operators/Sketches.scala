@@ -218,6 +218,109 @@ object Sketches {
       .select(col("q"), col("v").as("est"), col("ns").as("n_sample"))
   }
 
+  /** WEIGHT-AWARE bottom-k sketch (priority sampling — Duffield, Lund &
+    * Thorup, JACM 2007; Ohlsson's sequential Poisson sampling is the
+    * same order statistic) — the documented 100 TB swap for
+    * [[Robust.weightedMedian]] / [[Robust.trimmedStats]], which sort
+    * whole groups per key: keep the k+1 rows with the LARGEST priority
+    * p = w / u, where u ∈ (0,1] is the row's md5-derived uniform. Rows
+    * with large weight get large priorities, so the sample is a
+    * weighted sample without replacement, and the (k+1)-th priority τ
+    * makes the Horvitz–Thompson adjusted weight max(w, τ) of each kept
+    * row an UNBIASED estimator of any weight-mass prefix sum
+    * (E[Σ_{kept, v≤x} max(w,τ)] = Σ_{v≤x} w) — exactly what a weighted
+    * quantile needs.
+    *
+    * Deterministic and engine-portable, unlike an exponential-race key
+    * (-ln(u)/w): u = (h mod 2^53 + 1) / 2^53 is an exact power-of-two
+    * scaling and p = w/u one IEEE division — both bit-identical across
+    * engines, no libm in sight — so the whole sketch (and q233's gate)
+    * replays in DuckDB SQL. Mergeable by construction: the top-(k+1)
+    * of a union is the top-(k+1) of the per-shard top-(k+1)s under the
+    * same total order (p desc, h, v) — persisted per-batch samples
+    * roll up without rescans, the [[bottomKSample]] contract with
+    * weights. Plan shape is the same TakeOrderedAndProject: per-task
+    * partial top-k, driver merge of numPartitions·(k+1) rows, no
+    * global sort.
+    *
+    * Rows with null/NaN value, or null/NaN/non-positive weight, are
+    * dropped (a zero-weight row cannot move a weighted quantile; a
+    * negative weight is undefined — the exact tier
+    * [[Robust.weightedMedian]] raises on it).
+    *
+    * Returns k+1 rows (v, w, p, h): the k-row sample PLUS the
+    * threshold row whose priority is τ — [[weightedSampleQuantiles]]
+    * needs it, and merges need it to recompute τ after a union. */
+  def weightedBottomK(df: DataFrame, idCol: Column, valueCol: Column,
+                      weightCol: Column, k: Int, seed: Int): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    val two53 = 9007199254740992L // 2^53
+    val h = graft.functions.Text.md5Hash64(idCol.cast("string"), seed)
+    df.where(valueCol.isNotNull && !isnan(valueCol) &&
+        weightCol.isNotNull && weightCol.cast("double") > 0 &&
+        !isnan(weightCol.cast("double")))
+      .select(valueCol.cast("double").as("v"),
+        weightCol.cast("double").as("w"), h.as("h"))
+      .withColumn("p", col("w") /
+        ((pmod(col("h"), lit(two53)) + lit(1L)).cast("double") /
+          lit(two53.toDouble)))
+      .orderBy(col("p").desc, col("h"), col("v"))
+      .limit(k + 1)
+  }
+
+  /** Weighted quantile estimates from a [[weightedBottomK]] frame: the
+    * (k+1)-th priority is the threshold τ (0 when the sample is
+    * exhaustive, i.e. fewer than k+1 rows survived — then every
+    * adjusted weight is the exact weight and the estimates are EXACT);
+    * each kept row's adjusted weight is round(max(w, τ), 6) — the 6-dp
+    * decimal grid makes the cumulative sums order-exact, the
+    * [[Robust.trimmedStats]] regime — and for each requested q the
+    * estimate is the smallest sample value whose cumulative adjusted
+    * weight reaches q·Ŵ (the [[Robust.weightedMedian]] threshold rule
+    * at q = 0.5, so the exhaustive case degenerates to it exactly).
+    * Runs entirely on the k-row sample under the [[Guards]] bounded
+    * single-partition contract — the window sorts k rows, never the
+    * data. Output: one row per q with (q, est, n_sample, w_est). */
+  def weightedSampleQuantiles(sample: DataFrame, k: Int,
+                              qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile")
+    val part = Guards.constKey(col("h"))
+    val byP = Window.partitionBy(part)
+      .orderBy(col("p").desc, col("h"), col("v"))
+    val ranked = sample
+      .select(col("v"), col("w"), col("p"), col("h"),
+        row_number().over(byP).as("__rk"),
+        Guards.bounded(max(when(row_number().over(byP) === k + 1, col("p")))
+          .over(Window.partitionBy(part)), col("h"),
+          "weighted bottom-k sample").as("__tau"))
+      .where(col("__rk") <= k)
+      // pround, not round: τ can in principle land on a 6-dp half grid
+      // point where Spark/DuckDB round() diverge — pround is the
+      // identical IEEE tree on both engines in every case
+      .withColumn("__aw",
+        graft.functions.Exprs.pround(
+          greatest(col("w"), coalesce(col("__tau"), lit(0.0))), 6)
+          .cast("decimal(28,6)"))
+    val byV = Window.partitionBy(Guards.constKey(col("h")))
+      .orderBy(col("v"), col("h"))
+    val cum = ranked
+      .select(col("v"),
+        sum(col("__aw")).over(byV).as("__cw"),
+        sum(col("__aw")).over(Window.partitionBy(Guards.constKey(col("h"))))
+          .as("__tw"),
+        count(lit(1)).over(Window.partitionBy(Guards.constKey(col("h"))))
+          .as("__ns"))
+    cum.select(explode(array(qs.map(lit): _*)).as("q"),
+        col("v"), col("__cw"), col("__tw"), col("__ns"))
+      .where(col("__cw").cast("double") >=
+        col("q") * col("__tw").cast("double"))
+      .groupBy(col("q"))
+      .agg(min(col("v")).as("est"),
+        first(col("__ns")).as("n_sample"),
+        first(col("__tw")).cast("double").as("w_est"))
+      .select(col("q"), col("est"), col("n_sample"), col("w_est"))
+  }
+
   /** Map-side frequency estimate against a literal CMS: depth lookups,
     * take the min — zero joins, the Bloom-probe shape with counters.
     * A null key estimates 0, matching the build's null-drop. */

@@ -89,4 +89,21 @@ class ClassifySpec extends SparkSpec {
     assert(t.length == 2 && t.head.getLong(1) == 30L &&
       t.last.getLong(1) == 1L)
   }
+
+  test("calibrationBins: both ends clamped, means are hand-exact") {
+    // p = 1.0 belongs to the TOP bin (not a phantom bin 10); a
+    // mis-scaled scorer feeding p < 0 lands in bin 0 instead of
+    // minting a negative bin id that silently skews the diagram
+    val rows = Seq((-0.2, 0), (0.0, 0), (0.05, 1), (0.95, 1), (1.0, 1))
+    val out = Classify.calibrationBins(rows.toDF("p", "y"),
+        col("p"), col("y"), bins = 10).orderBy(col("bin")).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 9))
+    // frac_pos rides pround(1/3, 6); mean_pred is decimal-exact
+    val lo = out.head
+    assert(lo.getLong(1) == 3L && lo.getDouble(2) == -0.05 &&
+      lo.getDouble(3) == 0.333333)
+    val hi = out.last
+    assert(hi.getLong(1) == 2L && hi.getDouble(2) == 0.975 &&
+      hi.getDouble(3) == 1.0)
+  }
 }

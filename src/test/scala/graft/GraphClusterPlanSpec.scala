@@ -177,6 +177,45 @@ class GraphClusterPlanSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gcp_edges_par")
   }
 
+  test("pageRankConverged over a src-bucketed edge table: zero edge-side exchanges + parity") {
+    // the actual cluster deployment shape (r08 verdict item 3): the
+    // data-dependent stop COMPOSED with the one-time bucketed layout —
+    // the probed round's plan must stay edge-exchange-free exactly like
+    // the fixed-round round, and the converged result must hash-match
+    // the default distinct+checkpoint path bit-for-bit
+    val e = rawEdges.distinct()
+    Sinks.writeBucketed(e, "gcp_edges_conv", 4, "src")
+    try {
+      val bucketed = spark.table("gcp_edges_conv")
+        .select(col("src"), col("dst"))
+      withPlanConf {
+        // the converged transport's per-round plan is prRound with
+        // trackDelta = true (the delta rides the dangling broadcast) —
+        // assert THAT plan, not the plain round's
+        val state = Graph.prInit(bucketed)
+          .withColumn("__prev", lit(null).cast("double")).localCheckpoint()
+        val round = Graph.prRound(state, bucketed, 0.85, 0.15,
+          trackDelta = true)
+        val plan = round.queryExecution.executedPlan
+        val sides = edgeSides(plan)
+        assert(sides.nonEmpty,
+          s"no shuffle join reads the bucketed scan:\n$plan")
+        sides.foreach(side => assert(shuffles(side).isEmpty,
+          s"edge side of the converged round join still shuffles:\n$side"))
+      }
+      val default = Graph.pageRankConverged(rawEdges, tol = 1e-6,
+          maxIter = 60)
+        .select(col("node"), col("rank"), col("iters"), col("l1_delta"))
+        .as[(String, Double, Int, Double)].collect().toSet
+      val prepared = Graph.pageRankConverged(bucketed, tol = 1e-6,
+          maxIter = 60, edgesPrepared = true)
+        .select(col("node"), col("rank"), col("iters"), col("l1_delta"))
+        .as[(String, Double, Int, Double)].collect().toSet
+      assert(prepared == default,
+        "converged-over-buckets diverged from the default converged path")
+    } finally spark.sql("DROP TABLE IF EXISTS gcp_edges_conv")
+  }
+
   test("durable checkpoint path hashes identically to localCheckpoint (pageRank + hits)") {
     val dir = Scratch.dir("gcp_ckpt")
     val e = rawEdges

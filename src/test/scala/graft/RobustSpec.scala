@@ -66,6 +66,29 @@ class RobustSpec extends SparkSpec {
       Seq(col("id"))).head().getDouble(3) == 1.0)
   }
 
+  test("weightedMedian: weight coercion is half-up, guards fire") {
+    // non-integral weights coerce via floor(w + 0.5) — 2.5 counts 3,
+    // 0.4 counts 0 — NOT the engine cast (Spark truncates, DuckDB
+    // rounds to nearest; a bare cast silently diverges cross-engine)
+    val frac = Seq(("g", 1.0, 0.4, 1), ("g", 2.0, 2.5, 2))
+      .toDF("k", "v", "w", "id")
+    val r = Robust.weightedMedian(frac, Seq("k"), col("v"), col("w"),
+      Seq(col("id"))).head()
+    assert(r.getLong(2) == 3L && r.getDouble(3) == 2.0)
+    // a zero-total group answers NULL, not its first row's value
+    val zero = Seq(("g", 1.0, 0.0, 1), ("g", 2.0, 0.0, 2))
+      .toDF("k", "v", "w", "id")
+    assert(Robust.weightedMedian(zero, Seq("k"), col("v"), col("w"),
+      Seq(col("id"))).head().isNullAt(3))
+    // negative weights raise instead of poisoning the cumulative sums
+    val neg = Seq(("g", 1.0, -1.0, 1)).toDF("k", "v", "w", "id")
+    val ex = intercept[Exception] {
+      Robust.weightedMedian(neg, Seq("k"), col("v"), col("w"),
+        Seq(col("id"))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("trimmedStats: tails dropped or clamped, hand-computed") {
     // 1..9 plus an outlier 100: cut = 1 per tail -> kept 2..9
     val df = ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex

@@ -160,6 +160,83 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("weighted bottom-k: shard samples merge to the union's sample") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("id", concat(col("l_orderkey"), lit("_"), col("l_linenumber")))
+    val k = 64
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Double, Double, Long, Double)].collect().toSet
+    val whole = tuples(Sketches.weightedBottomK(li, col("id"),
+      col("l_extendedprice"), col("l_quantity"), k, 7))
+    // disjoint shards sampled independently, re-merged under the same
+    // total order — must equal the union's sample INCLUDING the
+    // threshold row, so τ (and thus every adjusted weight) survives
+    // the no-rescan rollup
+    val s1 = Sketches.weightedBottomK(li.where(col("l_orderkey") % 2 === 0),
+      col("id"), col("l_extendedprice"), col("l_quantity"), k, 7)
+    val s2 = Sketches.weightedBottomK(li.where(col("l_orderkey") % 2 === 1),
+      col("id"), col("l_extendedprice"), col("l_quantity"), k, 7)
+    val merged = tuples(s1.unionByName(s2)
+      .orderBy(col("p").desc, col("h"), col("v")).limit(k + 1))
+    assert(merged == whole,
+      "weighted bottom-k of shard samples != weighted bottom-k of union")
+  }
+
+  test("weighted quantiles: realized weight-rank near q; exhaustive case exact") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val id = concat(col("l_orderkey"), lit("_"), col("l_linenumber"))
+    val k = 256
+    val sample = Sketches.weightedBottomK(li, id, col("l_extendedprice"),
+      col("l_quantity"), k, 7)
+    val qs = Seq(0.25, 0.5, 0.9)
+    val est = Sketches.weightedSampleQuantiles(sample, k, qs)
+      .as[(Double, Double, Long, Double)].collect()
+    assert(est.forall(_._3 == k), "sample size should be exactly k")
+    val wTotal = li.agg(sum(col("l_quantity").cast("long")))
+      .as[Long].head().toDouble
+    val byQ = est.map(r => r._1 -> r._2).toMap
+    qs.foreach { q =>
+      // realized WEIGHT rank of the estimate in the full data
+      val rank = li.where(col("l_extendedprice") <= byQ(q))
+        .agg(sum(col("l_quantity").cast("long"))).as[Long].head() / wTotal
+      assert(math.abs(rank - q) < 0.1,
+        s"q=$q estimate ${byQ(q)} realized weight-rank $rank")
+      // the HT-estimated total weight is in the right ballpark too
+      val wEst = est.find(_._1 == q).get._4
+      assert(math.abs(wEst - wTotal) / wTotal < 0.25,
+        s"w_est $wEst vs exact total $wTotal")
+    }
+    // n <= k: τ = 0, adjusted weights are the exact weights, and the
+    // q=0.5 estimate IS Robust.weightedMedian's answer
+    val tiny = Seq(("a", 1.0, 1L), ("b", 2.0, 1L), ("c", 3.0, 10L))
+      .toDF("id", "v", "w")
+    val exact = graft.operators.Robust.weightedMedian(
+        tiny.withColumn("k", lit("g")), Seq("k"), col("v"), col("w"),
+        Seq(col("id"))).head().getDouble(3)
+    val sk = Sketches.weightedSampleQuantiles(
+        Sketches.weightedBottomK(tiny, col("id"), col("v"), col("w"),
+          k = 16, seed = 7), k = 16, Seq(0.5))
+      .as[(Double, Double, Long, Double)].head()
+    assert(sk._2 == exact && sk._4 == 12.0,
+      s"exhaustive sketch must be exact: got ${sk._2} (median $exact)")
+  }
+
+  test("weighted bottom-k: a dominant weight is sampled and decides the median") {
+    // 500 unit-weight noise rows + one row carrying 100x their total
+    // mass — the case a UNIFORM sample gets wrong with high
+    // probability but a weighted sample must nail
+    val rows = (1 to 500).map(i => (s"n$i", i.toDouble, 1.0)) :+
+      (("heavy", 42.0, 50000.0))
+    val df = rows.toDF("id", "v", "w")
+    val sample = Sketches.weightedBottomK(df, col("id"), col("v"),
+      col("w"), k = 32, seed = 3)
+    assert(sample.where(col("v") === 42.0).count() == 1,
+      "the dominant-weight row must survive weighted sampling")
+    val med = Sketches.weightedSampleQuantiles(sample, 32, Seq(0.5))
+      .as[(Double, Double, Long, Double)].head()
+    assert(med._2 == 42.0, s"median should be the heavy row, got ${med._2}")
+  }
+
   test("overlapEstimate: inclusion-exclusion recovers known overlaps within 3·RSE") {
     // A = 1..2000, B = 1001..3000 (|∩| = 1000), C = 10001..12000 (disjoint)
     val rows =
