@@ -11189,6 +11189,81 @@ object Queries {
       FROM ag"""
     })
 
+  /** Hard-negative mining for contrastive training (the data layer of
+    * DPR/SimCSE-style retrieval training — Karpukhin et al. 2020 use
+    * exactly this shape: negatives that LOOK like positives): per
+    * probe, retrieve a wide LSH candidate set (q29's bucketed path,
+    * k=25), anti-join away the brute-force TRUE top-5 (q26's ground
+    * truth), and keep the 5 highest-cosine survivors — the
+    * look-alike non-neighbors a contrastive loss learns the most
+    * from. Pure composition of already-oracled operators: one
+    * bucket-bounded retrieval, one probe-bounded anti-join, one
+    * probe-keyed window — nothing quadratic in corpus size, and the
+    * oracle splices the two constituent SQL chains. */
+  val q236HardNegatives = Q(
+    "q236_hard_negatives",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val probes = emb.where(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(emb, probes,
+          "vec_id", "embedding", "vec_id", k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val cands = Similarity.lshTopK(emb, probes,
+        "vec_id", "embedding", "vec_id", k = 25, planes = 4, dims = 64)
+      cands.join(truth, Seq("probe_id", "neighbor_id"), "left_anti")
+        .withColumn("neg_rank", row_number().over(
+          Window.partitionBy(col("probe_id"))
+            .orderBy(col("cos").desc, col("neighbor_id"))))
+        .where(col("neg_rank") <= 5)
+        .select(col("probe_id"), col("neg_rank"), col("neighbor_id"),
+          col("cos"))
+        .orderBy(col("probe_id"), col("neg_rank"))
+    },
+    Some {
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      b AS (
+        SELECT vec_id, e,
+          ${duckBucketExpr(4, 64, "e")} AS bucket
+        FROM v),
+      pr AS (SELECT vec_id AS probe_id, e AS pe, bucket
+             FROM b WHERE vec_id < 10),
+      sc AS (
+        SELECT pr.probe_id, c.vec_id AS neighbor_id,
+          list_cosine_similarity(c.e, pr.pe) AS cosf
+        FROM b c JOIN pr ON c.bucket = pr.bucket AND c.vec_id <> pr.probe_id),
+      rk AS (
+        SELECT probe_id, neighbor_id, cosf,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY cosf DESC, neighbor_id) AS rank
+        FROM sc),
+      truth AS (
+        SELECT p.vec_id AS probe_id, n.neighbor_id
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) p,
+        LATERAL (
+          SELECT c.vec_id AS neighbor_id,
+            row_number() OVER (ORDER BY
+              list_cosine_similarity(c.embedding::DOUBLE[],
+                (SELECT embedding FROM embeddings e
+                 WHERE e.vec_id = p.vec_id)::DOUBLE[]) DESC,
+              c.vec_id) AS rank
+          FROM embeddings c WHERE c.vec_id <> p.vec_id
+          ORDER BY rank LIMIT 5) n),
+      neg AS (
+        SELECT r.probe_id, r.neighbor_id, round(r.cosf, 6) AS cos
+        FROM rk r
+        WHERE r.rank <= 25 AND NOT EXISTS (
+          SELECT 1 FROM truth t
+          WHERE t.probe_id = r.probe_id
+            AND t.neighbor_id = r.neighbor_id))
+      SELECT probe_id, neg_rank, neighbor_id, cos FROM (
+        SELECT probe_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos DESC, neighbor_id) AS neg_rank
+        FROM neg)
+      WHERE neg_rank <= 5
+      ORDER BY probe_id, neg_rank"""
+    })
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -11252,5 +11327,5 @@ object Queries {
     q225DedupPr, q226CorrMatrix, q227RagContext, q228AucEval,
     q229Calibration, q230Textrank, q231Snapshot,
     q232PagerankTolBucketed, q233WeightedQuantileSketch,
-    q234ClosenessAccuracy, q235BetweennessAccuracy)
+    q234ClosenessAccuracy, q235BetweennessAccuracy, q236HardNegatives)
 }

@@ -1273,34 +1273,42 @@ object Graph {
         .where(col("a") =!= col("b")).distinct(), durable)
     val ret = new Retention
     val reps = array((1 to walksPerSeed).map(lit): _*)
+    // the walk string rides the frontier state and grows by one token
+    // per step (r08 verdict nit): the former shape accumulated a
+    // walkLen-wide union of checkpointed frontiers and re-shuffled the
+    // WHOLE trace through a final collect_list + array_sort — at long
+    // walks that moves every (wid, step, node) row twice. Carrying the
+    // append on the state moves each walk string once per round and
+    // makes the output a plain projection of the final frontier. No
+    // walker can dead-end (seeds and successors are always `und`
+    // endpoints and `und` is symmetric), so the output is row-for-row
+    // identical to the trace formulation — steps is walkLen+1 for
+    // every walker by construction.
     var frontier = cut(
       und.select(col("a").as("node")).distinct()
         .where(isSeed(col("node")))
         .select(explode(reps).as("r"), col("node"))
         .select(concat(col("node").cast("string"), lit("#"), col("r"))
-          .as("wid"), col("node")), durable, ret)
-    var trace = frontier.select(col("wid"), lit(0).as("step"), col("node"))
+          .as("wid"), col("node"),
+          col("node").cast("string").as("walk")), durable, ret)
     var t = 1
     while (t <= walkLen) {
       val hashed = frontier.join(und, frontier("node") === und("a"))
-        .select(col("wid"),
+        .select(col("wid"), col("walk"),
           struct(graft.functions.Text.md5Hash64(
             concat(col("wid"), lit(":"), lit(t.toString), lit(":"),
               col("b").cast("string")), seed).as("h"),
             col("b").as("n")).as("hn"))
       frontier = cut(hashed.groupBy("wid")
-        .agg(min(col("hn")).getField("n").as("node")), durable, ret)
-      trace = trace.unionByName(
-        frontier.select(col("wid"), lit(t).as("step"), col("node")))
+        .agg(min(col("hn")).getField("n").as("node"),
+          min(col("walk")).as("__w"))
+        .select(col("wid"), col("node"),
+          concat(col("__w"), lit(" "), col("node").cast("string"))
+            .as("walk")), durable, ret)
       t += 1
     }
-    trace.groupBy("wid")
-      .agg(count(lit(1)).as("steps"),
-        array_join(transform(array_sort(
-            collect_list(struct(col("step"), col("node").cast("string")
-              .as("n")))),
-          x => x.getField("n")), " ").as("walk"))
-      .select(col("wid").as("walk_id"), col("steps"), col("walk"))
+    frontier.select(col("wid").as("walk_id"),
+      lit(walkLen + 1L).as("steps"), col("walk"))
     }
   }
 

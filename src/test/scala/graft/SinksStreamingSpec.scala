@@ -283,6 +283,52 @@ class SinksStreamingSpec extends SparkSpec {
       s"streamed sample != batch sample: ${streamed.size}/${batch.size}")
   }
 
+  test("streaming weighted bottom-k: shard states merge to the batch sample + threshold") {
+    import graft.operators.Sketches
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.{WBkRow, WBkShard}
+    val k = 32
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val id = concat(col("l_orderkey"), lit("_"), col("l_linenumber"))
+    // pre-compute priority map-side exactly like the batch operator:
+    // u = (h mod 2^53 + 1)/2^53, p = w/u
+    val two53 = 9007199254740992L
+    val all = li
+      .where(col("l_extendedprice").isNotNull && col("l_quantity") > 0)
+      .select(col("l_extendedprice").cast("double").as("v"),
+        col("l_quantity").cast("double").as("w"),
+        graft.functions.Text.md5Hash64(id.cast("string"), 7).as("h"))
+      .withColumn("p", col("w") /
+        ((pmod(col("h"), lit(two53)) + lit(1L)).cast("double") /
+          lit(two53.toDouble)))
+      .select(pmod(col("h"), lit(4L)).cast("int").as("shard"),
+        col("p"), col("h"), col("v"), col("w"))
+      .as[WBkRow].collect().toSeq
+    val dir = Files.createTempDirectory("graft_swbk").toString
+    val (b1, b2) = all.splitAt(all.size / 2)
+    b1.toDF().write.mode("overwrite").parquet(dir)
+    val in = spark.readStream.schema(b1.toDF().schema).parquet(dir)
+      .as[WBkRow]
+    val q = StreamingSketch.weightedBottomKShards(in, k)
+      .writeStream.outputMode(StreamingSketch.outputMode)
+      .format("memory").queryName("swbk_out").start()
+    q.processAllAvailable()
+    b2.toDF().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val emissions = spark.sql("SELECT shard, ps, hs, vs, ws FROM swbk_out")
+      .as[WBkShard].collect().toSeq
+    q.stop()
+    val streamed = StreamingSketch.mergeWeightedShards(emissions, k).toSet
+    val batch = Sketches.weightedBottomK(li, id, col("l_extendedprice"),
+        col("l_quantity"), k, 7)
+      .select(col("p"), col("h"), col("v"), col("w"))
+      .as[(Double, Long, Double, Double)].collect().toSet
+    // k+1 rows INCLUDING the threshold row: τ — and so every adjusted
+    // weight downstream — survives the streaming rollup exactly
+    assert(streamed == batch,
+      s"streamed weighted sample != batch: ${streamed.size}/${batch.size}")
+  }
+
   test("streaming MG heavy hitters: superset + error bound across batches") {
     import graft.streaming.StreamingHeavyHitters
     import graft.streaming.StreamingHeavyHitters.{KeyRow, MgShard}
