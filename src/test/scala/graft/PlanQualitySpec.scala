@@ -72,7 +72,12 @@ class PlanQualitySpec extends SparkSpec {
     // context packing: retrieval is the q26 brute shape (corpus x 3
     // broadcast probes); the packing itself is keyed windows over k
     // rows per probe
-    "q227_rag_context")
+    "q227_rag_context",
+    // hard-negative mining: the q181 rationale — the TRUTH side is
+    // q26's corpus x 10 broadcast probes brute scan; the LSH candidate
+    // side stays a bucket equi-join, and everything the miner adds is
+    // an anti-join on (probe_id, neighbor_id) + a probe-keyed window
+    "q236_hard_negatives")
   // NOTE: q29_ann_lsh and q44_embedding_neardup are deliberately NOT in
   // this set any more — both route through hyperplane-bucket equi-joins
   // and must stay nested-loop-free (the round-1 scale-killer fix).
