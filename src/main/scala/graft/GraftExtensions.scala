@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.native.{BottomKAgg, CosineSimilarity, DotProduct, HausdorffDistance, MisraGriesAgg, SimHashAgg}
+import graft.functions.native.{BottomKAgg, CosineSimilarity, DotProduct, HausdorffDistance, MisraGriesAgg, SimHashAgg, WeightedBottomKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // census, which ships every distinct key)
     inject("graft_mg", 2, c => MisraGriesAgg(c(0), c(1)),
       classOf[MisraGriesAgg].getName)
+    // per-group weighted bottom-k (priority-sampling) sketch: ≤(k+1)
+    // (p,h,v,w) slots per partial state — the bounded-state form of
+    // the keyed weighted-quantile sketch (the window fallback sorts
+    // whole groups)
+    inject("graft_wbk", 5, c =>
+      WeightedBottomKAgg(c(0), c(1), c(2), c(3), c(4)),
+      classOf[WeightedBottomKAgg].getName)
   }
 }
 

@@ -11264,6 +11264,125 @@ object Queries {
       ORDER BY probe_id, neg_rank"""
     })
 
+  /** The KEYED weighted-quantile sketch beside its exact tier — q220's
+    * per-(returnflag, ship-year) weighted median computed BOTH ways in
+    * one gate: the exact cumulative-window tier
+    * ([[Robust.weightedMedian]]) and the bounded-state sketch
+    * ([[Sketches.weightedBottomKByKey]], the native `graft_wbk`
+    * aggregate whose partial states hold ≤ k+1 rows per group — at
+    * 100 TB the exchange ships the sketch, never the group). Each
+    * group's sketch estimate carries its realized in-group weight rank
+    * with a |rank − 0.5| ≤ 0.1 bound boolean through the hash gate
+    * (k = 256 → DKW ε ≈ 0.085 at 95 %; groups the sample exhausts are
+    * exact by the τ = 0 degeneration). */
+  val q237WeightedMedianKeyed = Q(
+    "q237_weighted_median_sketch_keyed",
+    (s, d) => {
+      val li = lineitem(s, d).select(col("l_returnflag"),
+        year(col("l_shipdate")).as("ship_year"), col("l_extendedprice"),
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val keys = Seq("l_returnflag", "ship_year")
+      val exact = Robust.weightedMedian(li, keys, col("l_extendedprice"),
+        col("l_quantity"), Seq(col("l_orderkey"), col("l_linenumber")))
+      val id = concat(col("l_orderkey"), lit("_"), col("l_linenumber"))
+      val sample = Sketches.weightedBottomKByKey(li, keys, id,
+        col("l_extendedprice"), col("l_quantity"), k = 256, seed = 7)
+      val est = Sketches.weightedKeyedQuantiles(sample, keys, 256, Seq(0.5))
+        .select(col("l_returnflag"), col("ship_year"), col("est"),
+          col("n_sample"))
+      val wt = floor(col("l_quantity").cast("double") + lit(0.5d))
+        .cast("long")
+      val ranks = li.select(col("l_returnflag"), col("ship_year"),
+          col("l_extendedprice").as("__v"), wt.as("__wt"))
+        .join(broadcast(est), keys)
+        .groupBy(keys.map(col): _*)
+        .agg(first(col("est")).as("est"),
+          first(col("n_sample")).as("n_sample"),
+          Exprs.pround(
+            sum(when(col("__v") <= col("est"), col("__wt"))).cast("double")
+              / sum(col("__wt")).cast("double"), 6).as("rank_of_est"))
+      exact.join(ranks, keys)
+        .select(col("l_returnflag"), col("ship_year"), col("n"),
+          col("w_total"), col("w_median"), col("est"), col("n_sample"),
+          col("rank_of_est"),
+          (abs(col("rank_of_est") - lit(0.5)) <= lit(0.1))
+            .as("within_bound"))
+        .orderBy(col("l_returnflag"), col("ship_year"))
+    },
+    Some(s"""WITH b AS MATERIALIZED (
+        SELECT l_returnflag AS flag, year(l_shipdate) AS yr,
+          l_extendedprice AS v,
+          CAST(floor(l_quantity + 0.5) AS BIGINT) AS wt,
+          l_orderkey AS k1, l_linenumber AS k2
+        FROM lineitem),
+      c AS (
+        SELECT flag, yr, v, wt,
+          sum(wt) OVER (PARTITION BY flag, yr ORDER BY v, k1, k2) AS cw
+        FROM b),
+      t AS (
+        SELECT flag, yr, count(*) AS n, CAST(sum(wt) AS BIGINT) AS w_total
+        FROM b GROUP BY 1, 2),
+      m AS (
+        SELECT c.flag, c.yr, min(struct_pack(c := cw, v := v)) AS s
+        FROM c JOIN t USING (flag, yr)
+        WHERE 2 * cw >= w_total GROUP BY 1, 2),
+      ids AS MATERIALIZED (
+        SELECT l_returnflag AS flag, year(l_shipdate) AS yr,
+          l_extendedprice AS v, CAST(l_quantity AS DOUBLE) AS w,
+          ('0x' || substr(md5('7:' || (CAST(l_orderkey AS VARCHAR)
+            || '_' || CAST(l_linenumber AS VARCHAR))), 1, 15))::BIGINT AS h
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND l_quantity IS NOT NULL AND l_quantity > 0),
+      topk AS MATERIALIZED (
+        SELECT flag, yr, v, w, h,
+          w / (CAST(h % 9007199254740992 + 1 AS DOUBLE)
+            / CAST(9007199254740992 AS DOUBLE)) AS p
+        FROM ids
+        QUALIFY row_number() OVER (PARTITION BY flag, yr
+          ORDER BY p DESC, h, v) <= 257),
+      rk AS (
+        SELECT *, row_number() OVER (PARTITION BY flag, yr
+          ORDER BY p DESC, h, v) AS rk
+        FROM topk),
+      tau AS (
+        SELECT flag, yr,
+          coalesce(max(CASE WHEN rk = 257 THEN p END),
+            CAST(0 AS DOUBLE)) AS tau
+        FROM rk GROUP BY 1, 2),
+      aw AS (
+        SELECT r.flag, r.yr, r.v, r.h,
+          CAST(${proundSql("greatest(r.w, t.tau)", 6)}
+            AS DECIMAL(28,6)) AS aw
+        FROM rk r JOIN tau t USING (flag, yr) WHERE r.rk <= 256),
+      cum AS (
+        SELECT flag, yr, v,
+          sum(aw) OVER (PARTITION BY flag, yr ORDER BY v, h) AS cw2,
+          sum(aw) OVER (PARTITION BY flag, yr) AS tw,
+          count(*) OVER (PARTITION BY flag, yr) AS ns
+        FROM aw),
+      es AS (
+        SELECT flag, yr, min(v) AS est, CAST(max(ns) AS BIGINT) AS n_sample
+        FROM cum
+        WHERE CAST(cw2 AS DOUBLE) >= CAST(0.5 AS DOUBLE) * CAST(tw AS DOUBLE)
+        GROUP BY 1, 2),
+      rnk AS (
+        SELECT b.flag, b.yr,
+          ${proundSql(
+            "CAST(sum(CASE WHEN b.v <= es.est THEN b.wt ELSE 0 END)" +
+            " AS DOUBLE) / CAST(sum(b.wt) AS DOUBLE)", 6)} AS rank_of_est
+        FROM b JOIN es USING (flag, yr) GROUP BY 1, 2)
+      SELECT m.flag AS l_returnflag, CAST(m.yr AS INT) AS ship_year,
+        t.n, t.w_total,
+        CASE WHEN t.w_total = 0 THEN NULL ELSE m.s.v END AS w_median,
+        es.est, es.n_sample, rnk.rank_of_est,
+        abs(rnk.rank_of_est - CAST(0.5 AS DOUBLE)) <= CAST(0.1 AS DOUBLE)
+          AS within_bound
+      FROM m JOIN t USING (flag, yr)
+      JOIN es ON es.flag = m.flag AND es.yr = m.yr
+      JOIN rnk ON rnk.flag = m.flag AND rnk.yr = m.yr
+      ORDER BY 1, 2"""))
+
   /** All queries in catalog order. */
   def all: Seq[Q] = Seq(
     q01RuleaggBasic, q02RuleaggWeighted, q03Join3way, q04IntervalJoin,
@@ -11327,5 +11446,6 @@ object Queries {
     q225DedupPr, q226CorrMatrix, q227RagContext, q228AucEval,
     q229Calibration, q230Textrank, q231Snapshot,
     q232PagerankTolBucketed, q233WeightedQuantileSketch,
-    q234ClosenessAccuracy, q235BetweennessAccuracy, q236HardNegatives)
+    q234ClosenessAccuracy, q235BetweennessAccuracy, q236HardNegatives,
+    q237WeightedMedianKeyed)
 }

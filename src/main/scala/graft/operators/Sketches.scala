@@ -321,6 +321,93 @@ object Sketches {
       .select(col("q"), col("est"), col("n_sample"), col("w_est"))
   }
 
+  /** PER-GROUP weighted bottom-k sketch — [[weightedBottomK]] with the
+    * group key riding the aggregation, the sketch that replaces
+    * [[Robust.weightedMedian]]'s per-key sort when groups are too large
+    * to sort at 100 TB. With the graft extension installed this goes
+    * through the native `graft_wbk` TypedImperativeAggregate
+    * ([[graft.functions.native.WeightedBottomKAgg]]): ≤(k+1)-slot
+    * partial states, so the exchange ships the SKETCH per group, never
+    * the group. Sessions without it fall back to the keyed-window
+    * formulation — value-identical (the spec pins it), but the window
+    * sorts whole groups: the usual extension contract, lose shuffle
+    * bytes and sort work, never answers.
+    *
+    * Returns (keys..., p, h, v, w): ≤ k+1 rows per key under the total
+    * order (p desc, h, v) — k sample rows plus the threshold row. */
+  def weightedBottomKByKey(df: DataFrame, keys: Seq[String], idCol: Column,
+                           valueCol: Column, weightCol: Column,
+                           k: Int, seed: Int): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    require(keys.nonEmpty, "weightedBottomKByKey needs grouping keys")
+    val two53 = 9007199254740992L // 2^53
+    val h = graft.functions.Text.md5Hash64(idCol.cast("string"), seed)
+    val base = df.where(valueCol.isNotNull && !isnan(valueCol) &&
+        weightCol.isNotNull && weightCol.cast("double") > 0 &&
+        !isnan(weightCol.cast("double")))
+      .select((keys.map(col) ++ Seq(
+        valueCol.cast("double").as("v"),
+        weightCol.cast("double").as("w"), h.as("h"))): _*)
+      .withColumn("p", col("w") /
+        ((pmod(col("h"), lit(two53)) + lit(1L)).cast("double") /
+          lit(two53.toDouble)))
+    if (graft.GraftExtensions.has(df.sparkSession, "graft_wbk"))
+      base.groupBy(keys.map(col): _*)
+        .agg(call_function("graft_wbk", col("p"), col("h"), col("v"),
+          col("w"), lit(k)).as("__s"))
+        .select((keys.map(col) :+ explode(col("__s")).as("__r")): _*)
+        .select((keys.map(col) ++ Seq(col("__r.p").as("p"),
+          col("__r.h").as("h"), col("__r.v").as("v"),
+          col("__r.w").as("w"))): _*)
+    else {
+      val w0 = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("p").desc, col("h"), col("v"))
+      base.withColumn("__rk", row_number().over(w0))
+        .where(col("__rk") <= k + 1)
+        .select((keys.map(col) ++
+          Seq(col("p"), col("h"), col("v"), col("w"))): _*)
+    }
+  }
+
+  /** Per-key weighted quantiles from a [[weightedBottomKByKey]] frame —
+    * the keyed [[weightedSampleQuantiles]]: per key, τ is the (k+1)-th
+    * priority (0 when the key is exhaustive — estimates then EXACT),
+    * adjusted weights max(w, τ) ride the 6-dp decimal grid, and each
+    * requested q picks the smallest value whose cumulative adjusted
+    * weight reaches q·Ŵ. All windows are keyed — naturally parallel,
+    * ≤ k+1 rows per key. Output: (keys..., q, est, n_sample, w_est). */
+  def weightedKeyedQuantiles(sample: DataFrame, keys: Seq[String], k: Int,
+                             qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile")
+    import graft.functions.Exprs.pround
+    val byP = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("p").desc, col("h"), col("v"))
+    val keyW = Window.partitionBy(keys.map(col): _*)
+    val ranked = sample
+      .withColumn("__rk", row_number().over(byP))
+      .withColumn("__tau",
+        max(when(col("__rk") === k + 1, col("p"))).over(keyW))
+      .where(col("__rk") <= k)
+      .withColumn("__aw",
+        pround(greatest(col("w"), coalesce(col("__tau"), lit(0.0))), 6)
+          .cast("decimal(28,6)"))
+    val byV = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("v"), col("h"))
+    val cum = ranked.select((keys.map(col) ++ Seq(
+      col("v"), sum(col("__aw")).over(byV).as("__cw"),
+      sum(col("__aw")).over(keyW).as("__tw"),
+      count(lit(1)).over(keyW).as("__ns"))): _*)
+    cum.select((keys.map(col) ++ Seq(
+        explode(array(qs.map(lit): _*)).as("q"),
+        col("v"), col("__cw"), col("__tw"), col("__ns"))): _*)
+      .where(col("__cw").cast("double") >=
+        col("q") * col("__tw").cast("double"))
+      .groupBy((keys.map(col) :+ col("q")): _*)
+      .agg(min(col("v")).as("est"),
+        first(col("__ns")).as("n_sample"),
+        first(col("__tw")).cast("double").as("w_est"))
+  }
+
   /** Map-side frequency estimate against a literal CMS: depth lookups,
     * take the min — zero joins, the Bloom-probe shape with counters.
     * A null key estimates 0, matching the build's null-drop. */

@@ -221,6 +221,66 @@ class SketchSpec extends SparkSpec {
       s"exhaustive sketch must be exact: got ${sk._2} (median $exact)")
   }
 
+  test("keyed weighted bottom-k: native aggregate == per-key global sketch, bounded rows") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val id = concat(col("l_orderkey"), lit("_"), col("l_linenumber"))
+    val k = 16
+    val keyed = Sketches.weightedBottomKByKey(li, Seq("l_returnflag"),
+      id, col("l_extendedprice"), col("l_quantity"), k, 7)
+    // the extension session must actually route through the native
+    // bounded-state aggregate, not the window fallback
+    assert(keyed.queryExecution.executedPlan.toString.contains("graft_wbk"),
+      "keyed sketch did not plan the native graft_wbk aggregate")
+    val got = keyed.collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // per key: <= k+1 rows, and exactly the GLOBAL sketch of that
+    // key's slice (the group key must not leak into the hash)
+    val flags = li.select("l_returnflag").distinct()
+      .as[String].collect()
+    flags.foreach { f =>
+      val slice = Sketches.weightedBottomK(
+          li.where(col("l_returnflag") === f), id,
+          col("l_extendedprice"), col("l_quantity"), k, 7)
+        .as[(Double, Double, Long, Double)].collect()
+        .map { case (v, w, h, p) => (p, h, v, w) }.toSet
+      assert(got(f).size <= k + 1)
+      assert(got(f) == slice, s"keyed sketch for flag $f != sliced sketch")
+    }
+    // the window fallback is value-identical (kill-switch parity is
+    // env-based, so replicate the fallback formulation inline)
+    val two53 = 9007199254740992L
+    val h = graft.functions.Text.md5Hash64(id.cast("string"), 7)
+    val base = li.where(col("l_extendedprice").isNotNull &&
+        col("l_quantity") > 0)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("v"),
+        col("l_quantity").cast("double").as("w"), h.as("h"))
+      .withColumn("p", col("w") /
+        ((pmod(col("h"), lit(two53)) + lit(1L)).cast("double") /
+          lit(two53.toDouble)))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("p").desc, col("h"), col("v"))
+    val fb = base.withColumn("__rk", row_number().over(win))
+      .where(col("__rk") <= k + 1)
+      .select(col("l_returnflag"), col("p"), col("h"), col("v"), col("w"))
+      .collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(fb == got, "window fallback diverged from the native aggregate")
+    // keyed quantiles: an exhaustive key (n <= k) is EXACT
+    val tiny = Seq(("g", "a", 1.0, 1L), ("g", "b", 2.0, 1L),
+      ("g", "c", 3.0, 10L)).toDF("key", "id", "vv", "ww")
+    val kq = Sketches.weightedKeyedQuantiles(
+        Sketches.weightedBottomKByKey(tiny, Seq("key"), col("id"),
+          col("vv"), col("ww"), k = 8, seed = 7),
+        Seq("key"), k = 8, Seq(0.5)).head()
+    assert(kq.getDouble(2) == 3.0 && kq.getDouble(4) == 12.0)
+  }
+
   test("weighted bottom-k: a dominant weight is sampled and decides the median") {
     // 500 unit-weight noise rows + one row carrying 100x their total
     // mass — the case a UNIFORM sample gets wrong with high
