@@ -41,6 +41,18 @@ object Bench {
       // (q202 spilled a constant 5.9 GB/iteration from exactly this)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
+      // convert sort-merge joins to shuffled-hash AT RUNTIME when every
+      // build-side partition is observed under the threshold (opt guide
+      // §3.1): the iterative graph family pays 2-4 sorts per round under
+      // SMJ for node-scale states that hash-build in microseconds. The
+      // AQE rewrite (not the static preferSortMergeJoin flag) is the safe
+      // form — the static planner sees checkpointed-RDD state with
+      // unknown (defaultSizeInBytes = huge) stats and would build the
+      // hash map on the EDGE side (measured: q182 18 s → 25-39 s under
+      // the static flag; reverted). Runtime sizes pick the right side at
+      // any scale; threshold = the advisory partition size class.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -7695,11 +7695,24 @@ object Queries {
           .select(lit("q120_ivf_pq_adc").as("method"),
             lit(1L).as("n_probes"), col("recall_at_5"))
       }
-      recall("q29_ann_lsh", q29AnnLsh.run(s, d))
-        .unionByName(recall("q109_ann_multiprobe", q109AnnMultiprobe.run(s, d)))
-        .unionByName(recall("q81_ivf", q81IvfAnn.run(s, d)))
-        .unionByName(recall("q147_rp", q147RpAnn.run(s, d)))
-        .unionByName(pqAgreement)
+      // The five scorer pipelines are independent, but building each one
+      // triggers its own eager driver work (codebook/centroid collects,
+      // checkpoints) — constructed sequentially the query was wall ≈
+      // summed task time (10.2 s steady, ~0.9 busy cores). Construct them
+      // on a small thread pool so those driver actions overlap (opt guide
+      // §2.6 — concurrent jobs back-fill each other's stragglers); the
+      // union itself is unchanged, so the result is bit-identical.
+      val branches = Seq(
+        () => recall("q29_ann_lsh", q29AnnLsh.run(s, d)),
+        () => recall("q109_ann_multiprobe", q109AnnMultiprobe.run(s, d)),
+        () => recall("q81_ivf", q81IvfAnn.run(s, d)),
+        () => recall("q147_rp", q147RpAnn.run(s, d)),
+        () => pqAgreement)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.traverse(branches)(b => Future(b())),
+          scala.concurrent.duration.Duration.Inf)
+        .reduce(_ unionByName _)
         .orderBy(col("method"))
     },
     Some {

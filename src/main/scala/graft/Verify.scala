@@ -20,6 +20,11 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
+      // keep the correctness path on the same join-strategy config the
+      // bench measures (see Bench.scala) — hash gates must see the plans
+      // that ship
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

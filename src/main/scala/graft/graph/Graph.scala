@@ -399,6 +399,12 @@ object Graph {
     var state = cut(hitsInit(e), durable, ret)
     var it = 0
     while (it < iterations) {
+      // one cut PER HALF-STEP is deliberate: each half-step references
+      // its input state twice (the contribution join and the score
+      // re-attach), so an un-checkpointed auth output would have its
+      // whole subtree re-executed in both branches of the hub step's
+      // diamond — fusing the two cuts was tried in r09 and DOUBLED the
+      // round's task time (q134 run_ms 65k → 135-178k); reverted.
       val afterAuth = cut(hitsAuthStep(state, e), durable, ret)
       state = cut(hitsHubStep(afterAuth, eDst), durable, ret)
       it += 1
@@ -461,6 +467,12 @@ object Graph {
     val hitsDelta = (st: DataFrame) =>
       st.agg((deltaExpr(col("hub"), col("__phub")) +
         deltaExpr(col("auth"), col("__pauth"))).as("__delta"))
+    // the auth half-step output is re-referenced twice by the hub
+    // half-step (contribution join + score re-attach) — cut it per round
+    // or the whole auth subtree re-executes in both branches (the q134
+    // diamond, r09: fused round ran at 2× the task time). Own retention
+    // so durable runs keep O(1) auth states.
+    val authRet = new Retention
     val (state, iters, delta) = probeLoop(init, durable, tol, maxIter, s => {
       // the iteration's delta (vs the carried previous scores) is ONE
       // one-row aggregate broadcast onto the new state — inside the
@@ -470,7 +482,8 @@ object Graph {
       // carry from scratch so this round's broadcast is the only one
       val carried = s.select(col("node"), col("hub"), col("auth"),
         col("hub").as("__phub"), col("auth").as("__pauth"))
-      hitsHubStep(hitsAuthStep(carried, e), eDst)
+      val afterAuth = cut(hitsAuthStep(carried, e), durable, authRet)
+      hitsHubStep(afterAuth, eDst)
         .withColumn("__k", Guards.constKey(col("node")))
         .join(broadcast(dAgg), "__k")
         .drop("__k")
@@ -961,7 +974,16 @@ object Graph {
     val state = state0.drop("__delta")
     val census = state.agg(ssspCensus(state).as("__delta"))
       .withColumn("__k", Guards.constKey(col("__delta")))
-    val relax = state.join(e, col("node") === col("src"))
+    // FRONTIER-ONLY relaxation (r09, opt guide §2.3): only rows whose
+    // distance changed in the previous transition (`__prev` null = newly
+    // reached, dist < __prev = improved) can produce a candidate that
+    // wins the min-fold — an unchanged node's out-offers were already
+    // folded in the round after it last changed, and relaxation is
+    // monotone, so dropping them leaves every round's STATE bit-identical
+    // while the join carries |frontier|·deg rows instead of |state|·deg.
+    val frontier = state.where(
+      col("__prev").isNull || col("dist") < col("__prev"))
+    val relax = frontier.join(e, col("node") === col("src"))
       .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"),
         lit(null).cast("long").as("__prevc"))
     state.select(col("node"), col("dist"), col("dist").as("__prevc"))
@@ -1424,7 +1446,11 @@ object Graph {
     val state = state0.drop("__delta")
     val census = state.agg(ssspCensus(state).as("__delta"))
       .withColumn("__k", Guards.constKey(col("__delta")))
-    val relax = state.join(e, col("node") === col("src"))
+    // frontier-only relaxation — see [[ssspRound]] (same monotonicity
+    // argument per (seed, node); state sequence bit-identical)
+    val frontier = state.where(
+      col("__prev").isNull || col("dist") < col("__prev"))
+    val relax = frontier.join(e, col("node") === col("src"))
       .select(col("seed"), col("dst").as("node"),
         (col("dist") + col("w")).as("dist"),
         lit(null).cast("long").as("__prevc"))

@@ -80,7 +80,24 @@ object Profiler {
         cols.combinations(2).toSeq.map { case Seq(a, b) =>
           dec(col(a) * col(b)).as(s"__p_${a}_$b")
         })
-    val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    // The sufficient-statistics pass is pure per-row BigDecimal work
+    // (round + cast + exact sum ×15 expressions), so its parallelism is
+    // the SCAN's — and the local testdata is one row group per table, a
+    // single-task scan (q226 measured wall ≈ summed task time: one core
+    // grinding 600k rows). When the scan's partition count is far below
+    // the session's parallelism, spread rows over a deterministic hash
+    // key first (opt guide §2.5 input-skew remedy: "repartition
+    // immediately after the read"; 20× more key values than partitions).
+    // At cluster scale the scan has thousands of splits and this branch
+    // never fires — the exchange is a local-layout fix, not a plan tax.
+    val projected = df.select(cols.map(col): _*)
+    val np = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (projected.rdd.getNumPartitions * 2 < np)
+        projected.repartition(np, pmod(xxhash64(cols.map(col): _*),
+          lit(np * 20)))
+      else projected
+    val one = spread.agg(aggs.head, aggs.tail: _*).localCheckpoint()
     val frames = cols.combinations(2).toSeq.map { case Seq(a, b) =>
       val n = col("__n").cast("double")
       val d = (x: String) => col(x).cast("double")
