@@ -82,6 +82,23 @@ object Graph {
     * mint a fresh UUID subdir instead of the original one. The eager
     * per-round checkpoints have all materialized before `body` returns,
     * so restoring immediately is safe for the returned lazy frame. */
+  /** Planning regime per loop (r09, measured both ways at sf0.1): with
+    * the DEFAULT (checkpointed-RDD) edge path, AQE must stay ON — its
+    * runtime small-side broadcast conversion is what keeps each round's
+    * state⋈edges and state⋈contribs joins sort-free (forcing static
+    * plans quintupled round task time: q182 run_ms 85k → 400k, q188
+    * 5.5 s → 12.1 s, q199 17 s → 33 s). With a PREPARED bucketed edge
+    * table the co-partitioning is statically known, every round's plan
+    * is already the right one, and AQE's per-stage replan/materialize
+    * round-trips are pure latency — there q232 ran 44 s with AQE vs
+    * 16.5 s without and q179 13 s vs 4.6 s. So: static planning exactly
+    * when `edgesPrepared`, adaptive otherwise. */
+  private def withStaticLoop[T](df: DataFrame, static: Boolean)
+      (body: => T): T =
+    if (static)
+      graft.operators.IterPlan.withLoopPlanning(df.sparkSession)(body)
+    else body
+
   private def withDurable[T](df: DataFrame, dir: Option[String])
       (body: Boolean => T): T = {
     val sc = df.sparkSession.sparkContext
@@ -167,6 +184,7 @@ object Graph {
                checkpointDir: Option[String] = None,
                edgesPrepared: Boolean = false): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
+    withStaticLoop(edges, edgesPrepared) {
     withDurable(edges, checkpointDir) { durable =>
     // The contributions join hits `e` on src every round. Two ways to pay
     // for that, A/B-measured at sf0.1 local[32] (r06, per-round times):
@@ -203,6 +221,7 @@ object Graph {
       it += 1
     }
     state.select(col("node"), col("rank"))
+    }
     }
   }
 
@@ -304,6 +323,7 @@ object Graph {
                         checkpointDir: Option[String] = None,
                         edgesPrepared: Boolean = false): DataFrame = {
     require(tol > 0 && maxIter >= 1, "need tol > 0 and maxIter >= 1")
+    withStaticLoop(edges, edgesPrepared) {
     withDurable(edges, checkpointDir) { durable =>
     val e =
       if (edgesPrepared) edges.select(col("src"), col("dst"))
@@ -313,6 +333,7 @@ object Graph {
       s => prRound(s, e, damping, teleport, trackDelta = true))
     state.select(col("node"), col("rank"),
       lit(iters).as("iters"), round(lit(delta), 12).as("l1_delta"))
+    }
     }
   }
 
@@ -385,6 +406,7 @@ object Graph {
            edgesPrepared: Boolean = false,
            edgesByDst: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
+    withStaticLoop(edges, edgesPrepared) {
     withDurable(edges, checkpointDir) { durable =>
     // HITS joins edges on src (auth half-step) AND on dst (hub
     // half-step), so the cluster layout that zeroes per-round edge
@@ -410,6 +432,7 @@ object Graph {
       it += 1
     }
     state
+    }
     }
   }
 
@@ -458,6 +481,7 @@ object Graph {
                     edgesPrepared: Boolean = false,
                     edgesByDst: Option[DataFrame] = None): DataFrame = {
     require(tol > 0 && maxIter >= 1, "need tol > 0 and maxIter >= 1")
+    withStaticLoop(edges, edgesPrepared) {
     withDurable(edges, checkpointDir) { durable =>
     val (e, eDst) = hitsEdges(edges, edgesByDst, edgesPrepared, durable)
     import graft.operators.Guards
@@ -490,6 +514,7 @@ object Graph {
     }, capDelta = st => hitsDelta(st).head().getDouble(0))
     state.select(col("node"), col("hub"), col("auth"),
       lit(iters).as("iters"), round(lit(delta), 12).as("l1_delta"))
+    }
     }
   }
 
@@ -689,7 +714,14 @@ object Graph {
       else cut(edges.select(col("src"), col("dst")).distinct(), durable)
     val init = pprInit(e, isSource)
       .withColumn("__prev", lit(null).cast("double"))
-    require(init.where(col("p") > 0).limit(1).count() == 1L,
+    // seed-presence guard as limit-1 probes of the edge frame — the old
+    // check ran init's whole pipeline (node distinct + outdeg joins) a
+    // second time just to learn a seed exists (r09). Endpoints are
+    // exposed AS `node` because caller predicates may reference the
+    // column by name (q165/q184 do).
+    def hasSeed(c: String): Boolean = e.select(col(c).as("node"))
+      .where(isSource(col("node"))).limit(1).count() == 1L
+    require(hasSeed("src") || hasSeed("dst"),
       "personalizedPageRankConverged: the source predicate matched no node")
     val (state, iters, delta) = probeLoop(init, durable, tol, maxIter,
       s => pprRound(s, e, damping, teleport, trackDelta = true))
@@ -1034,6 +1066,7 @@ object Graph {
                          edgesPrepared: Boolean = false,
                          edgesByDst: Option[DataFrame] = None): DataFrame = {
     require(maxHops >= 2, "betweennessSampled needs maxHops >= 2")
+    withStaticLoop(edges, edgesPrepared) {
     withDurable(edges, checkpointDir) { durable =>
     // forward expands through e on src, backward pushes dependency back
     // through eDst on dst — the HITS dual-copy cluster layout applies
@@ -1058,20 +1091,37 @@ object Graph {
     // deepest populated hop: when the loop stopped on `growing`, round
     // h's expansion found nothing, so hop h is empty
     val deepest = if (growing) h else h - 1
-    var delta = cut(settled.withColumn("delta", lit(0.0)), durable, ret)
-    // levels above deepest−1 are structural no-ops (empty up-side join,
-    // state reproduced identically) — the ORACLE still unrolls them, but
-    // paying an edge join + full state checkpoint per skipped level is
-    // pure waste on the engine side
-    var lv = math.min(maxHops - 1, deepest - 1)
-    while (lv >= 1) {
-      delta = cut(betwBackwardLevel(delta, eDst, lv), durable, ret)
-      lv -= 1
+    // Backward accumulation on PER-LEVEL frames (r09): hop h's δ depends
+    // only on hop h+1's FINAL δ and the hop-h settled rows, so each level
+    // is one join + one aggregation over LEVEL-sized frames — the old
+    // formulation rebuilt (filter ≠lv ∪ updated lv) and re-checkpointed
+    // the ENTIRE settled state once per level, paying |state| scan+write
+    // × levels for data that never changes again. δ values, the level
+    // order and every rounding site are unchanged (the oracle's unroll
+    // replays the same recurrence); only which rows ride each checkpoint
+    // differs. Levels above deepest−1 stay structural no-ops and are
+    // still skipped on the engine side.
+    val levels = scala.collection.mutable.Map.empty[Int, DataFrame]
+    if (deepest >= 1) {
+      levels(deepest) = cut(settled.where(col("hop") === deepest)
+        .withColumn("delta", lit(0.0)), durable, ret)
+      var lv = math.min(maxHops - 1, deepest - 1)
+      while (lv >= 1) {
+        levels(lv) = cut(betwBackwardLevelFrames(
+          settled.where(col("hop") === lv), levels(lv + 1), eDst),
+          durable, ret)
+        lv -= 1
+      }
     }
-    delta.where(col("hop") > 0)
+    val scored =
+      if (deepest >= 1)
+        (1 to deepest).map(levels).reduce(_ unionByName _)
+      else settled.withColumn("delta", lit(0.0)).where(col("hop") > 0)
+    scored
       .groupBy("node")
       .agg(round(betwSumDec12(col("delta")), 6).as("betweenness"))
       .where(col("betweenness") > 0)
+    }
     }
   }
 
@@ -1172,25 +1222,26 @@ object Graph {
       .select(col("seed"), col("node"), lit(h + 1).as("hop"), col("sigma"))
   }
 
-  /** One backward Brandes level: hop-(lv+1) dependencies are FINAL —
-    * push (σv/σw)·(1+δw) down one level through `eDst` (exchange-free
-    * on the edge side when bucketed by dst) and re-grid at 6 dp. */
-  private[graft] def betwBackwardLevel(delta: DataFrame, eDst: DataFrame,
-                                       lv: Int): DataFrame = {
-    val up = delta.where(col("hop") === lv + 1).alias("w")
+  /** One backward Brandes level on per-level frames: hop-(lv+1)
+    * dependencies (`upDelta`) are FINAL — push (σv/σw)·(1+δw) down one
+    * level through `eDst` (exchange-free on the edge side when bucketed
+    * by dst) and re-grid at 6 dp. `down` is the hop-lv settled slice
+    * (seed, node, hop, sigma); returns it with its final `delta`. */
+  private[graft] def betwBackwardLevelFrames(down: DataFrame,
+      upDelta: DataFrame, eDst: DataFrame): DataFrame = {
+    val up = upDelta.alias("w")
     val contrib = up.join(eDst, col("w.node") === eDst("dst"))
       .select(col("w.seed").as("seed"), col("src").as("node"),
         col("w.sigma").as("sw"), col("w.delta").as("dw"))
-    val down = delta.where(col("hop") === lv)
     val dsum = down.join(contrib, Seq("seed", "node"))
       .groupBy(col("seed"), col("node"))
       .agg(round(betwSumDec12(
         (col("sigma").cast("double") / col("sw")) *
           (lit(1.0) + col("dw"))), 6).as("dnew"))
-    delta.where(col("hop") =!= lv).unionByName(
-      down.drop("delta").join(dsum, Seq("seed", "node"), "left")
-        .select(col("seed"), col("node"), col("hop"), col("sigma"),
-          coalesce(col("dnew"), lit(0.0)).as("delta")))
+    down.select(col("seed"), col("node"), col("hop"), col("sigma"))
+      .join(dsum, Seq("seed", "node"), "left")
+      .select(col("seed"), col("node"), col("hop"), col("sigma"),
+        coalesce(col("dnew"), lit(0.0)).as("delta"))
   }
 
   /** Newman modularity of a node partition (Newman & Girvan 2004,

@@ -50,7 +50,8 @@ object Clustering {
     * keeps its previous centroid.
     */
   def kmeansAssign(points: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    IterPlan.withLoopPlanning(points.sparkSession) {
     require(k >= 2, "k-means needs k >= 2")
     val pts = prep(points, idCol, vecCol)
     var cents = initCentroids(pts, k)
@@ -106,7 +107,8 @@ object Clustering {
     * arithmetic a SQL oracle replays with DECIMAL sums, so the stop
     * decision is engine-portable (q185's gated unroll). */
   def kmeansAssignConverged(points: DataFrame, idCol: String, vecCol: String,
-      k: Int, tol: Double, maxIter: Int): DataFrame = {
+      k: Int, tol: Double, maxIter: Int): DataFrame =
+    IterPlan.withLoopPlanning(points.sparkSession) {
     require(k >= 2, "k-means needs k >= 2")
     require(tol > 0 && maxIter >= 1, "need tol > 0 and maxIter >= 1")
     val pts = prep(points, idCol, vecCol)
@@ -221,7 +223,8 @@ object Clustering {
   /** Calibration probe (not a catalog operator): the per-round centroid
     * shifts for `maxIter` Lloyd rounds — how q185's tolerance was sized. */
   private[graft] def kmeansShiftTrace(points: DataFrame, idCol: String,
-      vecCol: String, k: Int, maxIter: Int): Seq[Double] = {
+      vecCol: String, k: Int, maxIter: Int): Seq[Double] =
+    IterPlan.withLoopPlanning(points.sparkSession) {
     val pts = prep(points, idCol, vecCol)
     var cents = initCentroids(pts, k)
     (1 to maxIter).map { _ =>

@@ -61,7 +61,8 @@ object Quantization {
     */
   def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, m: Int, dims: Int,
-                    iters: Int): IndexedSeq[IndexedSeq[Double]] = {
+                    iters: Int): IndexedSeq[IndexedSeq[Double]] =
+    IterPlan.withLoopPlanning(df.sparkSession) {
     require(m > 0 && dims % m == 0, s"dims $dims must split into $m subspaces")
     val len = dims / m
     var cb = initCodebook(df, idCol, vecCol, k)

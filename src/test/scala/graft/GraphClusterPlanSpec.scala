@@ -142,8 +142,8 @@ class GraphClusterPlanSpec extends SparkSpec {
         val settled = eSrc.select(col("src").as("seed"), col("src").as("node"),
             lit(0).as("hop"), lit(1L).as("sigma")).distinct().localCheckpoint()
         val fwd = Graph.betwForwardRound(settled, eSrc, 0)
-        val bwd = Graph.betwBackwardLevel(
-          settled.withColumn("delta", lit(0.0)), eDst, 0)
+        val bwd = Graph.betwBackwardLevelFrames(settled,
+          settled.withColumn("delta", lit(0.0)), eDst)
         Seq("forward" -> fwd, "backward" -> bwd).foreach { case (nm, df) =>
           val plan = df.queryExecution.executedPlan
           val sides = edgeSides(plan)
