@@ -82,22 +82,38 @@ object Graph {
     * mint a fresh UUID subdir instead of the original one. The eager
     * per-round checkpoints have all materialized before `body` returns,
     * so restoring immediately is safe for the returned lazy frame. */
-  /** Planning regime per loop (r09, measured both ways at sf0.1): with
-    * the DEFAULT (checkpointed-RDD) edge path, AQE must stay ON — its
-    * runtime small-side broadcast conversion is what keeps each round's
-    * state⋈edges and state⋈contribs joins sort-free (forcing static
-    * plans quintupled round task time: q182 run_ms 85k → 400k, q188
-    * 5.5 s → 12.1 s, q199 17 s → 33 s). With a PREPARED bucketed edge
-    * table the co-partitioning is statically known, every round's plan
-    * is already the right one, and AQE's per-stage replan/materialize
-    * round-trips are pure latency — there q232 ran 44 s with AQE vs
-    * 16.5 s without and q179 13 s vs 4.6 s. So: static planning exactly
-    * when `edgesPrepared`, adaptive otherwise. */
-  private def withStaticLoop[T](df: DataFrame, static: Boolean)
-      (body: => T): T =
+  /** Planning regime per loop (r09, measured both ways at sf0.1 AND at
+    * the 10× sf1 probe): with the DEFAULT (checkpointed-RDD) edge path,
+    * AQE must stay ON — its runtime small-side broadcast conversion is
+    * what keeps each round's state⋈edges and state⋈contribs joins
+    * sort-free (forcing static plans quintupled round task time: q182
+    * run_ms 85k → 400k, q188 5.5 s → 12.1 s, q199 17 s → 33 s). With a
+    * PREPARED bucketed edge table the co-partitioning is statically
+    * known — but whether AQE still earns its per-round replan latency
+    * depends on VOLUME, so the choice is derived from the edge table's
+    * size, not hard-coded (opt guide §2: scale-adaptive, not a constant
+    * tuned for one mode). Measured crossover: at ~10 MB of edges
+    * (sf0.1) static rounds win big (q232 44 s → 15.9 s, q179 13 s →
+    * 4.6 s — AQE is pure latency when every stage is tiny); at ~100 MB
+    * (the 10× probe, 5.9 M edges) adaptive wins (q232-composed probe
+    * 48.6 s adaptive vs 103.5 s static — coalescing and runtime
+    * broadcasts matter again once the per-round stages carry real
+    * data). Threshold `spark.graft.iterative.staticMaxBytes` (default
+    * 32 MB ≈ 1 MB/bucket at 32 buckets) sits between the two measured
+    * points; above it — including any cluster-scale table — rounds
+    * plan adaptively. */
+  private def withStaticLoop[T](df: DataFrame, prepared: Boolean)
+      (body: => T): T = {
+    val static = prepared && {
+      val cap = BigInt(df.sparkSession.conf
+        .get("spark.graft.iterative.staticMaxBytes", (32L << 20).toString))
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
+      catch { case _: Throwable => false }
+    }
     if (static)
       graft.operators.IterPlan.withLoopPlanning(df.sparkSession)(body)
     else body
+  }
 
   private def withDurable[T](df: DataFrame, dir: Option[String])
       (body: Boolean => T): T = {
