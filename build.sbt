@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's one-line JSON contract: the forked process must reach the
+// driver's stdout RAW. sbt's default LoggedOutput strategy decorates every
+// forked line with "[info] ", which has made the driver's parse of the
+// bench line fail in rounds 1-9 (BENCH_r0x.json "parsed": null). With
+// StdoutOutput the forked JVM inherits sbt's own stdout/stderr, so
+// program output bypasses the sbt logger entirely.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

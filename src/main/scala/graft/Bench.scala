@@ -136,6 +136,11 @@ object Bench {
     // failures must be LOUD in the summary: round 4's bench swallowed a
     // q46 exception into stderr and the JSON still read as a clean run
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // every caught exception, keyed (pass tag, query) — persisted in the
+    // detail JSON so a stack trace in stderr with failed:[] is
+    // explainable from the artifact alone (r09 verdict item 8: the 32c
+    // run's unattributed runPass trace)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     case class It(t: Double, gc: Long, spill: Double, run: Long, sched: Long)
     def timeOne(q: Q, tag: String): It = {
@@ -145,6 +150,9 @@ object Bench {
       try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         if (!failed.contains(q.name)) failed += q.name
+        errors(s"$tag:${q.name}") =
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+            .take(300)
         System.err.println(s"[bench] $tag ${q.name} FAILED:")
         e.printStackTrace()
       }
@@ -421,14 +429,29 @@ object Bench {
       .mkString("{", ",", "}")
     val coldJson = pass1.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val detail = s"""{"queries":$qJson,"queries_cold":$coldJson,"total":${r3(total)},"total_cold":${r3(totalCold)},"total_steady":${r3(totalSteady)},"n_failed":${failed.size},"failed":$failedJson,"steady_state":$steady,"steady_failed":$steadyFailedJson,"sf1_10x":$sf1Json,"sf":"$sfDir"}"""
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errorsJson = errors
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val detail = s"""{"queries":$qJson,"queries_cold":$coldJson,"total":${r3(total)},"total_cold":${r3(totalCold)},"total_steady":${r3(totalSteady)},"n_failed":${failed.size},"failed":$failedJson,"steady_state":$steady,"steady_failed":$steadyFailedJson,"errors":$errorsJson,"cpus":$cpus,"sf1_10x":$sf1Json,"sf":"$sfDir"}"""
     // subset runs (SPARK_GRAFT_ONLY) are local iteration: writing their
     // handful of queries over BENCH_DETAIL.json would hollow out the
     // next full run's prior baseline (and the committed artifact)
-    if (only.isEmpty)
+    if (only.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes("UTF-8"))
-    else
+      // per-cpu-count copy: the driver benches at two core counts and the
+      // second run used to destroy the first run's detail (r09 verdict
+      // item 8 — the 32c contamination cluster became unreconstructible)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_DETAIL_c$cpus.json"),
+        detail.getBytes("UTF-8"))
+    } else
       // subset runs are local iteration: surface the steady arrays (gc /
       // spill / run / sched attribution included) on stderr instead of
       // silently discarding them with the detail file

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.native.{BottomKAgg, CosineSimilarity, DotProduct, HausdorffDistance, MisraGriesAgg, SimHashAgg, WeightedBottomKAgg}
+import graft.functions.native.{BottomKAgg, CosineSimilarity, DotProduct, HausdorffDistance, MisraGriesAgg, SimHashAgg, SquaredDistance, SquaredDistanceSlice, WeightedBottomKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[DotProduct].getName)
     inject("graft_cosine", 2, c => CosineSimilarity(c(0), c(1)),
       classOf[CosineSimilarity].getName)
+    // squared-L2 kernels: the k-means/IVF assignment and PQ-subspace
+    // distance folds (their HOF twins are interpreted CodegenFallbacks,
+    // evaluated per row per centroid/codeword — r09's measured hot path)
+    inject("graft_dist2", 2, c => SquaredDistance(c(0), c(1)),
+      classOf[SquaredDistance].getName)
+    inject("graft_dist2s", 3, c => SquaredDistanceSlice(c(0), c(1), c(2)),
+      classOf[SquaredDistanceSlice].getName)
     // native SimHash signature aggregate (one long[64] buffer per group
     // instead of 64 conditional-sum aggregates)
     inject("graft_simhash", 1, c => SimHashAgg(c(0)),
@@ -79,4 +86,20 @@ object GraftExtensions {
       try spark.catalog.functionExists(fn)
       catch { case _: Throwable => false }
     }
+
+  /** [[has]] against the thread's active session (or the process default)
+    * — for COLUMN-ONLY helpers (pqCodes, assignColumn, hyperplaneSketch)
+    * whose signatures carry no session or DataFrame. Safe in this
+    * codebase because every session is built with the extension
+    * installed (Bench/Verify/Plans/Profile configs and the shared test
+    * session); in a hypothetical process where the checked session had
+    * the extension but the DataFrame's session did not, the failure mode
+    * is an unresolved-function ANALYSIS error, never a wrong answer —
+    * and with neither an active nor a default session the helpers keep
+    * their HOF fallback. */
+  def hasActive(fn: String): Boolean = {
+    val s = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    s.exists(has(_, fn))
+  }
 }

@@ -28,9 +28,39 @@ object IterPlan {
   private val Key = "spark.sql.adaptive.enabled"
   private val Override = "spark.graft.iterative.aqe"
 
+  // The save/set/restore below mutates SESSION-GLOBAL state, so two
+  // threads interleaving it on one session can leave AQE disabled for
+  // every later query (T1 saves true + sets false, T2 saves false,
+  // T1 restores true, T2 restores false) — exactly the r09 32-core
+  // contamination cluster (q182 pass-2 at a core-count-independent
+  // 49 s = the measured AQE-off regression). A per-session reentrant
+  // lock serializes the toggle-and-body regions: concurrent callers on
+  // the SAME session (q181 builds branches on a thread pool, and two of
+  // them reach wrapped trainer loops) now run their loop bodies one at
+  // a time, while nested calls on one thread (e.g. a trainer inside a
+  // wrapped composite) re-enter freely and restore correctly because
+  // the inner save observes the outer set. Sessions are weakly keyed so
+  // test-suite sessions don't accumulate.
+  private val locks = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.locks.ReentrantLock])
+  private def lockOf(spark: SparkSession) =
+    locks.synchronized {
+      var l = locks.get(spark)
+      if (l == null) {
+        l = new java.util.concurrent.locks.ReentrantLock
+        locks.put(spark, l)
+      }
+      l
+    }
+
   def withLoopPlanning[T](spark: SparkSession)(body: => T): T = {
-    val saved = spark.conf.get(Key)
-    spark.conf.set(Key, spark.conf.get(Override, "false"))
-    try body finally spark.conf.set(Key, saved)
+    val lock = lockOf(spark)
+    lock.lock()
+    try {
+      val saved = spark.conf.get(Key)
+      spark.conf.set(Key, spark.conf.get(Override, "false"))
+      try body finally spark.conf.set(Key, saved)
+    } finally lock.unlock()
   }
 }

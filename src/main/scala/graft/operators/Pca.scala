@@ -131,12 +131,20 @@ object Pca {
   def project(emb: DataFrame, vecCol: String,
               loadings: Seq[Double]): DataFrame = {
     require(loadings.nonEmpty, "project needs a non-empty component")
-    val lits = array(loadings.map(lit): _*)
+    // native fused dot against the literal component when the session
+    // carries the extension (HOF twin = interpreted CodegenFallback per
+    // row); same fold order and null semantics → bit-identical score
+    val dot =
+      if (graft.GraftExtensions.has(emb.sparkSession, "graft_dot"))
+        call_function("graft_dot", col(vecCol), typedLit(loadings))
+      else {
+        val lits = array(loadings.map(lit): _*)
+        aggregate(
+          zip_with(col(vecCol), lits, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, e) => acc + e)
+      }
     emb.where(size(col(vecCol)) === loadings.size)
-      .withColumn("score", round(aggregate(
-        zip_with(col(vecCol), lits,
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, e) => acc + e), 6))
+      .withColumn("score", round(dot, 6))
   }
 
   def powerIteration(cov: DataFrame, dims: Int, rounds: Int): DataFrame = {

@@ -121,15 +121,29 @@ object Quantization {
       k, m, dims, iters)
 
   /** Squared-L2 distance between a vector slice [lo, lo+len) and a
-    * literal codeword slice, as a codegen-friendly fold (ascending
-    * dimension order — the oracle's list order). */
+    * literal codeword slice (ascending dimension order — the oracle's
+    * list order). Native fused kernel (`graft_dist2s`) when the session
+    * carries GraftExtensions: the HOF twin below is a CodegenFallback
+    * pair evaluated INTERPRETED per row per codeword (r09's measured PQ
+    * hot path), while the native form is one primitive loop whose
+    * codeword rides the codegen `references` array — so the generated
+    * source is identical across codebooks and Janino compiles ONCE per
+    * operator shape, not once per training round (the r09 §11
+    * unroll-to-literals failure, fixed the way the r09 verdict
+    * prescribed). Both forms widen elements to double in the same
+    * ascending fold with the same null semantics → bit-identical. */
   private def sliceDist(vec: Column, word: IndexedSeq[Double],
-                        lo: Int, len: Int): Column = {
-    val sub = slice(vec, lit(lo + 1), lit(len))
-    val w = array(word.slice(lo, lo + len).map(lit): _*)
-    aggregate(zip_with(sub, w, (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)
-  }
+                        lo: Int, len: Int): Column =
+    if (graft.GraftExtensions.hasActive("graft_dist2s"))
+      call_function("graft_dist2s", vec,
+        typedLit(word.slice(lo, lo + len)), lit(lo))
+    else {
+      val sub = slice(transform(vec, x => x.cast("double")),
+        lit(lo + 1), lit(len))
+      val w = array(word.slice(lo, lo + len).map(lit): _*)
+      aggregate(zip_with(sub, w, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v)
+    }
 
   /** PQ codes as one array<int> column of length `m`: per subspace, the
     * argmin codeword over the 6-dp-rounded squared-L2 distance, ties to
@@ -139,10 +153,11 @@ object Quantization {
               m: Int, dims: Int): Column = {
     require(m > 0 && dims % m == 0, s"dims $dims must split into $m subspaces")
     val len = dims / m
-    val v = transform(vec, x => x.cast("double"))
+    // the double-widening lives inside sliceDist (native kernels widen
+    // per element; the HOF fallback transforms) — identical values
     val codes = (0 until m).map { mi =>
       val scored = codebook.indices.map { k =>
-        struct(round(sliceDist(v, codebook(k), mi * len, len), 6).as("d"),
+        struct(round(sliceDist(vec, codebook(k), mi * len, len), 6).as("d"),
           lit(k).as("c"))
       }
       least(scored: _*).getField("c")
@@ -205,7 +220,7 @@ object Quantization {
     * catalog query reports beside the ADC estimate) — sliceDist over the
     * full dimension range. */
   def exactDist(vec: Column, query: IndexedSeq[Double]): Column =
-    sliceDist(transform(vec, x => x.cast("double")), query, 0, query.length)
+    sliceDist(vec, query, 0, query.length)
 
   // -------------------------------------------------------- scalar (int8)
 

@@ -97,9 +97,7 @@ object Similarity {
     */
   def hyperplaneSketch(vec: Column, planes: Int, dims: Int): Column = {
     val signs = (0 until planes).map { p =>
-      val w = array((0 until dims).map(i => lit(planeWeight(p, i))): _*)
-      val proj = aggregate(zip_with(vec, w, (v, wi) => v.cast("double") * wi),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dotLit(vec, (0 until dims).map(i => planeWeight(p, i)))
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     // a dims mismatch null-pads the zip_with, nulls the projection, and
@@ -133,10 +131,16 @@ object Similarity {
     * [[writeIvfIndex]]/[[ivfPartitionedTopK]]. */
   private def assignCells(df: DataFrame, outId: String, n: Int,
       centroids: DataFrame): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col("__v"), col("centroid"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, v) => acc + v)
+    // native fused squared-L2 when the session carries the extension —
+    // the HOF twin is an interpreted CodegenFallback per (row, cell)
+    // pair of the cross join; identical fold order and null semantics
+    val d2 =
+      if (graft.GraftExtensions.has(df.sparkSession, "graft_dist2"))
+        call_function("graft_dist2", col("__v"), col("centroid"))
+      else aggregate(
+        zip_with(col("__v"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v)
     val w = Window.partitionBy(col(outId)).orderBy(col("__cd"), col("cell"))
     df.crossJoin(broadcast(centroids))
       .withColumn("__cd", d2)
@@ -288,10 +292,25 @@ object Similarity {
     * gets bit-identical doubles. */
   def rpProject(vec: Column, rDims: Int, dims: Int): Column =
     array((0 until rDims).map { p =>
-      val w = array((0 until dims).map(i => lit(planeWeight(p, i))): _*)
+      dotLit(vec, (0 until dims).map(i => planeWeight(p, i)))
+    }: _*)
+
+  /** Dot product against a LITERAL weight vector — the native fused
+    * kernel when the active session carries the extension (the literal
+    * rides the codegen `references` array: one compiled source per
+    * operator shape however many distinct weight vectors appear), HOF
+    * otherwise. Column-only helpers (hyperplaneSketch/rpProject) carry
+    * no session, hence the active-session check — see
+    * [[graft.GraftExtensions.hasActive]]. Bit-identical either way:
+    * same ascending fold, same widen-to-double, same null semantics. */
+  private def dotLit(vec: Column, weights: Seq[Double]): Column =
+    if (graft.GraftExtensions.hasActive("graft_dot"))
+      call_function("graft_dot", vec, typedLit(weights))
+    else {
+      val w = array(weights.map(lit): _*)
       aggregate(zip_with(vec, w, (v, wi) => v.cast("double") * wi),
         lit(0.0), (acc, v) => acc + v)
-    }: _*)
+    }
 
   /** RP-ANN: candidates ranked by cosine in the rDims projected space
     * (rDims multiplications per pair instead of dims), then the top

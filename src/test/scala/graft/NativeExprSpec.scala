@@ -85,6 +85,77 @@ class NativeExprSpec extends SparkSpec {
       l.contains("graft_cosine") && l.toLowerCase.contains("lambdafunction")))
   }
 
+  private val hofDist2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(a, b,
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("native dist2/dist2s are bitwise-identical to the HOF forms") {
+    assert(spark.catalog.functionExists("graft_dist2"))
+    assert(spark.catalog.functionExists("graft_dist2s"))
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f),
+        Array.fill(64)(rnd.nextFloat() - 0.5f))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(
+        call_function("graft_dist2", col("a"), col("b")).as("nd"),
+        hofDist2(col("a"), col("b")).as("hd"),
+        // windowed form vs HOF-over-slice, window [8, 24)
+        call_function("graft_dist2s", col("a"),
+          slice(transform(col("b"), x => x.cast("double")), lit(9), lit(16)),
+          lit(8)).as("ns"),
+        hofDist2(slice(col("a"), lit(9), lit(16)),
+          slice(col("b"), lit(9), lit(16))).as("hs"))
+      .as[(Double, Double, Double, Double)].collect()
+    both.foreach { case (nd, hd, ns, hs) =>
+      assert(nd == hd, s"dist2 mismatch: $nd vs $hd")
+      assert(ns == hs, s"dist2s mismatch: $ns vs $hs")
+    }
+  }
+
+  test("dist2 null semantics: mismatch, short window, null element") {
+    // strict form: length mismatch → null (zip_with pad semantics)
+    val m = spark.sql(
+      "SELECT graft_dist2(array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D)) d")
+    assert(m.collect()(0).isNullAt(0))
+    // windowed form: vec shorter than lo + |w| → null (slice semantics)
+    val short = spark.sql(
+      "SELECT graft_dist2s(array(1.0D, 2.0D), array(1.0D, 2.0D), 1) d")
+    assert(short.collect()(0).isNullAt(0))
+    // windowed form: vec LONGER than the window is fine (slice semantics)
+    val fine = spark.sql(
+      "SELECT graft_dist2s(array(1.0D, 2.0D, 7.0D), array(2.0D, 4.0D), 0) d")
+    assert(fine.collect()(0).getDouble(0) == 5.0)
+    // null element inside the window → null
+    val nul = spark.sql(
+      "SELECT graft_dist2s(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D), 0) d")
+    assert(nul.collect()(0).isNullAt(0))
+  }
+
+  test("pqCodes/assignColumn shapes: codebook rides references, codegen source is codebook-independent") {
+    import graft.operators.Quantization
+    // two DIFFERENT codebooks must produce the SAME generated source —
+    // the stable-shape contract that makes Janino compile once per
+    // operator across Lloyd/PQ training rounds (r09 §11 / r10 item 3)
+    def planFor(cb: IndexedSeq[IndexedSeq[Double]]): String = {
+      val df = spark.range(10).select(col("id"),
+        transform(sequence(lit(0), lit(7)),
+          i => (i.cast("double") + col("id")).cast("float")).as("v"))
+      df.select(Quantization.pqCodes(col("v"), cb, 2, 8).as("codes"))
+        .queryExecution.executedPlan
+        .asInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]
+        .doCodeGen()._2.body
+    }
+    val cbA = IndexedSeq(IndexedSeq.tabulate(8)(_ * 0.5),
+      IndexedSeq.tabulate(8)(_ * 0.25))
+    val cbB = IndexedSeq(IndexedSeq.tabulate(8)(_ * 0.125 + 3.0),
+      IndexedSeq.tabulate(8)(_ * 2.0 - 1.0))
+    assert(planFor(cbA) == planFor(cbB),
+      "generated source differs across codebooks — per-round recompiles are back")
+  }
+
   test("Similarity.dot routes through the native kernel when available") {
     val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
     val plan = df.select(Similarity.dot(df.sparkSession, col("v"), col("v")))
