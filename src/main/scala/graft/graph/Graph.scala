@@ -42,6 +42,7 @@ object Graph {
       : DataFrame = {
     val out = cut(df, durable)
     if (durable) ret.track(out.sparkSession.sparkContext)
+    else ret.trackLocal(out.sparkSession.sparkContext)
     out
   }
 
@@ -55,6 +56,30 @@ object Graph {
     * edge/init checkpoints and other operators' state are untouchable. */
   private final class Retention {
     private var kept: List[org.apache.hadoop.fs.Path] = Nil // newest first
+    private var keptLocal: List[(Int, org.apache.spark.rdd.RDD[_])] = Nil
+
+    /** Local-mode twin of [[track]]: record the newest persisted RDD —
+      * the `localCheckpoint` that just materialized; ids are context-
+      * monotonic — and unpersist everything THIS instance tracked beyond
+      * the newest two. Without it a k-round loop pins k superseded state
+      * copies in the block manager until the RDD objects happen to be
+      * GC'd — the leaked-blocks pressure the Profile tool's clearCache
+      * note measured (q191: 35 s vs 9 s) and the r09-advice auth-half-
+      * step leak in hitsConverged. Keep-newest-2 is the same invariant
+      * the durable path already enforces by DELETING files, so any plan
+      * that re-read older state would already be broken on durable runs;
+      * frames that ARE re-read later (edge sets, Brandes level frames)
+      * use the untracked [[cut]] and are never unpersisted. */
+    def trackLocal(sc: org.apache.spark.SparkContext): Unit = {
+      if (sys.env.contains("SPARK_GRAFT_NO_LOCAL_RET")) return
+      val newest = sc.getPersistentRDDs.toSeq.sortBy(_._1).lastOption
+      newest.filterNot(n => keptLocal.exists(_._1 == n._1)).foreach { n =>
+        keptLocal = n :: keptLocal
+        keptLocal.drop(2).foreach(_._2.unpersist(false))
+        keptLocal = keptLocal.take(2)
+      }
+    }
+
     def track(sc: org.apache.spark.SparkContext): Unit =
       sc.getCheckpointDir.foreach { d =>
         val dir = new org.apache.hadoop.fs.Path(d)
@@ -275,6 +300,20 @@ object Graph {
     * state instead of a full aggregation job per round (r07 verdict
     * item 7: halves per-round driver actions). The output re-carries
     * `__prev := input rank` for the next round's delta. */
+  /** Conf-gated SHUFFLE_HASH hints for the node-scale sides of the
+    * per-round joins (`spark.graft.iterative.shjHints`, default off) —
+    * only meaningful under STATIC loop planning, where the planner sees
+    * checkpointed-RDD state with unknown (defaultSizeInBytes) stats and
+    * would otherwise sort-merge every round (the r09-measured 5× task
+    * blowup). A hint fixes the STRATEGY without faking stats, and
+    * shuffled-hash is scale-safe where a broadcast of node-scale state
+    * is not. Hints never change results — planning only. */
+  private def shjHint(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .get("spark.graft.iterative.shjHints", "false").toBoolean)
+      df.hint("shuffle_hash")
+    else df
+
   private[graft] def prRound(state0: DataFrame, e: DataFrame,
                              damping: Double, teleport: Double,
                              trackDelta: Boolean = false): DataFrame = {
@@ -284,7 +323,7 @@ object Graph {
     val state = state0.drop("__delta")
     val exactSum12 = (c: Column) =>
       sum(round(c, 12).cast("decimal(28,12)")).cast("double")
-    val contribs = state.where(col("outdeg").isNotNull)
+    val contribs = shjHint(state.where(col("outdeg").isNotNull))
       .join(e, state("node") === e("src"))
       .groupBy(col("dst").as("node"))
       .agg(exactSum12(col("rank") / col("outdeg")).as("in_sum"))
@@ -299,7 +338,7 @@ object Graph {
       lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
         col("mass") / col("n")), 12).as("rank")
     val joined = state.withColumnRenamed("rank", "__rold")
-      .join(contribs, Seq("node"), "left")
+      .join(shjHint(contribs), Seq("node"), "left")
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(dangling), "__k")
     if (trackDelta)
@@ -688,7 +727,7 @@ object Graph {
     val state = state0.drop("__delta")
     val exactSum12 = (c: Column) =>
       sum(round(c, 12).cast("decimal(28,12)")).cast("double")
-    val contribs = state.where(col("outdeg").isNotNull)
+    val contribs = shjHint(state.where(col("outdeg").isNotNull))
       .join(e, state("node") === e("src"))
       .groupBy(col("dst").as("node"))
       .agg(exactSum12(col("rank") / col("outdeg")).as("in_sum"))
@@ -703,7 +742,7 @@ object Graph {
       lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
         col("mass") * col("p")), 12).as("rank")
     val joined = state.withColumnRenamed("rank", "__rold")
-      .join(contribs, Seq("node"), "left")
+      .join(shjHint(contribs), Seq("node"), "left")
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(dangling), "__k")
     if (trackDelta)
@@ -763,17 +802,39 @@ object Graph {
                               trackDelta: Boolean = false): DataFrame = {
     import graft.operators.Guards
     val state = state0.drop("__delta")
+    // CHANGED-NEIGHBOR vote recomputation (r10, verdict item 7): a
+    // node's winning label is a deterministic function of the multiset
+    // {own label} ∪ {neighbor labels}, so only nodes with a changed
+    // neighbor — or a changed own label — can flip; every other node's
+    // recomputed winner would equal the winner it already carries.
+    // Recompute votes for that AFFECTED set only and carry everyone
+    // else's label through a left join. Round one (`__prev` null, the
+    // [[ssspRound]] frontier convention) marks every node changed, so
+    // the first round is the full recomputation it must be. The label
+    // sequence, change census, iters and output are bit-identical to
+    // the full-recompute form the oracle's gated unroll replays.
+    val frontier = state.where(
+        col("__prev").isNull || col("lab") =!= col("__prev"))
+      .select(col("node"))
+    val affected = frontier
+      .unionByName(und.join(frontier.withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node")))
+      .distinct()
     val votes = und
+      .join(affected.withColumnRenamed("node", "b"), "b")
       .join(state, und("a") === state("node"))
       .select(col("b").as("node"), col("lab"))
-      .unionByName(state.select(col("node"), col("lab")))
+      .unionByName(state
+        .join(affected, Seq("node"), "left_semi")
+        .select(col("node"), col("lab")))
     val winner = votes.groupBy(col("node"), col("lab"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("node"))
       .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("l")))
         .getField("l").as("newlab"))
     val joined = state.withColumnRenamed("lab", "__lold")
-      .join(winner, Seq("node"))
+      .join(winner, Seq("node"), "left")
+      .withColumn("__lab", coalesce(col("newlab"), col("__lold")))
     if (trackDelta) {
       val changed =
         state.agg(sum((col("lab") =!= col("__prev")).cast("long"))
@@ -782,9 +843,9 @@ object Graph {
       joined
         .withColumn("__k", Guards.constKey(col("node")))
         .join(broadcast(changed), "__k")
-        .select(col("node"), col("newlab").as("lab"),
+        .select(col("node"), col("__lab").as("lab"),
           col("__lold").as("__prev"), col("__delta"))
-    } else joined.select(col("node"), col("newlab").as("lab"))
+    } else joined.select(col("node"), col("__lab").as("lab"))
   }
 
   /** Community detection by synchronous label propagation run to its
@@ -914,8 +975,14 @@ object Graph {
       e.select(col("src").as("a"), col("dst").as("b"))
         .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
         .where(col("a") =!= col("b")).distinct(), durable)
-    val init = und.select(col("a").as("node")).distinct()
-      .select(col("node"), lit(true).as("alive"),
+    // state carries the MAINTAINED live-degree (r10, verdict item 7):
+    // init = full degree (every und node appears as `a` — both edge
+    // directions are present), each round then only DECREMENTS by the
+    // edges incident to last round's kills instead of recomputing the
+    // degree census over all live edges (see [[kcoreRound]]).
+    val init = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .select(col("node"), lit(true).as("alive"), col("deg"),
         lit(null).cast("boolean").as("__prev"))
     val (state, iters, _) = probeLoop(init, durable, 0.5, maxIter,
       s => kcoreRound(s, und, k),
@@ -932,28 +999,44 @@ object Graph {
     }
   }
 
-  /** One synchronous peel round: degree among live nodes, then
-    * alive ∧ deg ≥ k. The kill census (previous transition's flips)
-    * rides the broadcast like [[lpaRound]]'s change census. */
+  /** One synchronous peel round, DECREMENT-ONLY (r10, verdict item 7):
+    * instead of recomputing every live node's degree among live nodes
+    * (two |live-edges|-sized joins per round — the r09 shape), the
+    * state's maintained `deg` is decremented by the edges incident to
+    * the nodes KILLED in the previous transition (__prev ∧ ¬alive), so
+    * the per-round join volume is |edges touching the kill frontier|,
+    * not |live edges| — the frontier-compaction argument of
+    * [[ssspRound]] applied to peeling. Equivalence (inductive): deg at
+    * round t equals the degree among the round-(t−1) live set — init is
+    * the full degree (= degree among the all-alive set), and each dead
+    * node decrements each neighbor exactly once, in the round after it
+    * died. The alive sequence, probe census, iters and final output are
+    * bit-identical to the recompute form (the oracle's UNGATED unroll
+    * replays the recompute recurrence and hash-matches). Round one's
+    * kill frontier is empty by construction (__prev is null). The kill
+    * census rides the broadcast like [[lpaRound]]'s change census. */
   private[graft] def kcoreRound(state0: DataFrame, und: DataFrame,
                                 k: Int): DataFrame = {
     import graft.operators.Guards
     val state = state0.drop("__delta")
-    val live = state.where(col("alive")).select(col("node"))
-    val liveDeg = und
-      .join(live.withColumnRenamed("node", "a"), "a")
-      .join(live.withColumnRenamed("node", "b"), "b")
-      .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val killed = state.where(col("__prev") && !col("alive"))
+      .select(col("node").as("b"))
+    val dec = und
+      .join(killed, "b")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("__dec"))
     val flips = state.agg(
         sum((col("alive") =!= col("__prev")).cast("long"))
           .cast("double").as("__delta"))
       .withColumn("__k", Guards.constKey(col("__delta")))
-    state.select(col("node"), col("alive").as("__aold"))
-      .join(liveDeg, Seq("node"), "left")
+    val newDeg = col("__dold") - coalesce(col("__dec"), lit(0L))
+    state.select(col("node"), col("alive").as("__aold"),
+        col("deg").as("__dold"))
+      .join(dec, Seq("node"), "left")
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(flips), "__k")
       .select(col("node"),
-        (col("__aold") && coalesce(col("deg"), lit(0L)) >= k).as("alive"),
+        (col("__aold") && newDeg >= k).as("alive"),
+        newDeg.as("deg"),
         col("__aold").as("__prev"), col("__delta"))
   }
 
@@ -1117,15 +1200,23 @@ object Graph {
     // replays the same recurrence); only which rows ride each checkpoint
     // differs. Levels above deepest−1 stay structural no-ops and are
     // still skipped on the engine side.
+    // Level frames are UNTRACKED cuts (r10, advice item 1): every level
+    // is re-read by the FINAL union after later levels checkpoint, and
+    // `settled` itself is re-sliced per level — the keep-newest-2
+    // retention invariant does not hold for either, so tracking them
+    // (as r09 did) had a durable run with deepest >= 3 deleting the
+    // settled checkpoint (and all but two levels) out from under the
+    // final aggregate. Untracked frames are bounded by maxHops per
+    // invocation — the same boundedness argument as the edge set.
     val levels = scala.collection.mutable.Map.empty[Int, DataFrame]
     if (deepest >= 1) {
       levels(deepest) = cut(settled.where(col("hop") === deepest)
-        .withColumn("delta", lit(0.0)), durable, ret)
+        .withColumn("delta", lit(0.0)), durable)
       var lv = math.min(maxHops - 1, deepest - 1)
       while (lv >= 1) {
         levels(lv) = cut(betwBackwardLevelFrames(
           settled.where(col("hop") === lv), levels(lv + 1), eDst),
-          durable, ret)
+          durable)
         lv -= 1
       }
     }

@@ -231,6 +231,20 @@ class GraphClusterPlanSpec extends SparkSpec {
     val hDurable = hitsMap(Graph.hits(e, iterations = 2,
       checkpointDir = Some(dir)))
     assert(hDurable == hLocal, "reliable-checkpoint hits diverged")
+    // betweenness exercises the level-frame retention hole the r09 form
+    // had: with deepest >= 3 the final union re-reads EVERY level frame
+    // and settled slice AFTER later checkpoints — tracked keep-2
+    // retention deleted them on the durable path (r10 advice item 1).
+    // rawEdges at maxHops = 5 settles 4+ hop levels, so this run fails
+    // with deleted-checkpoint reads if level frames are ever tracked.
+    def bwMap(df: DataFrame): Map[String, Double] =
+      df.as[(String, Double)].collect().toMap
+    val bwLocal = bwMap(Graph.betweennessSampled(e,
+      n => n.isin("n1", "n5", "n11"), maxHops = 5))
+    val bwDurable = bwMap(Graph.betweennessSampled(e,
+      n => n.isin("n1", "n5", "n11"), maxHops = 5,
+      checkpointDir = Some(dir)))
+    assert(bwDurable == bwLocal, "reliable-checkpoint betweenness diverged")
   }
 
   test("pageRankConverged stops at the tolerance and matches the fixed-round twin") {
