@@ -300,17 +300,27 @@ object Graph {
     * state instead of a full aggregation job per round (r07 verdict
     * item 7: halves per-round driver actions). The output re-carries
     * `__prev := input rank` for the next round's delta. */
-  /** Conf-gated SHUFFLE_HASH hints for the node-scale sides of the
-    * per-round joins (`spark.graft.iterative.shjHints`, default off) —
-    * only meaningful under STATIC loop planning, where the planner sees
-    * checkpointed-RDD state with unknown (defaultSizeInBytes) stats and
-    * would otherwise sort-merge every round (the r09-measured 5× task
-    * blowup). A hint fixes the STRATEGY without faking stats, and
-    * shuffled-hash is scale-safe where a broadcast of node-scale state
-    * is not. Hints never change results — planning only. */
+  /** SHUFFLE_HASH hints for the node-scale sides of the per-round joins
+    * (`spark.graft.iterative.shjHints`, default ON). The planner sees
+    * checkpointed-RDD state with unknown (defaultSizeInBytes) stats, so
+    * without the hint each round either sort-merges (static planning —
+    * the r09-measured 5× task blowup) or AQE re-plans the join at
+    * runtime, typically into a per-round BROADCAST whose build (collect
+    * to driver + rebroadcast) is pure driver latency paid every round.
+    * The hint fixes the STRATEGY at plan time without faking stats:
+    * shuffled-hash is the plan these joins get at any volume — node-
+    * scale state cannot broadcast at 100 TB, hash-building the state/
+    * aggregate side per partition is exactly the regime the r09 session
+    * conf (maxShuffledHashJoinLocalMapThreshold=256m) already opted
+    * into at runtime — and AQE stays ON for skew splitting and
+    * coalescing. LoopLab A/B (same session, stop readouts identical):
+    * q182 shape 22.5 → 13.5 s at sf0.1 AND 82.3 → 58.0 s at the 10×
+    * probe volume, so the win is volume-robust, unlike the measured
+    * fixed-partition-count variants which invert at 10×. Hints never
+    * change results — planning only. */
   private def shjHint(df: DataFrame): DataFrame =
     if (df.sparkSession.conf
-        .get("spark.graft.iterative.shjHints", "false").toBoolean)
+        .get("spark.graft.iterative.shjHints", "true").toBoolean)
       df.hint("shuffle_hash")
     else df
 
@@ -588,13 +598,13 @@ object Graph {
     * bucketed by src. */
   private[graft] def hitsAuthStep(state: DataFrame, e: DataFrame): DataFrame = {
     import graft.operators.Guards
-    val aRaw = state.join(e, state("node") === e("src"))
+    val aRaw = shjHint(state).join(e, state("node") === e("src"))
       .groupBy(col("dst").as("node"))
       .agg(exactSum12Col(col("hub")).as("raw"))
     val aTot = aRaw.agg(exactSum12Col(col("raw")).as("tot"))
       .withColumn("__k", Guards.constKey(col("tot")))
     state.drop("auth")
-      .join(aRaw, Seq("node"), "left")
+      .join(shjHint(aRaw), Seq("node"), "left")
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(aTot), "__k")
       .select(Seq(col("node"), col("hub"),
@@ -606,13 +616,13 @@ object Graph {
     * exchange-free when eDst is bucketed by dst. */
   private[graft] def hitsHubStep(state: DataFrame, eDst: DataFrame): DataFrame = {
     import graft.operators.Guards
-    val hRaw = state.join(eDst, state("node") === eDst("dst"))
+    val hRaw = shjHint(state).join(eDst, state("node") === eDst("dst"))
       .groupBy(col("src").as("node"))
       .agg(exactSum12Col(col("auth")).as("raw"))
     val hTot = hRaw.agg(exactSum12Col(col("raw")).as("tot"))
       .withColumn("__k", Guards.constKey(col("tot")))
     state.drop("hub")
-      .join(hRaw, Seq("node"), "left")
+      .join(shjHint(hRaw), Seq("node"), "left")
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(hTot), "__k")
       .select(Seq(col("node"),
@@ -822,7 +832,7 @@ object Graph {
       .distinct()
     val votes = und
       .join(affected.withColumnRenamed("node", "b"), "b")
-      .join(state, und("a") === state("node"))
+      .join(shjHint(state), und("a") === state("node"))
       .select(col("b").as("node"), col("lab"))
       .unionByName(state
         .join(affected, Seq("node"), "left_semi")
@@ -833,7 +843,7 @@ object Graph {
       .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("l")))
         .getField("l").as("newlab"))
     val joined = state.withColumnRenamed("lab", "__lold")
-      .join(winner, Seq("node"), "left")
+      .join(shjHint(winner), Seq("node"), "left")
       .withColumn("__lab", coalesce(col("newlab"), col("__lold")))
     if (trackDelta) {
       val changed =
@@ -1031,7 +1041,7 @@ object Graph {
     val newDeg = col("__dold") - coalesce(col("__dec"), lit(0L))
     state.select(col("node"), col("alive").as("__aold"),
         col("deg").as("__dold"))
-      .join(dec, Seq("node"), "left")
+      .join(shjHint(dec), Seq("node"), "left")
       .withColumn("__k", Guards.constKey(col("node")))
       .join(broadcast(flips), "__k")
       .select(col("node"),
@@ -1114,7 +1124,7 @@ object Graph {
     // while the join carries |frontier|·deg rows instead of |state|·deg.
     val frontier = state.where(
       col("__prev").isNull || col("dist") < col("__prev"))
-    val relax = frontier.join(e, col("node") === col("src"))
+    val relax = shjHint(frontier).join(e, col("node") === col("src"))
       .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"),
         lit(null).cast("long").as("__prevc"))
     state.select(col("node"), col("dist"), col("dist").as("__prevc"))
@@ -1284,7 +1294,7 @@ object Graph {
     val estCol = when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
       .otherwise(lit(scaleC) / element_at(col("kmv"), k))
     val out = (1 to maxHops).map { h =>
-      val contrib = e.join(state, e("dst") === state("node"))
+      val contrib = e.join(shjHint(state), e("dst") === state("node"))
         .select(e("src").as("node"), col("kmv"))
       // ONE node-keyed shuffle per round. Preferred: the native
       // graft_bottomk aggregate — its PARTIAL states are already
@@ -1322,7 +1332,7 @@ object Graph {
   private[graft] def betwForwardRound(settled: DataFrame, e: DataFrame,
                                       h: Int): DataFrame = {
     val frontier = settled.where(col("hop") === h)
-    val cand = frontier.join(e, frontier("node") === e("src"))
+    val cand = shjHint(frontier).join(e, frontier("node") === e("src"))
       .groupBy(col("seed"), col("dst").as("node"))
       .agg(sum("sigma").as("sigma"))
     cand.join(settled, Seq("seed", "node"), "left_anti")
@@ -1337,16 +1347,16 @@ object Graph {
   private[graft] def betwBackwardLevelFrames(down: DataFrame,
       upDelta: DataFrame, eDst: DataFrame): DataFrame = {
     val up = upDelta.alias("w")
-    val contrib = up.join(eDst, col("w.node") === eDst("dst"))
+    val contrib = shjHint(up).join(eDst, col("w.node") === eDst("dst"))
       .select(col("w.seed").as("seed"), col("src").as("node"),
         col("w.sigma").as("sw"), col("w.delta").as("dw"))
-    val dsum = down.join(contrib, Seq("seed", "node"))
+    val dsum = down.join(shjHint(contrib), Seq("seed", "node"))
       .groupBy(col("seed"), col("node"))
       .agg(round(betwSumDec12(
         (col("sigma").cast("double") / col("sw")) *
           (lit(1.0) + col("dw"))), 6).as("dnew"))
     down.select(col("seed"), col("node"), col("hop"), col("sigma"))
-      .join(dsum, Seq("seed", "node"), "left")
+      .join(shjHint(dsum), Seq("seed", "node"), "left")
       .select(col("seed"), col("node"), col("hop"), col("sigma"),
         coalesce(col("dnew"), lit(0.0)).as("delta"))
   }
@@ -1473,7 +1483,7 @@ object Graph {
           col("node").cast("string").as("walk")), durable, ret)
     var t = 1
     while (t <= walkLen) {
-      val hashed = frontier.join(und, frontier("node") === und("a"))
+      val hashed = shjHint(frontier).join(und, frontier("node") === und("a"))
         .select(col("wid"), col("walk"),
           struct(graft.functions.Text.md5Hash64(
             concat(col("wid"), lit(":"), lit(t.toString), lit(":"),
@@ -1608,7 +1618,7 @@ object Graph {
     // argument per (seed, node); state sequence bit-identical)
     val frontier = state.where(
       col("__prev").isNull || col("dist") < col("__prev"))
-    val relax = frontier.join(e, col("node") === col("src"))
+    val relax = shjHint(frontier).join(e, col("node") === col("src"))
       .select(col("seed"), col("dst").as("node"),
         (col("dist") + col("w")).as("dist"),
         lit(null).cast("long").as("__prevc"))
